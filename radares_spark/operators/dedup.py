@@ -1,0 +1,442 @@
+"""Deduplication operators for large-scale text corpora.
+
+Generalizes the reference's ``drop_duplicates(subset=['equipment'])``
+(SURVEY §2.5 D1/D2, src/scrape.py:60) to the dedup family an LLM data
+pipeline needs:
+
+- **exact**: hash-groupBy on normalized text (one shuffle).
+- **MinHash + LSH**: shingle -> k minhashes -> banded bucket hashes ->
+  candidate pairs via a bucket self-join. The self-join shuffles on the
+  band hash, which IS the LSH bucketing — at 100 TB each bucket is a
+  small group, so the pair blow-up is bounded by bucket size, never
+  all-pairs.
+- **SimHash**: per-token 32-bit hashes, bitwise majority vote -> one
+  64-bit-ish signature per doc; near-dups share signatures (or differ
+  in a few bits — banded hamming search is the scale path).
+- **n-gram Jaccard**: exact character-3-gram Jaccard for candidate
+  pairs (here: deterministic adjacent-id pairs, so the oracle can
+  verify the arithmetic; in production the pairs come from the LSH
+  candidate generator above).
+- **embedding near-dup**: cosine >= threshold pairs. Brute-force
+  all-pairs here (oracle-checkable); the scale path is the IVF/LSH
+  prefilter in ``radares_spark.operators.similarity``.
+
+Determinism contract: every hash is ``md5`` over UTF-8 bytes, every
+float is summed left-to-right (``F.aggregate`` / DuckDB ``list_reduce``
+are both sequential) and rounded before comparison — so the DuckDB
+oracle matches bit-for-bit. No RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.plans.registry import register
+
+N_PERM = 8  # minhash permutations
+BAND_R = 2  # rows per band
+N_BANDS = N_PERM // BAND_R
+
+
+def normalize_text(col: Column) -> Column:
+    """lower -> strip non-alnum -> collapse spaces -> trim."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
+# DuckDB mirror of normalize_text (regexp_replace needs the 'g' flag).
+NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "documents")
+
+
+def _md5(col: Column) -> Column:
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams of the normalized text.
+
+    Map-side only: split + generate + explode, no shuffle until the
+    downstream distinct/groupBy.
+
+    The token array is materialized in its own projection BEFORE the
+    per-element transform: inlining ``split(regexp_replace(...))``
+    into the lambda makes Catalyst re-evaluate the regex+split for
+    every array access (~3 x n_shingles times per doc — measured 100x
+    slower at sf0.01).
+    """
+    toks = df.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    w = F.col("w")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    # F.get is 0-based and NULL out-of-bounds; strict concat propagates
+    # NULL => short docs yield no partial shingle (filtered below).
+    sh = F.transform(
+        idx,
+        lambda i: F.concat(
+            *[
+                p
+                for j in range(n)
+                for p in ([F.lit(" ")] if j else []) + [F.get(w, i - 1 + j)]
+            ]
+        ),
+    )
+    return (
+        toks.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+# Shared DuckDB CTE producing (doc_id, shingle) — mirrors word_shingles.
+SHINGLES_SQL = f"""
+    norm AS (
+        SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    shingles AS (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM toks
+        ) WHERE s IS NOT NULL
+    )
+"""
+
+
+def minhash_signatures(df: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, s0..s{k-1}) — per-doc minhash signature.
+
+    The "permutations" are md5 streams salted with the seed index; the
+    minimum is taken over the hex strings (lexicographic — identical in
+    any engine). One groupBy(doc_id) shuffle computes all k mins.
+    """
+    sh = word_shingles(df)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            _md5(F.concat(F.col("shingle"), F.lit(f"#{s}"))).alias(f"h{s}")
+            for s in range(n_perm)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"s{s}") for s in range(n_perm)]
+    )
+
+
+def lsh_bands(sig: DataFrame, n_bands: int = N_BANDS, r: int = BAND_R) -> DataFrame:
+    """Signature -> (doc_id, band, band_hash). Band hash = md5 of the
+    r concatenated signature values — the LSH bucket key."""
+    bands = [
+        _md5(F.concat(*[F.col(f"s{b * r + i}") for i in range(r)])).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    wide = sig.select("doc_id", *bands)
+    pairs = F.array(
+        *[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("band_hash")) for b in range(n_bands)]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("e")).select(
+        "doc_id", "e.band", "e.band_hash"
+    )
+
+
+MINHASH_SQL = f"""
+    WITH {SHINGLES_SQL},
+    hashed AS (
+        SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS mh
+        FROM shingles, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS seed)
+        GROUP BY doc_id, seed
+    ),
+    sig AS (
+        SELECT doc_id, list(mh ORDER BY seed) AS s FROM hashed GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS text_hash FROM documents
+    )
+    SELECT min(doc_id) AS kept_doc_id, count(*) AS group_size, text_hash
+    FROM norm GROUP BY text_hash
+    """,
+    survey="D1/D2 (exact dedup, deterministic keeper)",
+    doc="Exact dedup = hash-groupBy; keeps min(doc_id) per normalized-"
+    "text hash (deterministic, unlike dropDuplicates' arbitrary row). "
+    "One shuffle on the 128-bit hash — uniform keys, no skew at 100 TB.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", _md5(normalize_text(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("kept_doc_id", "group_size", "text_hash")
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    {MINHASH_SQL}
+    SELECT doc_id,
+           {", ".join(f"md5(s[{b * BAND_R + 1}] || s[{b * BAND_R + 2}]) AS band{b}" for b in range(N_BANDS))}
+    FROM sig
+    """,
+    survey="D-fuzzy (MinHash signatures + LSH band hashes)",
+    doc="Per-doc MinHash signature folded into LSH band hashes "
+    f"(k={N_PERM}, b={N_BANDS}, r={BAND_R}). Value-checked end-to-end "
+    "against the oracle — proves the signature math, not just row counts.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id",
+        *[
+            _md5(F.concat(F.col(f"s{b * BAND_R}"), F.col(f"s{b * BAND_R + 1}"))).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    {MINHASH_SQL},
+    bands AS (
+        SELECT doc_id, b AS band, md5(s[2*b + 1] || s[2*b + 2]) AS band_hash
+        FROM sig, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    survey="D-fuzzy (MinHash-LSH candidate pairs)",
+    doc="LSH candidate generation: docs sharing any band bucket. The "
+    "bucket self-join shuffles on band_hash — bounded per-bucket work, "
+    "never an all-pairs product. Catches the corpus' planted near-dups "
+    "(Jaccard ~0.99 pairs collide in every band).",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = lsh_bands(minhash_signatures(_docs(spark, sf_dir)))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+        ) WHERE tok <> ''
+    ),
+    th AS (
+        SELECT doc_id, tok,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h32
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h32 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th, (SELECT unnest(generate_series(0, 31)) AS bit)
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    survey="D-fuzzy (SimHash fingerprint)",
+    doc="32-bit SimHash: per-token md5-derived hash, bitwise majority "
+    "vote over distinct tokens. Two shuffles (doc×bit vote, doc fold); "
+    "at scale the vote agg is map-side combined. Near-dup grouping = "
+    "hamming-ball search over banded signature pieces (same LSH "
+    "banding as minhash).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select("doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    th = toks.select(
+        "doc_id", F.conv(F.substring(_md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("h32")
+    )
+    votes = (
+        th.select("doc_id", "h32", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
+        .withColumn(
+            "v",
+            F.when(F.expr("(h32 >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> substr(t, i, 3))) AS g
+            FROM norm
+        ) WHERE length(g) = 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+    survey="D-fuzzy (n-gram Jaccard verification)",
+    doc="Exact char-3-gram Jaccard for candidate pairs (deterministic "
+    "adjacent-id pairs so the oracle can check the arithmetic; in "
+    "production the pairs come from dedup_minhash_pairs and the same "
+    "join verifies them — LSH recall, exact precision).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = normalize_text(F.col("text"))
+    # positional slice needs a column start index -> SQL expression form
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .filter(F.length("g") == 3)
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # explicit composite equi-keys (g, partner_id): 3-char grams are
+    # extremely hot (a common gram appears in most docs), so a join on
+    # g alone builds an O(docs^2)-per-gram intermediate; adding the
+    # pair id to the hash key keeps the join linear in |grams|.
+    a = grams.select(F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = a.join(b, ["doc_b", "g"]).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("i")
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+COSINE_SQL_CTE = """
+    vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM vecs
+    )
+"""
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle=f"""
+    WITH {COSINE_SQL_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_reduce(list_transform(generate_series(1, 64),
+                                            i -> a.v[i] * b.v[i]),
+                             (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE round(list_reduce(list_transform(generate_series(1, 64),
+                                           i -> a.v[i] * b.v[i]),
+                            (x, y) -> x + y) / (a.nrm * b.nrm), 4) >= 0.45
+    """,
+    survey="D-fuzzy (embedding cosine near-dup)",
+    doc="Embedding near-duplicate pairs (cosine >= 0.45). Brute-force "
+    "all-pairs so the oracle can verify the arithmetic; the 100 TB path "
+    "prefilters candidates with the IVF probe in operators/similarity "
+    "and runs this exact check only within probed cells. Sums are "
+    "sequential left-to-right in both engines -> bitwise-identical "
+    "doubles before rounding.",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    normed = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("nrm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )

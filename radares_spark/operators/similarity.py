@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers, per the standard ANN playbook:
+
+- **brute-force cosine top-k** — the exactness baseline. Broadcast the
+  (small) query set against the full corpus, window-rank per query.
+  Cost: O(|queries| * N) — fine when queries are few, the corpus scan
+  is embarrassingly parallel and never shuffles the corpus.
+- **IVF probe top-k** — the scale path. A coarse quantizer (here the
+  per-label centroids — stand-ins for k-means centroids, which is what
+  you'd train at 100 TB) maps each query to its nearest ``n_probe``
+  cells; the exact search runs only inside probed cells. Corpus is
+  pre-partitioned by cell => the probe is a partition-pruned join.
+
+All arithmetic is double, summed left-to-right (``F.aggregate`` /
+DuckDB ``list_reduce``) and rounded, so the DuckDB oracle matches
+exactly. Ranks tie-break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dedup import COSINE_SQL_CTE
+from radares_spark.plans.registry import register
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+N_PROBE = 2
+DIM = 64
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (matches DuckDB list_reduce)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select("vec_id", "label", v.alias("v"), l2norm(v).alias("nrm"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    ``queries`` is broadcast — the corpus is scanned once, in place,
+    with no shuffle until the tiny per-query rank window.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+    )
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    scored = (
+        corpus.join(q, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH {COSINE_SQL_CTE},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_reduce(list_transform(generate_series(1, {DIM}),
+                                                i -> q.v[i] * c.v[i]),
+                                 (x, y) -> x + y) / (q.nrm * c.nrm), 4) AS cos_sim
+        FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    survey="similarity search (brute-force cosine top-k baseline)",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    normed = _normed(spark, sf_dir)
+    queries = normed.filter(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(normed, queries).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {COSINE_SQL_CTE},
+    cells AS (
+        SELECT e.label, i, avg(v[i]) AS c
+        FROM (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) e,
+             (SELECT unnest(generate_series(1, {DIM})) AS i)
+        GROUP BY e.label, i
+    ),
+    centroids AS (
+        SELECT label, list(c ORDER BY i) AS cv,
+               sqrt(list_reduce(list_transform(list(c ORDER BY i), x -> x * x),
+                                (a, b) -> a + b)) AS cn
+        FROM cells GROUP BY label
+    ),
+    queries AS (SELECT * FROM normed WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, label FROM (
+            SELECT q.vec_id AS query_id, ct.label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_reduce(list_transform(generate_series(1, {DIM}),
+                                                                 i -> q.v[i] * ct.cv[i]),
+                                                  (x, y) -> x + y) / (q.nrm * ct.cn), 4) DESC,
+                                ct.label
+                   ) AS prn
+            FROM queries q CROSS JOIN centroids ct
+        ) WHERE prn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_reduce(list_transform(generate_series(1, {DIM}),
+                                                i -> q.v[i] * c.v[i]),
+                                 (x, y) -> x + y) / (q.nrm * c.nrm), 4) AS cos_sim
+        FROM queries q
+        JOIN probes p ON p.query_id = q.vec_id
+        JOIN (SELECT n.*, e.label FROM normed n JOIN embeddings e USING (vec_id)) c
+          ON c.label = p.label AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    survey="similarity search (IVF-probed ANN — the 100 TB path)",
+    doc="IVF: coarse centroids (per-label means; k-means at scale), "
+    f"probe the {N_PROBE} nearest cells per query, exact top-{TOP_K} "
+    "inside probed cells only. With the corpus parquet partitioned by "
+    "cell id, the probe join partition-prunes the scan — searched "
+    "fraction ~ n_probe/n_cells of 100 TB.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    normed = _normed(spark, sf_dir)
+
+    # centroid per cell (label): positional explode -> per-dim mean ->
+    # re-assemble ordered vector. One shuffle over (label, dim).
+    cells = (
+        normed.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    centroids = (
+        cells.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("label", F.transform(F.col("ic"), lambda s: s.c).alias("cv"))
+        .select("label", "cv", l2norm(F.col("cv")).alias("cn"))
+    )
+
+    queries = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qcos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("label"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "qn", "label", qcos.alias("qc"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "qv", "qn", "label")
+    )
+
+    # probe join: corpus side filtered to probed cells (partition pruning
+    # when the corpus is stored partitioned by cell).
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    scored = (
+        normed.join(F.broadcast(probes), "label")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,226 @@
+"""Text analysis operators over the documents table.
+
+The training-data-pipeline text suite: language id (stopword-voting
+heuristic), quality scoring (length / punctuation / stopword ratios),
+token counting (whitespace + regex-BPE-ish), and document
+fingerprinting (md5 full-text + min-of-kgram rolling fingerprint).
+
+Everything is a pure column expression — JVM-side, codegen'd, no
+Python in the hot path — and deterministic, with exact DuckDB oracle
+mirrors. At 100 TB these are embarrassingly parallel scans: no
+shuffles at all except the final per-doc projection (none), so the
+cost is the read bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dedup import NORM_SQL, normalize_text
+from radares_spark.plans.registry import register
+
+# Tiny per-language stopword marker sets (heuristic language id).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+# BPE-ish token pattern: letter runs, digit runs, single other symbol.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "documents")
+
+
+def _marker_hits(tokens, words: list[str]):
+    """Count of tokens that are in the marker set (array intersection
+    by size after filter — stays a single codegen'd expression)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents)
+    SELECT doc_id,
+           len(string_split(t, ' '))                         AS ws_tokens,
+           len(regexp_extract_all(t, '{BPE_RE}'))            AS bpe_tokens,
+           length(t)                                          AS n_chars_norm
+    FROM norm
+    """,
+    survey="text analysis (token counting)",
+    doc="Whitespace tokens + regex-BPE-ish tokens per doc. The regex "
+    "token count is the standard pre-tokenizer cost estimate for LLM "
+    "data work; all JVM-side (regexp_count), zero shuffles.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_RE)).alias("bpe_tokens"),
+        F.length(t).alias("n_chars_norm"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               {NORM_SQL.format(c='text')} AS t,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, n_chars,
+               len(string_split(t, ' ')) AS n_tokens,
+               len(list_filter(string_split(t, ' '),
+                               x -> list_contains({EN_STOPWORDS!r}, x))) AS stop_hits,
+               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+        FROM base
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(stop_hits / n_tokens::DOUBLE, 6)  AS stopword_ratio,
+           round(n_punct / n_chars::DOUBLE, 6)     AS punct_ratio,
+           round(n_chars / n_tokens::DOUBLE, 4)    AS avg_token_len,
+           CASE WHEN n_tokens >= 20
+                 AND stop_hits / n_tokens::DOUBLE BETWEEN 0.01 AND 0.6
+                 AND n_punct / n_chars::DOUBLE < 0.1
+                THEN 1 ELSE 0 END                  AS quality_pass
+    FROM feat
+    """,
+    survey="text analysis (quality scoring / filtering)",
+    doc="Length / stopword-ratio / punctuation-ratio features + a "
+    "boolean quality gate — the C4-style heuristic filter battery as "
+    "one codegen'd projection.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = normalize_text(F.col("text"))
+    toks = F.split(t, " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    stop_hits = _marker_hits(toks, EN_STOPWORDS)
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    stopword_ratio = stop_hits / n_tokens.cast("double")
+    punct_ratio = n_punct / n_chars.cast("double")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(n_chars / n_tokens.cast("double"), 4).alias("avg_token_len"),
+        F.when(
+            (n_tokens >= 20)
+            & stopword_ratio.between(0.01, 0.6)
+            & (punct_ratio < 0.1),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+_LANG_SQL_HITS = ",\n".join(
+    f"           len(list_filter(toks, x -> list_contains({words!r}, x))) AS hits_{lang}"
+    for lang, words in LANG_MARKERS.items()
+)
+
+_LANG_SQL_PICK = (
+    "CASE greatest(hits_en, hits_es, hits_fr, hits_de) "
+    "WHEN 0 THEN 'und' "
+    "WHEN hits_en THEN 'en' WHEN hits_es THEN 'es' "
+    "WHEN hits_fr THEN 'fr' WHEN hits_de THEN 'de' END"
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+    hits AS (
+        SELECT doc_id,
+{_LANG_SQL_HITS}
+        FROM tok
+    )
+    SELECT {_LANG_SQL_PICK} AS pred_lang, count(*) AS n
+    FROM hits GROUP BY 1
+    """,
+    survey="text analysis (language id heuristic)",
+    doc="Stopword-marker voting language id (n-gram-heuristic family). "
+    "Ties resolve in fixed en>es>fr>de order; zero marker hits -> "
+    "'und'. A real pipeline swaps in fastText via mapInPandas — the "
+    "Spark shape (scan + projection + small agg) is identical.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    hits = docs.select(
+        "doc_id",
+        *[_marker_hits(toks, words).alias(f"hits_{lang}") for lang in LANG_MARKERS for words in [LANG_MARKERS[lang]]],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
+    pick = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # fixed priority order on ties
+        pick = pick.when(F.col(f"hits_{lang}") == best, lang)
+    return hits.select(pick.alias("pred_lang")).groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                      i -> substr(t, i, 8))) AS g
+        FROM norm
+    )
+    SELECT n.doc_id,
+           md5(n.t) AS full_hash,
+           min(md5(g.g)) AS min_kgram_hash
+    FROM norm n JOIN grams g ON g.doc_id = n.doc_id
+    WHERE length(g.g) = 8
+    GROUP BY n.doc_id, n.t
+    """,
+    survey="text analysis (document fingerprinting)",
+    doc="Rolling 8-gram fingerprint: min over md5(k-gram) — the 1-perm "
+    "minhash / winnowing primitive — plus the full-text hash. Both "
+    "survive whitespace-normalization-equivalent edits.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = normalize_text(F.col("text"))
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.col("t"),
+            F.explode(
+                F.expr("transform(sequence(1, greatest(length(t) - 7, 1)), i -> substring(t, i, 8))")
+            ).alias("g"),
+        )
+        .filter(F.length("g") == 8)
+    )
+    return grams.groupBy("doc_id", "t").agg(
+        F.min(F.md5(F.encode(F.col("g"), "UTF-8"))).alias("min_kgram_hash")
+    ).select(
+        "doc_id",
+        F.md5(F.encode(F.col("t"), "UTF-8")).alias("full_hash"),
+        "min_kgram_hash",
+    )

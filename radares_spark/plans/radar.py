@@ -1,0 +1,258 @@
+"""Radar-domain semantics expressed over the TESTDATA tables.
+
+The reference's domain is a 15-minute grid of speed-histogram vectors
+(database/schema.sql:52-71) cleaned out of positional spreadsheets
+(src/clean_data.py). The real parser/ingest pipeline lives in
+``radares_spark.io.ingest`` and is exercised by tests on synthetic
+xlsx fixtures; THESE queries re-express the same semantics over the
+driver's TESTDATA tables so the DuckDB oracle can check them:
+
+- a wide histogram is built from ``lineitem`` (quantity bins stand in
+  for speed bins — same shape: fixed bins, integer counts, row total);
+- the histogram analytics (weighted mean / p85 / speeding ratio /
+  wide->long) come from ``radares_spark.functions.histogram`` — the
+  exact library the radar fact table uses;
+- the direction / time_range cleaning column expressions from
+  ``radares_spark.functions.cleaning`` are applied to strings
+  synthesized deterministically from testdata (same expressions the
+  xlsx ingest applies to parsed report rows).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.functions.cleaning import clean_direction, split_time_range
+from radares_spark.functions.histogram import (
+    bins_long,
+    percentile_from_bins,
+    speeding_ratio,
+    weighted_mean_speed,
+)
+from radares_spark.io.tables import load_table
+from radares_spark.plans.registry import register
+
+# Quantity histogram: 10 fixed bins of width 5 over l_quantity in [1, 50]
+# — structurally identical to the 11 speed bins of the radar schema.
+QTY_BINS: list[tuple[str, int, int]] = [
+    (f"qty_{lo:02d}_{lo + 4:02d}", lo, lo + 4) for lo in range(1, 50, 5)
+]
+
+_HIST_SQL_BINS = ",\n".join(
+    f"           count(*) FILTER (WHERE l_quantity BETWEEN {lo} AND {hi}) AS {c}"
+    for c, lo, hi in QTY_BINS
+)
+
+HIST_SQL = f"""
+    SELECT l_returnflag AS equipment,
+           date_trunc('month', l_shipdate)::DATE AS pubmonth,
+{_HIST_SQL_BINS},
+           count(*) AS total
+    FROM lineitem
+    GROUP BY 1, 2
+"""
+
+
+def _qty_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide histogram from lineitem: one row per (returnflag, ship-month),
+    10 integer bin counts + total. Single shuffle (one groupBy); the bin
+    counts are conditional aggregates, computed map-side first."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.sum(F.when(F.col("l_quantity").between(lo, hi), 1).otherwise(0)).alias(c)
+        for c, lo, hi in QTY_BINS
+    ]
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("equipment"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("pubmonth"),
+        )
+        .agg(*aggs, F.count(F.lit(1)).alias("total"))
+    )
+
+
+@register(
+    "radar_histogram_build",
+    oracle=HIST_SQL,
+    survey="A2/A3 (histogram fact build), R2 inverse",
+    doc="Build the wide fixed-bin histogram fact row (the radar flows "
+    "table shape, schema.sql:59-70) from raw facts in one shuffle.",
+)
+def radar_histogram_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qty_hist(spark, sf_dir)
+
+
+@register(
+    "radar_bins_long",
+    oracle=f"""
+    WITH hist AS ({HIST_SQL})
+    SELECT equipment, pubmonth, b.bin_lo, b.bin_hi, b.cnt
+    FROM hist, LATERAL (
+        VALUES {", ".join(f"({lo}, {hi}, {c})" for c, lo, hi in QTY_BINS)}
+    ) AS b(bin_lo, bin_hi, cnt)
+    """,
+    survey="R2 (wide->long unpivot)",
+    doc="Histogram wide->long — map-side explode, no shuffle "
+    "(functions/histogram.bins_long).",
+)
+def radar_bins_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bins_long(_qty_hist(spark, sf_dir), ["equipment", "pubmonth"], QTY_BINS)
+
+
+@register(
+    "radar_weighted_mean",
+    oracle=f"""
+    WITH hist AS ({HIST_SQL})
+    SELECT equipment, pubmonth,
+           round(({" + ".join(f"{c} * {(lo + hi) / 2.0}" for c, lo, hi in QTY_BINS)})
+                 / ({" + ".join(c for c, _, _ in QTY_BINS)}), 4) AS weighted_mean
+    FROM hist
+    """,
+    survey="A3 (weighted mean from histogram)",
+)
+def radar_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _qty_hist(spark, sf_dir)
+    return hist.select(
+        "equipment",
+        "pubmonth",
+        F.round(weighted_mean_speed(QTY_BINS), 4).alias("weighted_mean"),
+    )
+
+
+@register(
+    "radar_p85",
+    oracle=f"""
+    WITH hist AS ({HIST_SQL})
+    SELECT equipment, pubmonth,
+           CASE
+{chr(10).join(f"             WHEN ({' + '.join(c for c, _, _ in QTY_BINS[: i + 1])}) >= 0.85 * ({' + '.join(c for c, _, _ in QTY_BINS)}) THEN {QTY_BINS[i][2]}" for i in range(len(QTY_BINS)))}
+             ELSE {QTY_BINS[-1][2]}
+           END AS p85_speed
+    FROM hist
+    """,
+    survey="A3 (p85 percentile-from-histogram)",
+    doc="85th percentile from cumulative bin prefix sums — one pass over "
+    "the wide row, no window, no unpivot shuffle.",
+)
+def radar_p85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return percentile_from_bins(_qty_hist(spark, sf_dir), ["equipment", "pubmonth"], 0.85, QTY_BINS)
+
+
+@register(
+    "radar_speeding_ratio",
+    oracle=f"""
+    WITH hist AS ({HIST_SQL})
+    SELECT equipment, pubmonth,
+           round(({" + ".join(c for c, lo, _ in QTY_BINS if lo >= 31)})
+                 / ({" + ".join(c for c, _, _ in QTY_BINS)})::DOUBLE, 6) AS speeding_ratio
+    FROM hist
+    """,
+    survey="A3 (share-above-limit from histogram)",
+)
+def radar_speeding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _qty_hist(spark, sf_dir)
+    return hist.select(
+        "equipment", "pubmonth", F.round(speeding_ratio(31, QTY_BINS), 6).alias("speeding_ratio")
+    )
+
+
+@register(
+    "radar_direction_clean",
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey,
+               concat('Rua ', c_mktsegment, '/',
+                      CASE WHEN c_custkey % 17 = 0 THEN 'X'
+                           ELSE substr('NSLO', (c_custkey % 4)::INT + 1, 1) END)
+                   AS direction_raw
+        FROM customer
+    )
+    SELECT CASE split_part(direction_raw, '/', 2)
+             WHEN 'N' THEN 'Norte' WHEN 'S' THEN 'Sul'
+             WHEN 'L' THEN 'Leste' WHEN 'O' THEN 'Oeste' END AS direction,
+           count(*) AS n
+    FROM raw GROUP BY 1
+    """,
+    survey="P6/P7 (split + map direction cleaning)",
+    doc="The reference's direction cleanup (clean_data.py:44-50) as one "
+    "codegen'd CASE — applied to deterministically synthesized "
+    "'<street>/<suffix>' strings; unmapped suffixes -> NULL bucket "
+    "(quarantine, not crash).",
+)
+def radar_direction_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = load_table(spark, sf_dir, "customer")
+    suffix = F.when(F.col("c_custkey") % 17 == 0, F.lit("X")).otherwise(
+        F.substring(F.lit("NSLO"), (F.col("c_custkey") % 4 + 1).cast("int"), 1)
+    )
+    raw = cust.select(
+        F.concat(F.lit("Rua "), F.col("c_mktsegment"), F.lit("/"), suffix).alias("direction_raw")
+    )
+    return (
+        raw.select(clean_direction(F.col("direction_raw")).alias("direction"))
+        .groupBy("direction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "radar_time_slice",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               concat(strftime(time_bucket(INTERVAL '15 minutes', ts), '%H:%M'),
+                      ' as ',
+                      strftime(time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes',
+                               '%H:%M')) AS time_range
+        FROM events
+    )
+    SELECT substr(time_range, 1, 5) AS initial_time,
+           substr(time_range, 10, 5) AS end_time,
+           count(*) AS n
+    FROM raw GROUP BY 1, 2
+    """,
+    survey="P8/P9 (time_range slicing), §2.11 grid",
+    doc="The 'HH:MM as HH:MM' slot-string round-trip "
+    "(clean_data.py:200-204): synthesize the reference's slot strings "
+    "from event timestamps, slice them back, count per slot — 96 groups.",
+)
+def radar_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    slot = F.window("ts", "15 minutes")
+    raw = ev.select(
+        F.concat(
+            F.date_format(slot.start, "HH:mm"), F.lit(" as "), F.date_format(slot.end, "HH:mm")
+        ).alias("time_range")
+    )
+    sliced = split_time_range(raw)
+    return sliced.groupBy("initial_time", "end_time").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "radar_total_validation",
+    oracle=f"""
+    WITH hist AS ({HIST_SQL})
+    SELECT equipment,
+           count(*) AS n_rows,
+           count(*) FILTER (
+               WHERE total <> ({" + ".join(c for c, _, _ in QTY_BINS)})
+           ) AS n_bad_totals
+    FROM hist GROUP BY equipment
+    """,
+    survey="A2 (row-wise horizontal sum validation)",
+    doc="Data-quality check the reference never performs: total == Σ bins "
+    "(SURVEY §2.7 A2), as a vectorized horizontal sum.",
+)
+def radar_total_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _qty_hist(spark, sf_dir)
+    row_sum = reduce(add, [F.col(c) for c, _, _ in QTY_BINS])
+    return hist.groupBy("equipment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("total") != row_sum, 1).otherwise(0)).alias("n_bad_totals"),
+    )

@@ -1,0 +1,782 @@
+"""Relational query library over the TESTDATA star schema.
+
+Covers the SURVEY §2 operator inventory that maps onto plain
+relational algebra: projections/filters (§2.3-2.4), joins incl.
+anti/semi/broadcast (§2.6), aggregations incl. having / rollup / cube
+(§2.7), windows / top-k / gap detection / set ops (§2.8), reshaping
+(§2.9), scalar functions (§2.10), and the batch form of the streaming
+semantics (§2.11: calendar gap-fill audit, 15-minute tumbling windows,
+sessionization, as-of joins).
+
+Scale notes (100 TB design rules applied throughout):
+
+- Dimension joins (`region`, `nation`, band tables) are explicitly
+  ``F.broadcast`` — no shuffle of the fact side.
+- Fact-fact joins rely on AQE sort-merge with skew-join splitting.
+- All aggregates are expressed declaratively => Catalyst plans
+  partial (map-side) aggregation before the shuffle.
+- Filters are plain column predicates => pushed into the Parquet scan
+  (verify: ``PushedFilters`` in ``explain('formatted')``).
+- Money sums are ``round(x, 2)`` / ratios ``round(x, 4-6)`` so results
+  are stable under any aggregation order (floating-point sums are
+  order-sensitive in the last ulp; rounding makes Spark and the DuckDB
+  oracle agree bit-for-bit).
+- No ``collect()`` anywhere; top-k uses window rank, not a driver sort.
+
+Reference parity: the reference has no analytical queries of its own
+(SURVEY §2.7-2.8 — "declared, not coded", README.md:3); this library IS
+the declared "querying and analysis" surface, generalized to the
+TESTDATA schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC so timestamp semantics match the (TZ-naive, UTC) DuckDB
+    # oracle regardless of how the calling session was built.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.7 A3; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="A3, P1, F-pushdown",
+    doc="Flagship: grouped multi-aggregate over the fact table; filter "
+    "pushed to the parquet scan, partial agg before the single shuffle.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey="J4, A3, top-k (§2.8)",
+    doc="3-way join + agg + deterministic top-k (ties broken on key).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'REGION_0'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    survey="J4 (broadcast dim chain), A3, F2",
+    doc="Star join: tiny dims region/nation broadcast, fact side never "
+    "shuffled for the dim joins.",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "distinct_agg_suppliers",
+    oracle="""
+    SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    survey="A3 distinct-agg, J4",
+    doc="COUNT(DISTINCT) — expands to a two-phase agg under Catalyst.",
+)
+def distinct_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 20
+    """,
+    survey="F4 (HAVING), A1-shape",
+    doc="Post-aggregation filter — the reference's verify_dates HAVING "
+    "pattern (count < N) generalized.",
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spent"))
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (§2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_in_between",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    survey="F2 (IN-list + range)",
+    doc="IN-list + date-range predicate (reference backload_scrape.py:70-78) "
+    "— the range predicate is what enables partition pruning on a "
+    "date-partitioned table.",
+)
+def filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join semantics (§2.6): anti / semi
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_join_no_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    survey="J2 (left anti)",
+    doc="Work-list-minus-done pattern: the reference's backfill planner "
+    "(backload_scrape.py:61-86) as a single left-anti join.",
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    GROUP BY c_mktsegment
+    """,
+    survey="J3 (left semi)",
+    doc="Existence guard (reference clean_data.py:168-180) as left-semi join.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, rankings, gaps (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_cumsum_qty",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           sum(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey < 20
+    """,
+    survey="§2.8 cumulative window",
+    doc="Running sum per supplier — the cumulative-histogram primitive "
+    "behind percentile-from-bins. Deterministic ORDER BY tie-break.",
+)
+def window_cumsum_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", F.sum("l_quantity").over(w).alias("running_qty")
+    )
+
+
+@register(
+    "window_topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, revenue FROM (
+        SELECT p_brand, p_partkey, revenue,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY revenue DESC, p_partkey) AS rn
+        FROM (
+            SELECT p_brand, p_partkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_partkey
+        )
+    ) WHERE rn <= 3
+    """,
+    survey="§2.8 top-k per group, J4",
+    doc="Top-3 parts by revenue per brand via row_number window (no "
+    "driver-side sort; scales as one shuffle per agg + one per window).",
+)
+def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    )
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey,
+           max(gap_days) AS max_gap_days,
+           count(*)      AS n_orders
+    FROM (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    GROUP BY o_custkey
+    HAVING max(gap_days) IS NOT NULL
+    """,
+    survey="§2.8 lag/gap detection",
+    doc="Gap detection via lag() — the scalable version of the "
+    "reference's per-day completeness loop (verify_dates.py:31-41).",
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(F.max("gap_days").alias("max_gap_days"), F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("max_gap_days").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / pivot / unpivot (§2.7 A3, §2.9 R2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey="A3 rollup",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey="A3 cube",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    survey="R2 pivot (long->wide)",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    piv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_mktsegment, metric, round(value, 2) AS value FROM (
+        SELECT c_mktsegment, 'n_customers' AS metric,
+               count(*)::DOUBLE AS value FROM customer GROUP BY c_mktsegment
+        UNION ALL
+        SELECT c_mktsegment, 'total_bal', sum(c_acctbal) FROM customer GROUP BY c_mktsegment
+        UNION ALL
+        SELECT c_mktsegment, 'max_bal', max(c_acctbal) FROM customer GROUP BY c_mktsegment
+    )
+    """,
+    survey="R2 unpivot (wide->long)",
+    doc="Wide aggregate row -> long (metric, value) via unpivot/stack — "
+    "the histogram wide->long primitive (SURVEY §2.9).",
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.sum("c_acctbal").alias("total_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+    long = wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_customers", "total_bal", "max_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.withColumn("value", F.round(F.col("value"), 2))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+    SELECT 'cust_only' AS side, count(*) AS n FROM (
+        SELECT DISTINCT c_nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'both', count(*) FROM (
+        SELECT DISTINCT c_nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+    survey="§2.8 set ops (except/intersect/union)",
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    cust_only = cn.exceptAll(sn).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("cust_only").alias("side"), "n"
+    )
+    both = cn.intersect(sn).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    return cust_only.unionByName(both)
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill audit (§2.7 A1 — the verify_dates.py replacement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "calendar_gap_fill_orders",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_orderdate)::DATE AS lo, max(o_orderdate)::DATE AS hi FROM orders
+    ),
+    calendar AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+        SELECT o_orderdate::DATE AS day, count(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT c.day, coalesce(d.n, 0) AS n_orders
+    FROM calendar c LEFT JOIN daily d USING (day)
+    WHERE coalesce(d.n, 0) < 15
+    """,
+    survey="A1 (single-shuffle audit), F4, sequence+explode",
+    doc="The reference's O(days) per-day COUNT loop (verify_dates.py:31-41) "
+    "as ONE job: groupBy day + generated calendar left join + HAVING-style "
+    "filter. At 100 TB this is one shuffle instead of ~2900 round-trips.",
+)
+def calendar_gap_fill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    calendar = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"), F.max(F.to_date("o_orderdate")).alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        calendar.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_orders"))
+        .filter(F.col("n_orders") < 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time queries (§2.11 batch forms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_15min_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+    """,
+    survey="§2.11 tumbling window (batch form of the 15-min radar grid)",
+    doc="15-minute tumbling window aggregation — the radar fact table's "
+    "native grid (96 slots/day) recomputed from raw events. Streaming "
+    "variant in radares_spark.streaming.",
+)
+def events_15min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('second',
+                                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                      ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+    survey="§2.8 sessionization (lag + cumsum)",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "asof_join_error_click",
+    oracle="""
+    WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           max(c.click_ts) AS last_click_ts
+    FROM errors e JOIN clicks c
+      ON e.user_id = c.user_id AND c.click_ts <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+    survey="as-of join (§2.6 engine capability; Spark lacks a native one)",
+    doc="As-of join: latest click at-or-before each error, per user. "
+    "Implemented as union + last(ignorenulls) over an event-time window "
+    "— one shuffle, no range cross-product (the oracle's join+max is the "
+    "semantic spec, not the physical plan). For skewed users, salt or "
+    "use applyInPandas+merge_asof per user bucket.",
+)
+def asof_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.col("event_type"),
+    )
+    # clicks sort before errors at identical ts => "at-or-before" includes ties
+    order_tag = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), order_tag.asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return (
+        joined.filter((F.col("event_type") == "error") & F.col("last_click_ts").isNotNull())
+        .select("event_id", "user_id", "last_click_ts")
+    )
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands AS (
+        SELECT unnest(generate_series(0, 24)) * 100 AS band_lo
+    )
+    SELECT band_lo, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part JOIN bands
+      ON p_retailprice >= band_lo AND p_retailprice < band_lo + 100
+    GROUP BY band_lo
+    """,
+    survey="range join (§2.6 engine capability)",
+    doc="Range join of facts to a generated band dimension. The band table "
+    "is broadcast (nested-loop with a broadcast side — fine for a tiny "
+    "dim); the scale path for fine bands is the equi-join rewrite "
+    "floor(price/width) shown in functions/histogram.py.",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    bands = spark.range(0, 25).select((F.col("id") * 100).cast("double").alias("band_lo"))
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.band_lo) & (part.p_retailprice < bands.band_lo + 100),
+        )
+        .groupBy("band_lo")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (§2.10) + JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_kitchen_sink",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2)                         AS cust_num,
+           lpad(c_custkey::VARCHAR, 10, '0')                  AS padded_key,
+           upper(substr(c_mktsegment, 1, 4))                  AS seg4,
+           concat(c_mktsegment, '/', c_nationkey::VARCHAR)    AS seg_nation,
+           length(c_name)                                     AS name_len
+    FROM customer WHERE c_custkey < 100
+    """,
+    survey="§2.10 string scalars (split/substr/lpad/concat/length)",
+    doc="The reference's string surface (clean_data.py:45,58,203-204; "
+    "scrape.py:87) on testdata columns — all JVM-side built-ins, no UDF.",
+)
+def scalar_string_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return cust.select(
+        "c_custkey",
+        F.split(F.col("c_name"), "#").getItem(1).alias("cust_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.upper(F.substring("c_mktsegment", 1, 4)).alias("seg4"),
+        F.concat_ws("/", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "scalar_dates",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate)::DATE      AS order_month,
+           count(*)                                    AS n,
+           round(sum(o_totalprice), 2)                 AS total,
+           min(strftime(o_orderdate, '%Y-%m-%d'))      AS first_day_str
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    survey="§2.10 date scalars (trunc/format)",
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day_str"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    survey="§2.10 JSON extraction",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

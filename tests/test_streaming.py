@@ -1,0 +1,103 @@
+"""Structured Streaming: AvailableNow ingest exactly-once, tumbling
+windows vs batch equivalence, applyInPandasWithState sessionizer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.io.report_parser import build_report
+from radares_spark.io.tables import load_table
+from radares_spark.streaming.ingest_stream import run_ingest_stream
+from radares_spark.streaming.windows import sessionize_stateful, tumbling_15min
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    day = dt.date(2024, 5, 1)
+    (landing / "a.xlsx").write_bytes(build_report(1, day, "FS551JOI"))
+
+    run_ingest_stream(spark, str(landing), wh, ckpt)
+    assert spark.read.parquet(f"{wh}/flows").count() == 96
+
+    # second trigger: nothing new -> no duplicates (checkpoint file log)
+    run_ingest_stream(spark, str(landing), wh, ckpt)
+    assert spark.read.parquet(f"{wh}/flows").count() == 96
+
+    # new file arrives -> only it is processed
+    (landing / "b.xlsx").write_bytes(build_report(2, day, "FS655JOI"))
+    run_ingest_stream(spark, str(landing), wh, ckpt)
+    assert spark.read.parquet(f"{wh}/flows").count() == 96 + 192
+    ledger = spark.read.parquet(f"{wh}/equipment_files")
+    assert ledger.count() == 2
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    # batch truth
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in (
+            events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        ).collect()
+    }
+
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = tumbling_15min(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win15")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from win15").collect()
+    }
+    assert got == expect
+
+
+def test_stateful_sessionizer(spark, tmp_path):
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
+    # batch truth (same 30-min gap rule)
+    from radares_spark.plans.relational import events_sessionize
+
+    expect = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessionize(spark, SF).filter(F.col("user_id") < 10).collect()
+    }
+
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            "select user_id, max_by(n_sessions, n_events) as n_sessions, max(n_events) as n_events "
+            "from sessions group by user_id"
+        ).collect()
+    }
+    assert got == expect
