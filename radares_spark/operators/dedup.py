@@ -32,8 +32,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from radares_spark.functions.vectors import COSINE_SQL_CTE, dot, l2norm
 from radares_spark.io.tables import load_table
-from radares_spark.plans.registry import register
+from radares_spark.registry import register
 
 N_PERM = 8  # minhash permutations
 BAND_R = 2  # rows per band
@@ -54,81 +55,112 @@ NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_table(spark, sf_dir, "documents")
+    df = load_table(spark, sf_dir, "documents")
+    # Hash/shingle work is CPU-heavy per byte; a small parquet arrives
+    # as one split and would single-thread the whole pipeline. The
+    # rebalance shuffles only the raw text (cheap) and buys full
+    # parallelism. At 100 TB the scan already has thousands of splits
+    # and this becomes a no-op (guarded below), not a 100 TB shuffle.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, n // 4):
+        df = df.repartition(n)
+    return df
 
 
 def _md5(col: Column) -> Column:
     return F.md5(F.encode(col, "UTF-8"))
 
 
-def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams of the normalized text.
+# Universal-hash "permutations": perm_i(h) = (A[i]*h + B[i]) % MH_P over
+# the 32-bit base hash h = first 8 hex chars of md5(shingle). One md5
+# per shingle (not per shingle x perm), the rest is integer arithmetic.
+# A[i] < 2^30 keeps A*h + B < 2^63 (no overflow); constants are fixed
+# primes so Spark and the DuckDB oracle compute identical signatures.
+MH_P = 4294967311  # prime > 2^32
+MH_A = [824633720, 593507521, 386910103, 173741827, 935185403, 715225741, 557038937, 274876859]
+MH_B = [15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
 
-    Map-side only: split + generate + explode, no shuffle until the
-    downstream distinct/groupBy.
 
-    The token array is materialized in its own projection BEFORE the
-    per-element transform: inlining ``split(regexp_replace(...))``
-    into the lambda makes Catalyst re-evaluate the regex+split for
-    every array access (~3 x n_shingles times per doc — measured 100x
-    slower at sf0.01).
+def shingle_rows(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-gram rows — map-side, evaluation-safe.
+
+    Catalyst trap this shape avoids: putting the n-gram assembly inside
+    an array ``transform``/generator expression lets CollapseProject
+    inline the ``split(regexp_replace(...))`` token array into every
+    element access — the normalize+split chain then re-executes
+    O(n_shingles) times per doc (measured 30-100x slowdowns). Instead:
+
+    - the Generate (explode) only emits POSITIONS — it references the
+      token array exactly once per row;
+    - the shingle is assembled in the projection ABOVE the Generate,
+      where the token array is a materialized per-row attribute and
+      each element access is an O(1) index.
+
+    F.get is 0-based and NULL out-of-bounds; strict concat propagates
+    NULL => short docs yield no partial shingle (filtered).
     """
     toks = df.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    pos = toks.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1)))
+        ).alias("i"),
+    )
     w = F.col("w")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    # F.get is 0-based and NULL out-of-bounds; strict concat propagates
-    # NULL => short docs yield no partial shingle (filtered below).
-    sh = F.transform(
-        idx,
-        lambda i: F.concat(
-            *[
-                p
-                for j in range(n)
-                for p in ([F.lit(" ")] if j else []) + [F.get(w, i - 1 + j)]
-            ]
-        ),
+    shingle = F.concat(
+        *[
+            p
+            for j in range(n)
+            for p in ([F.lit(" ")] if j else []) + [F.get(w, F.col("i") - 1 + j)]
+        ]
     )
-    return (
-        toks.select("doc_id", F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    return pos.select("doc_id", shingle.alias("shingle")).filter(
+        F.col("shingle").isNotNull()
     )
 
 
-# Shared DuckDB CTE producing (doc_id, shingle) — mirrors word_shingles.
-SHINGLES_SQL = f"""
-    norm AS (
-        SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
-    ),
-    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
-    shingles AS (
-        SELECT DISTINCT doc_id, s AS shingle FROM (
-            SELECT doc_id,
-                   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
-                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-            FROM toks
-        ) WHERE s IS NOT NULL
-    )
-"""
+def word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams."""
+    return shingle_rows(df, n).distinct()
 
 
 def minhash_signatures(df: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """(doc_id, s0..s{k-1}) — per-doc minhash signature.
 
-    The "permutations" are md5 streams salted with the seed index; the
-    minimum is taken over the hex strings (lexicographic — identical in
-    any engine). One groupBy(doc_id) shuffle computes all k mins.
+    Shape chosen for how Catalyst actually evaluates it:
+
+    - explode to shingle ROWS first — a Generate node is a projection-
+      collapse barrier, so the md5 below is computed exactly once per
+      shingle (an all-array formulation gets CollapseProject'd and
+      re-evaluates the md5 chain once per permutation — measured 5x
+      slower);
+    - ONE md5 per shingle -> 32-bit base hash in its own projection;
+    - the k permutations are integer expressions feeding k partial
+      mins in a single hash aggregate (map-side combined, the shuffle
+      carries n_docs x k longs — negligible at any scale).
+
+    min over a multiset == min over the set, so no distinct needed.
     """
-    sh = word_shingles(df)
-    hashed = sh.select(
+    sh = shingle_rows(df)
+    h = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # permutations as a PROJECTION feeding plain min() aggs — inlining
+    # the arithmetic inside the aggregate functions measured ~4x slower
+    # (keeps the agg update loop trivially codegen-able)
+    perms = h.select(
         "doc_id",
         *[
-            _md5(F.concat(F.col("shingle"), F.lit(f"#{s}"))).alias(f"h{s}")
-            for s in range(n_perm)
+            ((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"p{i}")
+            for i in range(n_perm)
         ],
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"s{s}") for s in range(n_perm)]
+    return perms.groupBy("doc_id").agg(
+        *[F.min(f"p{i}").alias(f"s{i}") for i in range(n_perm)]
     )
 
 
@@ -136,7 +168,9 @@ def lsh_bands(sig: DataFrame, n_bands: int = N_BANDS, r: int = BAND_R) -> DataFr
     """Signature -> (doc_id, band, band_hash). Band hash = md5 of the
     r concatenated signature values — the LSH bucket key."""
     bands = [
-        _md5(F.concat(*[F.col(f"s{b * r + i}") for i in range(r)])).alias(f"b{b}")
+        _md5(
+            F.concat_ws("_", *[F.col(f"s{b * r + i}").cast("string") for i in range(r)])
+        ).alias(f"b{b}")
         for b in range(n_bands)
     ]
     wide = sig.select("doc_id", *bands)
@@ -148,15 +182,31 @@ def lsh_bands(sig: DataFrame, n_bands: int = N_BANDS, r: int = BAND_R) -> DataFr
     )
 
 
+# DuckDB mirror of shingle_arrays + minhash_signatures.
+_MH_SIG_EXPRS = ", ".join(
+    f"min(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS s{i}" for i in range(N_PERM)
+)
+
 MINHASH_SQL = f"""
-    WITH {SHINGLES_SQL},
+    WITH norm AS (
+        SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sharr AS (
+        SELECT doc_id,
+               list_filter(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                           x -> x IS NOT NULL) AS sh
+        FROM toks
+    ),
     hashed AS (
-        SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS mh
-        FROM shingles, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS seed)
-        GROUP BY doc_id, seed
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sharr)
     ),
     sig AS (
-        SELECT doc_id, list(mh ORDER BY seed) AS s FROM hashed GROUP BY doc_id
+        SELECT doc_id, {_MH_SIG_EXPRS}
+        FROM hashed
+        GROUP BY doc_id
     )
 """
 
@@ -190,7 +240,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {MINHASH_SQL}
     SELECT doc_id,
-           {", ".join(f"md5(s[{b * BAND_R + 1}] || s[{b * BAND_R + 2}]) AS band{b}" for b in range(N_BANDS))}
+           {", ".join(f"md5(s{b * BAND_R}::VARCHAR || '_' || s{b * BAND_R + 1}::VARCHAR) AS band{b}" for b in range(N_BANDS))}
     FROM sig
     """,
     survey="D-fuzzy (MinHash signatures + LSH band hashes)",
@@ -203,7 +253,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id",
         *[
-            _md5(F.concat(F.col(f"s{b * BAND_R}"), F.col(f"s{b * BAND_R + 1}"))).alias(f"band{b}")
+            _md5(
+                F.concat_ws(
+                    "_",
+                    F.col(f"s{b * BAND_R}").cast("string"),
+                    F.col(f"s{b * BAND_R + 1}").cast("string"),
+                )
+            ).alias(f"band{b}")
             for b in range(N_BANDS)
         ],
     )
@@ -214,8 +270,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {MINHASH_SQL},
     bands AS (
-        SELECT doc_id, b AS band, md5(s[2*b + 1] || s[2*b + 2]) AS band_hash
-        FROM sig, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+        SELECT doc_id, b.band, b.band_hash
+        FROM sig, LATERAL (
+            VALUES {", ".join(f"({b}, md5(s{2 * b}::VARCHAR || '_' || s{2 * b + 1}::VARCHAR))" for b in range(N_BANDS))}
+        ) AS b(band, band_hash)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
     FROM bands a JOIN bands b
@@ -287,20 +345,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = toks.select(
         "doc_id", F.conv(F.substring(_md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("h32")
     )
-    votes = (
-        th.select("doc_id", "h32", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
-        .withColumn(
-            "v",
-            F.when(F.expr("(h32 >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    # 32 projected indicator columns + plain sums in ONE aggregate —
+    # no 32x row explosion, one shuffle; vote>0 <=> 2*popcount_b > n
+    bits = th.select(
+        "doc_id", *[F.expr(f"(h32 >> {b}) & 1").alias(f"b{b}") for b in range(32)]
+    )
+    counts = bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *[F.sum(f"b{b}").alias(f"c{b}") for b in range(32)]
+    )
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+        simhash = term if simhash is None else simhash + term
+    return counts.select("doc_id", simhash.alias("simhash"))
 
 
 @register(
@@ -337,17 +396,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     t = normalize_text(F.col("text"))
-    # positional slice needs a column start index -> SQL expression form
+    # positions-only generator + slice above it (same CollapseProject
+    # trap as shingle_rows: a slice inside the transform re-evaluates
+    # the normalize chain per element)
     grams = (
         docs.select("doc_id", t.alias("t"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))"
-                )
-            ).alias("g"),
+            "t",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1)))).alias("i"),
         )
+        .select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
         .filter(F.length("g") == 3)
         .distinct()
     )
@@ -376,17 +435,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COSINE_SQL_CTE = """
-    vecs AS (
-        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        FROM embeddings
-    ),
-    normed AS (
-        SELECT vec_id, v,
-               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
-        FROM vecs
-    )
-"""
 
 
 @register(
@@ -413,24 +461,17 @@ COSINE_SQL_CTE = """
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if emb.rdd.getNumPartitions() < max(2, n // 4):
+        emb = emb.repartition(n)
     normed = emb.select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        ).alias("nrm"),
+        "vec_id", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
     )
     a = normed.alias("a")
     b = normed.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    # unrolled codegen'd dot (functions/vectors) — the HOF formulation
+    # is interpreted per element and ~50x slower on the pair join
+    cos = F.round(dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.plans.registry import register
+from radares_spark.registry import register
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, channels int, mean_luma double"

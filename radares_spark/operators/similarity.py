@@ -23,33 +23,24 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.operators.dedup import COSINE_SQL_CTE
-from radares_spark.plans.registry import register
+from radares_spark.functions.vectors import COSINE_SQL_CTE, DIM, dot, l2norm
+from radares_spark.registry import register
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
 N_PROBE = 2
-DIM = 64
-
-
-def as_double(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-to-right dot product (matches DuckDB list_reduce)."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def l2norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = load_table(spark, sf_dir, "embeddings")
-    v = as_double(F.col("embedding"))
-    return emb.select("vec_id", "label", v.alias("v"), l2norm(v).alias("nrm"))
+    # spread a single-split scan before the CPU-heavy pair scoring
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if emb.rdd.getNumPartitions() < max(2, n // 4):
+        emb = emb.repartition(n)
+    return emb.select(
+        "vec_id", "label", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
+    )
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -63,7 +54,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFr
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
         )
     )
-    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    cos = F.round(dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
     scored = (
         corpus.join(q, F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
@@ -171,13 +162,13 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
         .select("label", F.transform(F.col("ic"), lambda s: s.c).alias("cv"))
-        .select("label", "cv", l2norm(F.col("cv")).alias("cn"))
+        .select("label", "cv", l2norm("cv").alias("cn"))
     )
 
     queries = normed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    qcos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    qcos = F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4)
     pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("label"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -189,7 +180,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # probe join: corpus side filtered to probed cells (partition pruning
     # when the corpus is stored partitioned by cell).
-    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    cos = F.round(dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
     scored = (
         normed.join(F.broadcast(probes), "label")
         .filter(F.col("query_id") != F.col("vec_id"))

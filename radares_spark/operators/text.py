@@ -17,9 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from radares_spark.io.tables import load_table
-from radares_spark.operators.dedup import NORM_SQL, normalize_text
-from radares_spark.plans.registry import register
+from radares_spark.operators.dedup import NORM_SQL, _docs, normalize_text
+from radares_spark.registry import register
 
 # Tiny per-language stopword marker sets (heuristic language id).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -33,11 +32,6 @@ EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 # BPE-ish token pattern: letter runs, digit runs, single other symbol.
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_table(spark, sf_dir, "documents")
 
 
 def _marker_hits(tokens, words: list[str]):
@@ -167,10 +161,24 @@ _LANG_SQL_PICK = (
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = F.split(normalize_text(F.col("text")), " ")
-    hits = docs.select(
+    # explode tokens -> 4 projected indicator columns -> one aggregate.
+    # The Aggregate is a hard evaluation barrier: the CASE below reads
+    # materialized attributes, so the normalize+split chain runs once
+    # per doc (building per-language hit columns as parallel filter()
+    # expressions measured 40x slower once CollapseProject inlined the
+    # tokenization into every reference).
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    flags = toks.select(
         "doc_id",
-        *[_marker_hits(toks, words).alias(f"hits_{lang}") for lang in LANG_MARKERS for words in [LANG_MARKERS[lang]]],
+        *[
+            F.when(F.col("tok").isin(*words), 1).otherwise(0).alias(f"f_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    hits = flags.groupBy("doc_id").agg(
+        *[F.sum(f"f_{lang}").alias(f"hits_{lang}") for lang in LANG_MARKERS]
     )
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
     pick = F.when(best == 0, "und")
@@ -206,15 +214,16 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     t = normalize_text(F.col("text"))
+    # positions-only generator; the slice lives above the Generate so
+    # the normalize chain evaluates once per row, not per k-gram
     grams = (
         docs.select("doc_id", t.alias("t"))
         .select(
             "doc_id",
-            F.col("t"),
-            F.explode(
-                F.expr("transform(sequence(1, greatest(length(t) - 7, 1)), i -> substring(t, i, 8))")
-            ).alias("g"),
+            "t",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - 7, F.lit(1)))).alias("i"),
         )
+        .select("doc_id", "t", F.expr("substring(t, i, 8)").alias("g"))
         .filter(F.length("g") == 8)
     )
     return grams.groupBy("doc_id", "t").agg(

@@ -5,10 +5,11 @@ Every operator family registers its queries here via
 exposes the registry through ``queries()`` / ``oracle_sql()``.
 """
 
-from radares_spark.plans.registry import REGISTRY, QuerySpec, register
+from radares_spark.registry import REGISTRY, QuerySpec, register
 
 # Import for side effects: each module registers its queries.
 from radares_spark.plans import relational  # noqa: E402,F401
+from radares_spark.plans import advanced  # noqa: E402,F401
 from radares_spark.plans import radar  # noqa: E402,F401
 from radares_spark.operators import dedup  # noqa: E402,F401
 from radares_spark.operators import similarity  # noqa: E402,F401

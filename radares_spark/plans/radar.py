@@ -34,7 +34,7 @@ from radares_spark.functions.histogram import (
     weighted_mean_speed,
 )
 from radares_spark.io.tables import load_table
-from radares_spark.plans.registry import register
+from radares_spark.registry import register
 
 # Quantity histogram: 10 fixed bins of width 5 over l_quantity in [1, 50]
 # — structurally identical to the 11 speed bins of the radar schema.

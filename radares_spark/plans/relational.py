@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.plans.registry import register
+from radares_spark.registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
