@@ -11,6 +11,7 @@ from radares_spark.registry import REGISTRY, QuerySpec, register
 from radares_spark.plans import relational  # noqa: E402,F401
 from radares_spark.plans import advanced  # noqa: E402,F401
 from radares_spark.plans import radar  # noqa: E402,F401
+from radares_spark.plans import tpch_more  # noqa: E402,F401
 from radares_spark.operators import dedup  # noqa: E402,F401
 from radares_spark.operators import similarity  # noqa: E402,F401
 from radares_spark.operators import text  # noqa: E402,F401
