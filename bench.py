@@ -32,6 +32,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q7_nation_volume",
+    "q18_large_orders",
     "window_topk_parts_per_brand",
     "calendar_gap_fill_orders",
     "events_15min_window",

@@ -42,6 +42,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(spark: SparkSession, sf_dir: str, name: str, floor: int = 4) -> DataFrame:
+    """Load ``name`` repartitioned for CPU-heavy per-row work.
+
+    A small parquet arrives as one split and would single-thread the
+    whole pipeline (hashing/shingling/vector math are CPU-bound per
+    byte, unlike scans). Partition count is sized to the INPUT BYTES
+    (~4 MiB per partition, floor for minimum parallelism, capped at
+    ``spark.sql.shuffle.partitions``) — NOT a fixed count: a fixed 32
+    costs 32 fixed task overheads on kilobytes of data, while at real
+    scale the cap keeps this identical to the session's shuffle width.
+    On object stores where the local stat fails, fall back to the cap
+    (at that scale the scan has thousands of splits anyway and the
+    repartition is a cheap rebalance).
+    """
+    df = load_table(spark, sf_dir, name)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        n = max(floor, min(cap, size // (4 << 20) + 1))
+    except OSError:
+        n = cap
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radares_spark.functions.vectors import COSINE_SQL_CTE, dot, l2norm
-from radares_spark.io.tables import load_table
+from radares_spark.io.tables import spread
 from radares_spark.registry import register
 
 N_PERM = 8  # minhash permutations
@@ -55,16 +55,11 @@ NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = load_table(spark, sf_dir, "documents")
-    # Hash/shingle work is CPU-heavy per byte; a small parquet arrives
-    # as one split and would single-thread the whole pipeline. The
-    # rebalance shuffles only the raw text (cheap) and buys full
-    # parallelism. At 100 TB the scan already has thousands of splits
-    # and this becomes a no-op (guarded below), not a 100 TB shuffle.
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < max(2, n // 4):
-        df = df.repartition(n)
-    return df
+    # Hash/shingle work is CPU-heavy per byte; spread() sizes the
+    # rebalance to the input bytes so a small corpus doesn't pay 32
+    # task overheads and a 100 TB one still fans out to the full
+    # shuffle width.
+    return spread(spark, sf_dir, "documents")
 
 
 def _md5(col: Column) -> Column:
@@ -460,10 +455,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if emb.rdd.getNumPartitions() < max(2, n // 4):
-        emb = emb.repartition(n)
+    emb = spread(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
     )

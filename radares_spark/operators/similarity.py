@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from radares_spark.io.tables import load_table
+from radares_spark.io.tables import spread
 from radares_spark.functions.vectors import COSINE_SQL_CTE, DIM, dot, l2norm
 from radares_spark.registry import register
 
@@ -33,11 +33,9 @@ N_PROBE = 2
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    emb = load_table(spark, sf_dir, "embeddings")
-    # spread a single-split scan before the CPU-heavy pair scoring
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if emb.rdd.getNumPartitions() < max(2, n // 4):
-        emb = emb.repartition(n)
+    # spread a single-split scan before the CPU-heavy pair scoring;
+    # partition count sized to input bytes (see io.tables.spread)
+    emb = spread(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id", "label", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
     )

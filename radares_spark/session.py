@@ -45,11 +45,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Long sessions run dozens of distinct codegen'd plans; the JVM
+        # default 240m code cache fills and silently stops JIT'ing.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     )
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+        # Local mode only: shuffle/spill files on tmpfs — the container's
+        # root disk stalls unpredictably (seconds-long fsync pauses that
+        # dwarf sub-second stages). A cluster deployment configures fast
+        # local SSDs via spark.local.dir / YARN dirs instead.
+        shm = "/dev/shm/spark-local"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
