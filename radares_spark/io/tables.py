@@ -30,6 +30,10 @@ DIM_TABLES = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC once, at the single load chokepoint: timestamp semantics
+    # must match the (TZ-naive, UTC) DuckDB oracle regardless of how the
+    # calling session was built (the driver supplies its own session).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects. Read nanos as long and truncate to

@@ -17,9 +17,9 @@ pipeline needs:
   pairs (here: deterministic adjacent-id pairs, so the oracle can
   verify the arithmetic; in production the pairs come from the LSH
   candidate generator above).
-- **embedding near-dup**: cosine >= threshold pairs. Brute-force
-  all-pairs here (oracle-checkable); the scale path is the IVF/LSH
-  prefilter in ``radares_spark.operators.similarity``.
+- **embedding near-dup**: cosine >= threshold pairs via deterministic
+  random-hyperplane LSH — sign-bit bands bucket the vectors, the exact
+  cosine check runs only within candidate buckets (never all-pairs).
 
 Determinism contract: every hash is ``md5`` over UTF-8 bytes, every
 float is summed left-to-right (``F.aggregate`` / DuckDB ``list_reduce``
@@ -54,7 +54,6 @@ NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Hash/shingle work is CPU-heavy per byte; spread() sizes the
     # rebalance to the input bytes so a small corpus doesn't pay 32
     # task overheads and a 100 TB one still fans out to the full
@@ -320,7 +319,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY doc_id
     """,
     survey="D-fuzzy (SimHash fingerprint)",
@@ -328,7 +327,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vote over distinct tokens. Two shuffles (doc×bit vote, doc fold); "
     "at scale the vote agg is map-side combined. Near-dup grouping = "
     "hamming-ball search over banded signature pieces (same LSH "
-    "banding as minhash).",
+    "banding as minhash). Oracle sum() is HUGEINT in DuckDB — cast "
+    "::BIGINT to match Spark's LongType rendering (r1 hash failure).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -432,44 +432,131 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- Random-hyperplane (SimHash-for-vectors) LSH over embeddings -----------
+#
+# Deterministic hyperplanes: integer weights in [-1000, 1000] derived
+# from md5("hp:<plane>:<dim>") at import time and inlined as LITERALS
+# into both the Spark expression and the DuckDB oracle SQL — no RNG, no
+# in-engine hashing, bit-for-bit identical dot products (left-to-right
+# double sums) in both engines, so the sign bits always agree.
+import hashlib as _hashlib
+
+HP_PLANES = 32  # sign bits per vector
+HP_R = 8  # bits per band
+HP_BANDS = HP_PLANES // HP_R  # 4 bands of 8 bits -> 256 buckets/band
+NEARDUP_COS = 0.45
+
+_HP_W = [
+    [
+        int(_hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for d in range(64)
+    ]
+    for p in range(HP_PLANES)
+]
+
+
+def _hp_band_sql(elem: str) -> list[str]:
+    """Band-value expressions (one per band), rendered with an
+    engine-specific element accessor (``elem`` formats a 1-based index).
+    Valid in both Spark SQL and DuckDB: CASE + literal arithmetic only."""
+    outs = []
+    for b in range(HP_BANDS):
+        bits = []
+        for i in range(HP_R):
+            p = b * HP_R + i
+            dot_terms = " + ".join(
+                f"({elem.format(i=d + 1)} * {float(_HP_W[p][d])})" for d in range(64)
+            )
+            bits.append(f"(CASE WHEN ({dot_terms}) >= 0.0 THEN {1 << i} ELSE 0 END)")
+        outs.append("(" + " + ".join(bits) + ")")
+    return outs
+
+
+_BANDS_SPARK = _hp_band_sql("CAST(element_at(v, {i}) AS DOUBLE)")
+_BANDS_DUCK = _hp_band_sql("v[{i}]")
+
+
 @register(
-    "dedup_embedding_neardup",
+    "dedup_embedding_lsh",
     oracle=f"""
-    WITH {COSINE_SQL_CTE}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    WITH {COSINE_SQL_CTE},
+    sig AS (
+        SELECT vec_id,
+               {", ".join(f"{e} AS band{b}" for b, e in enumerate(_BANDS_DUCK))}
+        FROM normed
+    ),
+    bands AS (
+        SELECT vec_id, b.band, b.band_val
+        FROM sig, LATERAL (
+            VALUES {", ".join(f"({b}, band{b})" for b in range(HP_BANDS))}
+        ) AS b(band, band_val)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
            round(list_reduce(list_transform(generate_series(1, 64),
-                                            i -> a.v[i] * b.v[i]),
-                             (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cos_sim
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+                                            i -> x.v[i] * y.v[i]),
+                             (p, q) -> p + q) / (x.nrm * y.nrm), 4) AS cos_sim
+    FROM cand JOIN normed x ON x.vec_id = vec_a
+              JOIN normed y ON y.vec_id = vec_b
     WHERE round(list_reduce(list_transform(generate_series(1, 64),
-                                           i -> a.v[i] * b.v[i]),
-                            (x, y) -> x + y) / (a.nrm * b.nrm), 4) >= 0.45
+                                           i -> x.v[i] * y.v[i]),
+                            (p, q) -> p + q) / (x.nrm * y.nrm), 4) >= {NEARDUP_COS}
     """,
-    survey="D-fuzzy (embedding cosine near-dup)",
-    doc="Embedding near-duplicate pairs (cosine >= 0.45). Brute-force "
-    "all-pairs so the oracle can verify the arithmetic; the 100 TB path "
-    "prefilters candidates with the IVF probe in operators/similarity "
-    "and runs this exact check only within probed cells. Sums are "
-    "sequential left-to-right in both engines -> bitwise-identical "
-    "doubles before rounding.",
+    survey="D-fuzzy (embedding cosine near-dup via hyperplane LSH)",
+    doc="Embedding near-duplicate pairs (cosine >= 0.45), 100 TB shape: "
+    f"{HP_PLANES} deterministic hyperplane sign bits -> {HP_BANDS} bands "
+    f"of {HP_R} bits -> bucket self-join per band (shuffle on the band "
+    "value, bounded per-bucket work — NEVER an all-pairs nested loop) -> "
+    "exact cosine check only within candidate buckets. LSH recall, exact "
+    "precision. The oracle replays the identical banding, so Spark and "
+    "DuckDB agree bit-for-bit; at cos 0.99 a pair collides in >=1 band "
+    "with p~0.999. The brute-force exactness baseline lives in "
+    "operators/similarity.cosine_topk.",
 )
-def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
     )
-    a = normed.alias("a")
-    b = normed.alias("b")
+    sig = normed.select(
+        "vec_id", *[F.expr(e).alias(f"band{b}") for b, e in enumerate(_BANDS_SPARK)]
+    )
+    pairs_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("band_val"))
+            for b in range(HP_BANDS)
+        ]
+    )
+    bands = sig.select("vec_id", F.explode(pairs_arr).alias("e")).select(
+        "vec_id", "e.band", "e.band_val"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    y = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("yv"), F.col("nrm").alias("yn")
+    )
     # unrolled codegen'd dot (functions/vectors) — the HOF formulation
     # is interpreted per element and ~50x slower on the pair join
-    cos = F.round(dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    cos = F.round(dot("xv", "yv") / (F.col("xn") * F.col("yn")), 4)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.45)
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
     )

@@ -88,7 +88,6 @@ def decode_batch(df: DataFrame) -> DataFrame:
     "never materializes payload bytes for filtered-out rows.",
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
@@ -118,6 +117,5 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "body only.",
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
     return decode_batch(with_binary_payload(docs))

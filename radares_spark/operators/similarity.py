@@ -32,7 +32,6 @@ N_PROBE = 2
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # spread a single-split scan before the CPU-heavy pair scoring;
     # partition count sized to input bytes (see io.tables.spread)
     emb = spread(spark, sf_dir, "embeddings")

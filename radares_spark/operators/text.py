@@ -167,9 +167,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per doc (building per-language hit columns as parallel filter()
     # expressions measured 40x slower once CollapseProject inlined the
     # tokenization into every reference).
+    # NO empty-token filter: a doc whose normalized text is empty splits
+    # to [''] and must keep its (all-zero) hits row so it lands in the
+    # 'und' bucket — filtering '' here dropped such docs entirely while
+    # the oracle kept them (r1 ADVICE divergence). Non-empty normalized
+    # text never contains '' tokens (spaces are collapsed), so the only
+    # rows this admits are the one-per-empty-doc zero rows.
     toks = docs.select(
         "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
+    )
     flags = toks.select(
         "doc_id",
         *[

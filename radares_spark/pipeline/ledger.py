@@ -63,14 +63,21 @@ def idempotent_append(
 
     new = flows
     skipped = 0
-    try:
+    # First-write detection must be EXPLICIT: a broad except here would
+    # treat any transient read failure (corrupt footer, permissions,
+    # storage blip) as "no ledger yet" and re-append the full input,
+    # silently breaking the unique-(pubdate, equipment) guarantee the
+    # reference enforces with a DB index (schema.sql:31-33). Only a
+    # genuinely missing ledger path skips the anti-join; every other
+    # error propagates and fails the ingest.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_path)  # type: ignore[union-attr]
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    if fs.exists(jvm_path):
         existing = spark.read.parquet(ledger_path).select(*NATURAL_KEY)
         before = flows.select(*NATURAL_KEY).distinct()
         new_keys = before.join(existing, NATURAL_KEY, "left_anti")
         skipped = before.count() - new_keys.count()
         new = flows.join(F.broadcast(new_keys), NATURAL_KEY, "left_semi")
-    except Exception:
-        pass  # first write: no ledger yet
 
     new = new.withColumn("equipment_files_id", file_id(F.col("pubdate"), F.col("equipment")))
     n = new.count()

@@ -1,6 +1,6 @@
 """Advanced relational coverage: grouping sets, correlated subqueries,
-exact percentiles, min_by/max_by, hopping windows, deterministic
-sampling, and the approximate-sketch family.
+exact percentiles + min_by/max_by, deterministic sampling, and the
+approximate-sketch family.
 
 These run through ``spark.sql`` where the SQL form is the clearer
 declaration (grouping sets, correlated subqueries — Catalyst
@@ -17,7 +17,6 @@ from radares_spark.registry import register
 
 
 def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
@@ -75,77 +74,33 @@ def correlated_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "exact_percentiles",
     oracle="""
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
-           round(min(o_totalprice), 2)                 AS min_price,
-           round(max(o_totalprice), 2)                 AS max_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-    survey="A3 exact percentiles (continuous interpolation)",
-)
-def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
-
-
-@register(
-    "min_by_max_by",
-    oracle="""
     SELECT c_mktsegment,
-           min_by(c_name, c_acctbal) AS poorest_customer,
-           max_by(c_name, c_acctbal) AS richest_customer,
-           arg_max(c_custkey, c_acctbal) AS richest_key
+           round(quantile_cont(c_acctbal, 0.5), 4)  AS median_bal,
+           round(quantile_cont(c_acctbal, 0.9), 4)  AS p90_bal,
+           round(min(c_acctbal), 2)                 AS min_bal,
+           round(max(c_acctbal), 2)                 AS max_bal,
+           min_by(c_name, c_acctbal)                AS poorest_customer,
+           max_by(c_name, c_acctbal)                AS richest_customer,
+           arg_max(c_custkey, c_acctbal)            AS richest_key
     FROM customer GROUP BY c_mktsegment
     """,
-    survey="A3 min_by/max_by (argmin/argmax aggregates)",
-    doc="Deterministic: c_acctbal has no ties per segment in TESTDATA "
-    "(driver seed 42); with ties these would need a struct-ordering "
-    "tie-break.",
+    survey="A3 exact percentiles (continuous interpolation) + "
+    "min_by/max_by (argmin/argmax aggregates)",
+    doc="Exact interpolated percentiles and argmin/argmax in one "
+    "aggregate over the customer dimension. Deterministic: c_acctbal "
+    "has no ties per segment in TESTDATA (driver seed 42); with ties "
+    "min_by/max_by would need a struct-ordering tie-break.",
 )
-def min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.expr("min_by(c_name, c_acctbal)").alias("poorest_customer"),
         F.expr("max_by(c_name, c_acctbal)").alias("richest_customer"),
         F.expr("max_by(c_custkey, c_acctbal)").alias("richest_key"),
-    )
-
-
-@register(
-    "hopping_window_events",
-    oracle="""
-    WITH offsets AS (SELECT unnest([0, 15]) AS off_min),
-    hopped AS (
-        SELECT time_bucket(INTERVAL '30 minutes', ts - to_minutes(off_min))
-                   + to_minutes(off_min) AS window_start,
-               value
-        FROM events, offsets
-        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
-    )
-    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
-    FROM hopped GROUP BY window_start
-    """,
-    survey="§2.11 hopping (sliding) window",
-    doc="30-min windows sliding every 15: each event lands in 2 windows "
-    "(F.window with slideDuration). Oracle replays the same assignment "
-    "with bucket arithmetic.",
-)
-def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = ev.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
-    return (
-        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
 
 
@@ -165,7 +120,6 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     bucket = (
         F.conv(F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -184,12 +138,11 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(t-digest-ish): the constant-memory sketch family 100 TB "
     "cardinality work needs. No oracle — sketch results are "
     "engine-specific by design; the driver records a rows-only check "
-    "(exact counterparts are oracle-checked in distinct_agg_suppliers "
-    "and exact_percentiles).",
+    "(exact counterparts are oracle-checked in relational_checks_suite "
+    "supp_nations and exact_percentiles).",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),

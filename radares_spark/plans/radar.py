@@ -61,7 +61,6 @@ def _qty_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide histogram from lineitem: one row per (returnflag, ship-month),
     10 integer bin counts + total. Single shuffle (one groupBy); the bin
     counts are conditional aggregates, computed map-side first."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [
         F.sum(F.when(F.col("l_quantity").between(lo, hi), 1).otherwise(0)).alias(c)
@@ -185,7 +184,6 @@ def radar_speeding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(quarantine, not crash).",
 )
 def radar_direction_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cust = load_table(spark, sf_dir, "customer")
     suffix = F.when(F.col("c_custkey") % 17 == 0, F.lit("X")).otherwise(
         F.substring(F.lit("NSLO"), (F.col("c_custkey") % 4 + 1).cast("int"), 1)
@@ -222,7 +220,6 @@ def radar_direction_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from event timestamps, slice them back, count per slot — 96 groups.",
 )
 def radar_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     slot = F.window("ts", "15 minutes")
     raw = ev.select(

@@ -39,9 +39,6 @@ from radares_spark.registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Pin UTC so timestamp semantics match the (TZ-naive, UTC) DuckDB
-    # oracle regardless of how the calling session was built.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 
@@ -161,135 +158,121 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "distinct_agg_suppliers",
-    oracle="""
-    SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
-           round(sum(s_acctbal), 2) AS total_bal
-    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-    survey="A3 distinct-agg, J4",
-    doc="COUNT(DISTINCT) — expands to a two-phase agg under Catalyst.",
-)
-def distinct_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation")
-    return (
-        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.countDistinct("s_suppkey").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
-        )
-    )
-
-
-@register(
-    "having_big_customers",
-    oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
-    FROM orders
-    GROUP BY o_custkey
-    HAVING count(*) >= 20
-    """,
-    survey="F4 (HAVING), A1-shape",
-    doc="Post-aggregation filter — the reference's verify_dates HAVING "
-    "pattern (count < N) generalized.",
-)
-def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spent"))
-        .filter(F.col("n_orders") >= 20)
-    )
-
-
 # ---------------------------------------------------------------------------
-# Filters (§2.4)
+# Filter / join-semantics / HAVING audit suite (§2.4 F2/F4, §2.6 J2/J3,
+# A3 distinct-agg, §2.8 lag-gap, §2.10 date scalars) — seven independent
+# checks, one (check_name, n) row each.
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "filter_in_between",
+    "relational_checks_suite",
     oracle="""
-    SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    SELECT 'urgent_96_97' AS check_name, count(*) AS n
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                           AND TIMESTAMP '1997-12-31 00:00:00'
-    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'cust_no_orders', count(*)
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'cust_open_orders', count(*)
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'big_customers', count(*)
+    FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 20)
+    UNION ALL
+    SELECT 'supp_nations', count(DISTINCT s_nationkey) FROM supplier
+    UNION ALL
+    SELECT 'gap_gt_60d', count(*)
+    FROM (
+        SELECT o_custkey
+        FROM (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap_days
+            FROM orders
+        )
+        GROUP BY o_custkey
+        HAVING max(gap_days) > 60
+    )
+    UNION ALL
+    SELECT 'order_months_2000', count(DISTINCT date_trunc('month', o_orderdate))
+    FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
     """,
-    survey="F2 (IN-list + range)",
-    doc="IN-list + date-range predicate (reference backload_scrape.py:70-78) "
-    "— the range predicate is what enables partition pruning on a "
-    "date-partitioned table.",
+    survey="F2 (IN+range), J2 (anti), J3 (semi), F4 (HAVING), A3 "
+    "distinct-agg, §2.8 lag-gap, §2.10 date trunc",
+    doc="Audit suite: seven relational invariants as tagged counts — "
+    "IN-list+date-range filter (reference backload_scrape.py:70-78), "
+    "anti-join work-list (backload_scrape.py:61-86), semi-join existence "
+    "guard (clean_data.py:168-180), HAVING threshold (verify_dates.py "
+    "count<N pattern), COUNT(DISTINCT), lag()-based order-gap detection, "
+    "and month-truncation. Each check is an independent branch (no fake "
+    "dependency between them), unioned into one result — the shape of a "
+    "nightly data-quality audit job.",
 )
-def filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    return (
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def tag(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("check_name"), "n"
+        )
+
+    urgent = tag(
+        "urgent_96_97",
         orders.filter(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
             & F.col("o_orderdate").between(
                 F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
             )
+        ),
+    )
+    no_orders = tag(
+        "cust_no_orders", cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    active = tag(
+        "cust_open_orders",
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"),
+    )
+    big = tag(
+        "big_customers",
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 20),
+    )
+    supp_nations = supp.agg(F.countDistinct("s_nationkey").alias("n")).select(
+        F.lit("supp_nations").alias("check_name"), "n"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gappy = tag(
+        "gap_gt_60d",
+        orders.withColumn(
+            "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
         )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .groupBy("o_custkey")
+        .agg(F.max("gap_days").alias("max_gap"))
+        .filter(F.col("max_gap") > 60),
     )
-
-
-# ---------------------------------------------------------------------------
-# Join semantics (§2.6): anti / semi
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "anti_join_no_orders",
-    oracle="""
-    SELECT c_mktsegment, count(*) AS n_customers
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    GROUP BY c_mktsegment
-    """,
-    survey="J2 (left anti)",
-    doc="Work-list-minus-done pattern: the reference's backfill planner "
-    "(backload_scrape.py:61-86) as a single left-anti join.",
-)
-def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+    months = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .agg(F.countDistinct(F.date_trunc("month", "o_orderdate")).alias("n"))
+        .select(F.lit("order_months_2000").alias("check_name"), "n")
     )
-
-
-@register(
-    "semi_join_active_customers",
-    oracle="""
-    SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
-    FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    GROUP BY c_mktsegment
-    """,
-    survey="J3 (left semi)",
-    doc="Existence guard (reference clean_data.py:168-180) as left-semi join.",
-)
-def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return (
-        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        )
-    )
+    parts = [urgent, no_orders, active, big, supp_nations, gappy, months]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -355,40 +338,6 @@ def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
         rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
-    )
-
-
-@register(
-    "window_order_gaps",
-    oracle="""
-    SELECT o_custkey,
-           max(gap_days) AS max_gap_days,
-           count(*)      AS n_orders
-    FROM (
-        SELECT o_custkey,
-               date_diff('day',
-                         lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                                ORDER BY o_orderdate, o_orderkey),
-                         o_orderdate) AS gap_days
-        FROM orders
-    )
-    GROUP BY o_custkey
-    HAVING max(gap_days) IS NOT NULL
-    """,
-    survey="§2.8 lag/gap detection",
-    doc="Gap detection via lag() — the scalable version of the "
-    "reference's per-day completeness loop (verify_dates.py:31-41).",
-)
-def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    gaps = orders.withColumn(
-        "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
-    )
-    return (
-        gaps.groupBy("o_custkey")
-        .agg(F.max("gap_days").alias("max_gap_days"), F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("max_gap_days").isNotNull())
     )
 
 
@@ -458,38 +407,6 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
-
-
-@register(
-    "unpivot_customer_metrics",
-    oracle="""
-    SELECT c_mktsegment, metric, round(value, 2) AS value FROM (
-        SELECT c_mktsegment, 'n_customers' AS metric,
-               count(*)::DOUBLE AS value FROM customer GROUP BY c_mktsegment
-        UNION ALL
-        SELECT c_mktsegment, 'total_bal', sum(c_acctbal) FROM customer GROUP BY c_mktsegment
-        UNION ALL
-        SELECT c_mktsegment, 'max_bal', max(c_acctbal) FROM customer GROUP BY c_mktsegment
-    )
-    """,
-    survey="R2 unpivot (wide->long)",
-    doc="Wide aggregate row -> long (metric, value) via unpivot/stack — "
-    "the histogram wide->long primitive (SURVEY §2.9).",
-)
-def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    wide = cust.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("double").alias("n_customers"),
-        F.sum("c_acctbal").alias("total_bal"),
-        F.max("c_acctbal").alias("max_bal"),
-    )
-    long = wide.unpivot(
-        ids=["c_mktsegment"],
-        values=["n_customers", "total_bal", "max_bal"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    )
-    return long.withColumn("value", F.round(F.col("value"), 2))
 
 
 # ---------------------------------------------------------------------------
@@ -612,10 +529,13 @@ def events_15min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
     FROM marked GROUP BY user_id
     """,
-    survey="§2.8 sessionization (lag + cumsum)",
+    survey="§2.8 sessionization (lag + cumsum), §2.8 lag/gap",
+    doc="Session counting via lag() gap detection. The oracle's sum() "
+    "over INTEGER returns HUGEINT in DuckDB — cast ::BIGINT so the typed "
+    "rendering matches Spark's LongType (r1 hash-failure class).",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -629,7 +549,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)),
     )
     return marked.groupBy("user_id").agg(
-        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 
@@ -678,7 +599,7 @@ def asof_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_join_price_bands",
     oracle="""
     WITH bands AS (
-        SELECT unnest(generate_series(0, 24)) * 100 AS band_lo
+        SELECT (unnest(generate_series(0, 24)) * 100)::BIGINT AS band_lo
     )
     SELECT band_lo, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
     FROM part JOIN bands
@@ -689,15 +610,18 @@ def asof_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Range join of facts to a generated band dimension. The band table "
     "is broadcast (nested-loop with a broadcast side — fine for a tiny "
     "dim); the scale path for fine bands is the equi-join rewrite "
-    "floor(price/width) shown in functions/histogram.py.",
+    "floor(price/width) shown in functions/histogram.py. band_lo is "
+    "emitted as BIGINT/long on BOTH sides — a DOUBLE-vs-BIGINT output "
+    "renders 0.0 vs 0 and fails the driver's typed hash (r1 failure).",
 )
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    bands = spark.range(0, 25).select((F.col("id") * 100).cast("double").alias("band_lo"))
+    bands = spark.range(0, 25).select((F.col("id") * 100).alias("band_lo"))
+    lo = bands.band_lo.cast("double")
     return (
         part.join(
             F.broadcast(bands),
-            (part.p_retailprice >= bands.band_lo) & (part.p_retailprice < bands.band_lo + 100),
+            (part.p_retailprice >= lo) & (part.p_retailprice < lo + 100),
         )
         .groupBy("band_lo")
         .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
@@ -735,32 +659,6 @@ def scalar_string_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_nation"
         ),
         F.length("c_name").alias("name_len"),
-    )
-
-
-@register(
-    "scalar_dates",
-    oracle="""
-    SELECT date_trunc('month', o_orderdate)::DATE      AS order_month,
-           count(*)                                    AS n,
-           round(sum(o_totalprice), 2)                 AS total,
-           min(strftime(o_orderdate, '%Y-%m-%d'))      AS first_day_str
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-    GROUP BY 1
-    """,
-    survey="§2.10 date scalars (trunc/format)",
-)
-def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    )
-    return orders.groupBy(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day_str"),
     )
 
 

@@ -1,9 +1,18 @@
 """Local mirror of the driver's DuckDB-oracle comparison.
 
 Runs a registered Spark query and its oracle SQL side by side, sorts
-columns by name, normalizes values, and compares the multisets of
-rows. This is the feedback loop used while developing: if it passes
-here at sf0.01, the driver's CORRECTNESS check should pass too.
+columns by name, and compares BOTH the typed column renderings and the
+multisets of rows. This harness must be at least as strict as the
+driver's hash comparison (VERDICT r1: the old comparator collapsed
+integral floats to ints and hugeints to longs, masking exactly the
+three failures the driver caught). Concretely:
+
+- column types are canonicalized from the ARROW schema (DuckDB side)
+  and the Spark schema and must agree class-for-class: DuckDB's
+  HUGEINT (``sum`` over integers) arrives as decimal128 and does NOT
+  match Spark's LongType; a DOUBLE does not match a BIGINT.
+- values keep their Python types: ``0.0 != 0``, ``True != 1``, no
+  rounding, no Decimal->float fallback.
 """
 
 from __future__ import annotations
@@ -13,6 +22,8 @@ import math
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
+from pyspark.sql import types as T
 
 from radares_spark.io.tables import TABLES
 
@@ -25,32 +36,69 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_arrow(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"  # incl. DuckDB HUGEINT (decimal128(38,0))
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow(t.value_type)}>"
+    return str(t)
+
+
+def _canon_spark(t: T.DataType) -> str:
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, T.StringType):
+        return "str"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"  # session TZ is pinned UTC; both are naive
+    if isinstance(t, T.BinaryType):
+        return "bytes"
+    if isinstance(t, T.ArrayType):
+        return f"list<{_canon_spark(t.elementType)}>"
+    return t.simpleString()
+
+
 def _norm(v):
+    """Type-preserving value normalization — NO cross-type collapses."""
     if v is None:
         return None
     if isinstance(v, bool):
-        return int(v)
+        return ("bool", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse float noise + integral floats vs ints
-        r = round(v, 9)
-        return int(r) if r == int(r) else r
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, dt.datetime):  # check before dt.date (subclass)
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
-        return v.isoformat()
+        return ("date", v.isoformat())
     if isinstance(v, (int, str)):
         return v
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
-    try:  # Decimal
-        f = float(v)
-        return _norm(f)
-    except Exception:
-        return str(v)
+    return ("other", str(v))  # Decimal etc. — exact textual rendering
 
 
 def rows_to_multiset(columns: list[str], rows) -> dict:
@@ -65,21 +113,30 @@ def rows_to_multiset(columns: list[str], rows) -> dict:
 def compare_query(spark, sf_dir: str, name: str, spec) -> tuple[bool, str]:
     sdf = spec.fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_types = {f.name: _canon_spark(f.dataType) for f in sdf.schema.fields}
     s_rows = [tuple(r) for r in sdf.collect()]
 
     if spec.oracle is None:
-        return (len(s_rows) >= 0, f"rows-only: {len(s_rows)} rows")
+        # rows-only check (driver parity): the query must execute and
+        # produce a stable schema; there is nothing to value-compare.
+        return (True, f"rows-only: {len(s_rows)} rows, schema {sorted(s_cols)}")
 
     con = duckdb_conn(sf_dir)
     try:
-        res = con.execute(spec.oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        tbl = con.execute(spec.oracle).arrow()
     finally:
         con.close()
+    d_cols = tbl.schema.names
+    d_types = {f.name: _canon_arrow(f.type) for f in tbl.schema}
+    d_rows = [tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()]
 
     if sorted(s_cols) != sorted(d_cols):
         return (False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    type_diff = {
+        c: (s_types[c], d_types[c]) for c in s_cols if s_types[c] != d_types[c]
+    }
+    if type_diff:
+        return (False, f"type mismatch (spark, duckdb): {type_diff}")
 
     ms, md = rows_to_multiset(s_cols, s_rows), rows_to_multiset(d_cols, d_rows)
     if ms == md:
