@@ -70,6 +70,41 @@ def spread(spark: SparkSession, sf_dir: str, name: str, floor: int = 4) -> DataF
     return df.repartition(n)
 
 
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC source (SURVEY §2.1 S6 — reference ``pd.read_sql`` at
+    clean_data.py:175,193, backload_scrape.py:79).
+
+    ``table`` may be a table name or a parenthesized subquery ``(SELECT
+    ... ) t`` — bind-param lookups become WHERE clauses in the subquery
+    and are executed remotely, like the reference's parameterized SQL.
+    For big tables pass the 4 partitioning args so the read fans out to
+    ``num_partitions`` parallel range-bounded queries instead of one
+    connection. Requires the vendor JDBC jar on the classpath (not
+    bundled here; engine-native parquet is the default store —
+    io/tables.load_table).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from radares_spark.io.ingest import _parse_kernel, clean_flows
 from radares_spark.pipeline.ledger import idempotent_append
+from radares_spark.pipeline.run_log import append_run_log, parse_run_log
 from radares_spark.schemas import RAW_FLOWS_SCHEMA
 
 
@@ -47,7 +48,11 @@ def run_ingest_stream(
     raw = stream_reports(spark, landing_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # parse once, use twice
         idempotent_append(batch_df.sparkSession, clean_flows(batch_df), warehouse)
+        # K5: per-file processed/fail rows, appended with the same batch
+        # (reference scrape.py:121-123 writes its JSON log after the loop)
+        append_run_log(parse_run_log(batch_df), warehouse)
 
     q = (
         raw.writeStream.foreachBatch(sink)

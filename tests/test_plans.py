@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the scale claims the docstrings make must
+hold in the actual plans, so plan regressions fail CI (VERDICT r1 next
+round #9).
+
+- filters reach the parquet scan (PushedFilters);
+- dimension joins are broadcast hash joins;
+- NO BroadcastNestedLoopJoin / CartesianProduct anywhere except the
+  explicitly sanctioned queries (tiny broadcast sides by contract);
+- the LSH near-dup candidate join is an equi (hash) join, never
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from radares_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+# Queries whose plans legitimately contain a nested-loop join over a
+# BROADCAST side that is tiny by contract:
+#   range_join_price_bands  — 25-row generated band dim (range predicate)
+#   q22_idle_customers      — single-row scalar-subquery threshold
+#   similarity_cosine_topk  — few-row query set vs corpus (non-equi !=)
+#   similarity_ivf_topk     — few-row probe set (crossJoin with centroids)
+SANCTIONED_NESTED_LOOP = {
+    "range_join_price_bands",
+    "q22_idle_customers",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+}
+
+
+def _plan(spark, name: str) -> str:
+    # executedPlan (initial AQE plan): join strategies chosen AND
+    # exchanges inserted (sparkPlan() is pre-EnsureRequirements and
+    # shows no shuffles). Nothing is executed — toString only.
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unsanctioned_nested_loop(spark, name):
+    plan = _plan(spark, name)
+    has_nlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if name in SANCTIONED_NESTED_LOOP:
+        return  # allowed (broadcast side tiny by contract)
+    assert not has_nlj, f"{name}: unsanctioned nested-loop/cartesian join in plan"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_broadcasts_dim_chain(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation+region+customer chain
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_nation_filter_before_fact_join(spark):
+    # the two-nation IN filter must sit on the nation scans (broadcast
+    # side), not above the lineitem joins
+    plan = _plan(spark, "q7_nation_volume")
+    # isin of 2 values rewrites to Or(EqualTo, EqualTo) — pushed to the
+    # nation scan, i.e. it appears as a data filter on the dim side
+    assert "Or(EqualTo(n_name,NATION_" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_embedding_lsh_is_bucketed_equi_join(spark):
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # candidate generation joins on (band, band_val) — a hash-joinable key
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact")
+    # one hash aggregate pair (partial + final) around one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_text_scans_have_no_shuffle(spark):
+    for name in ("text_token_count", "text_quality_score", "multimodal_metadata"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, f"{name}: unexpected shuffle"

@@ -9,8 +9,9 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from radares_spark.io.report_parser import build_report
+from radares_spark.io.report_parser import build_bad_report, build_report
 from radares_spark.io.tables import load_table
+from radares_spark.pipeline.run_log import read_run_log
 from radares_spark.streaming.ingest_stream import run_ingest_stream
 from radares_spark.streaming.windows import sessionize_stateful, tumbling_15min
 
@@ -38,6 +39,32 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     assert spark.read.parquet(f"{wh}/flows").count() == 96 + 192
     ledger = spark.read.parquet(f"{wh}/equipment_files")
     assert ledger.count() == 2
+
+
+def test_run_log_sink(spark, tmp_path):
+    """K5: every ingest batch appends per-file processed/fail rows
+    (reference scrape.py:89-123 JSON log, as a queryable table)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    day = dt.date(2024, 5, 1)
+    (landing / "good.xlsx").write_bytes(build_report(1, day, "FS551JOI"))
+    (landing / "broken.xlsx").write_bytes(build_bad_report())
+
+    run_ingest_stream(spark, str(landing), wh, ckpt)
+    log = read_run_log(spark, wh).collect()
+    by_status = {r["status"]: r for r in log}
+    assert len(log) == 2
+    assert by_status["processed"]["name"].endswith("good.xlsx")
+    assert by_status["processed"]["error"] is None
+    assert by_status["fail"]["name"].endswith("broken.xlsx")
+    assert "unknown layout" in by_status["fail"]["error"]
+    assert by_status["fail"]["dateTime"] is not None
+
+    # second trigger: nothing new -> no new run-log rows
+    run_ingest_stream(spark, str(landing), wh, ckpt)
+    assert read_run_log(spark, wh).count() == 2
 
 
 def test_tumbling_window_stream_matches_batch(spark, tmp_path):
