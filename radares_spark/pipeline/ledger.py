@@ -85,3 +85,25 @@ def idempotent_append(
         new.write.mode("append").partitionBy("pubdate").parquet(flows_path)
         build_ledger(new).write.mode("append").parquet(ledger_path)
     return n, skipped
+
+
+def reingest_overwrite(spark: SparkSession, flows: DataFrame, warehouse: str) -> int:
+    """Re-ingest corrected data for the pubdates present in ``flows``,
+    atomically replacing ONLY those partitions (dynamic partition
+    overwrite). This is the repair path the reference lacks entirely —
+    its fix for a bad day is manual DELETE + re-run. Partitions not in
+    the input are untouched, so a repair of one day never rewrites the
+    other ~3650 days of a 10-year fact table.
+    """
+    flows_path = os.path.join(warehouse, "flows")
+    stamped = flows.withColumn(
+        "equipment_files_id", file_id(F.col("pubdate"), F.col("equipment"))
+    )
+    n = stamped.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        stamped.write.mode("overwrite").partitionBy("pubdate").parquet(flows_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n

@@ -15,7 +15,7 @@ from radares_spark.io.ingest import clean_flows, parse_reports, quarantined
 from radares_spark.io.report_parser import build_bad_report, build_report
 from radares_spark.pipeline.audit import completeness_audit
 from radares_spark.pipeline.backfill import backfill_plan
-from radares_spark.pipeline.ledger import idempotent_append
+from radares_spark.pipeline.ledger import idempotent_append, reingest_overwrite
 from radares_spark.schemas import BIN_COLS
 
 EQUIPS = ["FS551JOI", "FS655JOI", "FS661JOI"]
@@ -72,6 +72,30 @@ def test_idempotent_append(spark, landing, tmp_path):
     # partitioned by pubdate on disk
     parts = {p.name for p in Path(wh, "flows").iterdir() if p.is_dir()}
     assert parts == {f"pubdate={d.isoformat()}" for d in DATES}
+
+
+def test_reingest_overwrites_only_touched_partitions(spark, landing, tmp_path):
+    """Repair path: dynamic partition overwrite replaces ONLY the
+    pubdates present in the corrected input (ledger.reingest_overwrite)."""
+    wh = str(tmp_path / "warehouse")
+    flows = clean_flows(parse_reports(spark, landing))
+    idempotent_append(spark, flows, wh)
+    before_day1 = (
+        spark.read.parquet(f"{wh}/flows").filter(F.col("pubdate") == str(DATES[0])).count()
+    )
+
+    # "corrected" day-2 data: only one device's report survives review
+    fixed = flows.filter(
+        (F.col("pubdate") == str(DATES[1])) & (F.col("equipment") == EQUIPS[0])
+    )
+    n = reingest_overwrite(spark, fixed, wh)
+    assert n == 96  # template 1 report
+
+    stored = spark.read.parquet(f"{wh}/flows")
+    # day 2 fully replaced by the corrected subset...
+    assert stored.filter(F.col("pubdate") == str(DATES[1])).count() == 96
+    # ...day 1 untouched
+    assert stored.filter(F.col("pubdate") == str(DATES[0])).count() == before_day1
 
 
 def test_audit_and_backfill(spark, landing, tmp_path):

@@ -98,6 +98,55 @@ def test_tumbling_window_stream_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: a row arriving
+    after its window's watermark has passed is DROPPED — the finalized
+    window is never re-emitted or corrected (late data belongs to the
+    batch backfill path, SURVEY §2.11)."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, event_type string, value double").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema("ts timestamp, event_type string, value double").option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(str(src) + "/*")
+        q = (
+            tumbling_15min(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = dt.datetime(2024, 6, 1, 8, 0)
+    # batch 1: two rows in the 08:00 window + one at 11:30 that pushes
+    # the watermark to 10:30, finalizing (emitting) the 08:00 window
+    write_batch("b1", [(t, "click", 1.0), (t + dt.timedelta(minutes=5), "click", 1.0),
+                       (dt.datetime(2024, 6, 1, 11, 30), "click", 1.0)])
+    run()
+    # batch 2: a LATE row for the already-finalized 08:00 window
+    write_batch("b2", [(t + dt.timedelta(minutes=7), "click", 99.0)])
+    run()
+
+    got = {
+        r["window_start"]: (r["n"], r["total_value"])
+        for r in spark.read.parquet(out).filter(F.col("event_type") == "click").collect()
+    }
+    # the 08:00 window was emitted once, from batch 1 only (n=2) — the
+    # late 99.0 row vanished instead of duplicating/correcting it
+    assert got[t] == (2, 2.0)
+
+
 def test_stateful_sessionizer(spark, tmp_path):
     events = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
     # batch truth (same 30-min gap rule)
