@@ -140,6 +140,44 @@ _LANG_SQL_PICK = (
 )
 
 
+def lang_id_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — the per-doc classification the registered
+    aggregate query and the corpus-curation pipeline both build on.
+
+    Shape: explode tokens -> 4 projected indicator columns -> one
+    aggregate. The Aggregate is a hard evaluation barrier: the CASE
+    below reads materialized attributes, so the normalize+split chain
+    runs once per doc (building per-language hit columns as parallel
+    filter() expressions measured 40x slower once CollapseProject
+    inlined the tokenization into every reference).
+
+    NO empty-token filter: a doc whose normalized text is empty splits
+    to [''] and must keep its (all-zero) hits row so it lands in the
+    'und' bucket — filtering '' here dropped such docs entirely while
+    the oracle kept them (r1 ADVICE divergence). Non-empty normalized
+    text never contains '' tokens (spaces are collapsed), so the only
+    rows this admits are the one-per-empty-doc zero rows.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    flags = toks.select(
+        "doc_id",
+        *[
+            F.when(F.col("tok").isin(*words), 1).otherwise(0).alias(f"f_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    hits = flags.groupBy("doc_id").agg(
+        *[F.sum(f"f_{lang}").alias(f"hits_{lang}") for lang in LANG_MARKERS]
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
+    pick = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # fixed priority order on ties
+        pick = pick.when(F.col(f"hits_{lang}") == best, lang)
+    return hits.select("doc_id", pick.alias("pred_lang"))
+
+
 @register(
     "text_lang_id",
     oracle=f"""
@@ -161,38 +199,7 @@ _LANG_SQL_PICK = (
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # explode tokens -> 4 projected indicator columns -> one aggregate.
-    # The Aggregate is a hard evaluation barrier: the CASE below reads
-    # materialized attributes, so the normalize+split chain runs once
-    # per doc (building per-language hit columns as parallel filter()
-    # expressions measured 40x slower once CollapseProject inlined the
-    # tokenization into every reference).
-    # NO empty-token filter: a doc whose normalized text is empty splits
-    # to [''] and must keep its (all-zero) hits row so it lands in the
-    # 'und' bucket — filtering '' here dropped such docs entirely while
-    # the oracle kept them (r1 ADVICE divergence). Non-empty normalized
-    # text never contains '' tokens (spaces are collapsed), so the only
-    # rows this admits are the one-per-empty-doc zero rows.
-    toks = docs.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    )
-    flags = toks.select(
-        "doc_id",
-        *[
-            F.when(F.col("tok").isin(*words), 1).otherwise(0).alias(f"f_{lang}")
-            for lang, words in LANG_MARKERS.items()
-        ],
-    )
-    hits = flags.groupBy("doc_id").agg(
-        *[F.sum(f"f_{lang}").alias(f"hits_{lang}") for lang in LANG_MARKERS]
-    )
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
-    pick = F.when(best == 0, "und")
-    for lang in LANG_MARKERS:  # fixed priority order on ties
-        pick = pick.when(F.col(f"hits_{lang}") == best, lang)
-    return hits.select(pick.alias("pred_lang")).groupBy("pred_lang").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return lang_id_per_doc(docs).groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
 @register(

@@ -1,0 +1,142 @@
+"""Corpus curation — the operators composed into the pipeline an LLM
+training-data run actually executes.
+
+Stage order follows the standard playbook (cheapest filter first, each
+stage sees only survivors of the previous one):
+
+1. **quality gate** — C4-style heuristics (operators/text.py
+   text_quality_score): length, stopword ratio, punctuation ratio.
+2. **language filter** — keep the requested languages
+   (operators/text.lang_id_per_doc).
+3. **exact dedup** — keep min(doc_id) per normalized-text hash
+   (operators/dedup.py semantics).
+4. **near dedup** — MinHash-LSH candidate pairs (operators/dedup
+   minhash + banding); for every pair the higher doc_id is dropped.
+   This keeps the minimum of each pairwise-connected group reachable
+   through kept docs; full transitive-closure canonicalization is an
+   iterative pair-join (or connected components) over the same pair
+   table — at 100 TB you run that as a handful of self-join rounds.
+5. **deterministic sample** — hash-mod carve-out (plans/advanced
+   deterministic_sample semantics) so reruns and other engines agree
+   on the byte-identical subset.
+
+Every stage is a column expression / join over the previous stage —
+one lazy plan, no driver materialization. ``curate`` returns BOTH the
+curated docs and a per-doc audit (doc_id, stage it died in) because a
+pipeline you cannot audit is a pipeline you cannot debug at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.operators.dedup import (
+    _md5,
+    lsh_bands,
+    minhash_signatures,
+    normalize_text,
+)
+from radares_spark.operators.text import lang_id_per_doc
+from radares_spark.operators import text as text_ops
+
+DROP_QUALITY = "quality"
+DROP_LANG = "lang"
+DROP_EXACT = "exact_dup"
+DROP_NEAR = "near_dup"
+DROP_SAMPLE = "sampled_out"
+KEPT = "kept"
+
+
+def _quality_pass(docs: DataFrame) -> DataFrame:
+    """(doc_id, quality_pass) — same expressions as the registered
+    text_quality_score query."""
+    t = normalize_text(F.col("text"))
+    toks = F.split(t, " ")
+    n_tokens = F.size(toks)
+    stop_hits = text_ops._marker_hits(toks, text_ops.EN_STOPWORDS)
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    stopword_ratio = stop_hits / n_tokens.cast("double")
+    punct_ratio = n_punct / F.length("text").cast("double")
+    return docs.select(
+        "doc_id",
+        (
+            (n_tokens >= 20)
+            & stopword_ratio.between(0.01, 0.6)
+            & (punct_ratio < 0.1)
+        ).alias("quality_pass"),
+    )
+
+
+def near_dup_drops(docs: DataFrame) -> DataFrame:
+    """doc_ids to drop: the HIGHER id of every MinHash-LSH candidate
+    pair (keep-first rule, deterministic)."""
+    bands = lsh_bands(minhash_signatures(docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def curate(
+    docs: DataFrame,
+    keep_langs: tuple[str, ...] = ("en",),
+    sample_pct: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation pipeline.
+
+    Returns ``(curated, audit)``: curated = surviving doc rows;
+    audit = (doc_id, outcome) where outcome is ``kept`` or the first
+    stage that dropped the doc.
+    """
+    quality = _quality_pass(docs)
+    lang = lang_id_per_doc(docs)
+
+    hashed = docs.select("doc_id", _md5(normalize_text(F.col("text"))).alias("text_hash"))
+    keeper = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    exact = hashed.join(keeper, "text_hash").select(
+        "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("exact_keep")
+    )
+
+    # near-dup candidates are computed only over docs still alive after
+    # the cheap stages — the LSH shuffle never sees filtered-out bytes
+    alive = (
+        docs.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(exact, "doc_id")
+        .filter(F.col("quality_pass") & F.col("pred_lang").isin(*keep_langs) & F.col("exact_keep"))
+    )
+    near = near_dup_drops(alive.select("doc_id", "text")).withColumn(
+        "near_drop", F.lit(True)
+    )
+
+    bucket = (
+        F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    audit = (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(exact, "doc_id")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("quality_pass"), DROP_QUALITY)
+            .when(~F.col("pred_lang").isin(*keep_langs), DROP_LANG)
+            .when(~F.col("exact_keep"), DROP_EXACT)
+            .when(F.col("near_drop"), DROP_NEAR)
+            .when(bucket >= sample_pct, DROP_SAMPLE)
+            .otherwise(KEPT)
+            .alias("outcome"),
+        )
+    )
+    curated = docs.join(audit.filter(F.col("outcome") == KEPT), "doc_id", "left_semi")
+    return curated, audit
