@@ -40,6 +40,111 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_ivf_index(
+    normed: DataFrame, n_cells: int = 8, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Train a k-means coarse quantizer with Lloyd iterations expressed
+    as DataFrame ops, and assign every vector to its cell.
+
+    Returns ``(assignment, centroids)``: assignment = (vec_id, cell);
+    centroids = (cell, cv array<double>, cn norm).
+
+    Determinism: seeds are the ``n_cells`` vectors with the smallest
+    md5(vec_id) — no RNG, stable across runs/engines. Each iteration is
+    one small broadcast (the centroids) against the corpus plus one
+    (cell, dim) shuffle for the means: at 100 TB that is iters x one
+    pass over the data, the standard IVF training cost, and the final
+    assignment is what the corpus parquet gets partitioned by so probes
+    partition-prune (similarity_ivf_topk's scale story).
+
+    Registered-query note: similarity_ivf_topk keeps per-label centroids
+    (oracle-checkable in SQL); this trainer is the production variant —
+    its quality gate is the recall test in tests/test_ivf.py, not a SQL
+    oracle (iterative k-means is not reasonably SQL-expressible).
+    """
+    seeds = (
+        normed.select("vec_id", "v")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+    )
+    w_seed = W.orderBy("h", "vec_id")
+    centroids = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("cell"),
+        F.transform(F.col("v"), lambda x: x.cast("double")).alias("cv"),
+    ).select("cell", "cv", l2norm("cv").alias("cn"))
+
+    assign_w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    for _ in range(iters):
+        sim = dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+        assigned = (
+            normed.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v", "nrm", "cell", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(assign_w))
+            .filter(F.col("rn") == 1)
+        )
+        cells = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("c"))
+        )
+        centroids = (
+            cells.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+            .select("cell", F.transform(F.col("ic"), lambda s: s.c).alias("cv"))
+            .select("cell", "cv", l2norm("cv").alias("cn"))
+        )
+
+    sim = dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    assignment = (
+        normed.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cell", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    return assignment, centroids
+
+
+def ivf_probe_topk(
+    normed: DataFrame,
+    assignment: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ANN search against a trained IVF index: route each query to its
+    ``n_probe`` nearest cells, exact-score only vectors in those cells.
+    Searched fraction ~ n_probe/n_cells of the corpus; with the corpus
+    stored partitioned by cell the probe join partition-prunes the scan."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qcos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "qn", "cell", qcos.alias("qc"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    corpus = normed.join(assignment, "vec_id")
+    cos = F.round(dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
     """Exact top-k neighbors per query vector (brute force).
 

@@ -1,0 +1,76 @@
+"""IVF index (k-means trained in DataFrame ops): determinism, cell
+coverage, and recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.operators.similarity import (
+    TOP_K,
+    _normed,
+    build_ivf_index,
+    cosine_topk,
+    ivf_probe_topk,
+)
+from tests.conftest import SF_SMOKE
+
+N_CELLS = 8
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    normed = _normed(spark, SF_SMOKE)
+    assignment, centroids = build_ivf_index(normed, n_cells=N_CELLS, iters=3)
+    return normed, assignment.cache(), centroids.cache()
+
+
+def test_every_vector_assigned_once(spark, index):
+    normed, assignment, centroids = index
+    n = normed.count()
+    assert assignment.count() == n
+    assert assignment.select("vec_id").distinct().count() == n
+    assert centroids.count() == N_CELLS
+
+
+def test_training_is_deterministic(spark, index):
+    normed, assignment, _ = index
+    again, _ = build_ivf_index(normed, n_cells=N_CELLS, iters=3)
+    a = {(r["vec_id"], r["cell"]) for r in assignment.collect()}
+    b = {(r["vec_id"], r["cell"]) for r in again.collect()}
+    assert a == b
+
+
+def test_probe_recall_vs_brute_force(spark, index):
+    normed, assignment, centroids = index
+    queries = normed.filter(F.col("vec_id") < 8)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(normed, queries, k=TOP_K).collect()
+    }
+    # full probe (n_probe = n_cells) degenerates to exact search —
+    # sanity-checks the scoring path end to end
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_probe_topk(
+            normed, assignment, centroids, queries, n_probe=N_CELLS, k=TOP_K
+        ).collect()
+    }
+    assert full == exact
+
+    # pruned probe searches 2/8 of the corpus. The synthetic embeddings
+    # are near-uniform random, the hardest case for IVF (true neighbors
+    # of a random query scatter across cells) — so the bar is "clearly
+    # better than scanning a random 1/4 of the corpus" (expected recall
+    # 0.25), not the >0.9 a clustered real corpus gives. Deterministic:
+    # measures 0.425 on this fixture.
+    pruned = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_probe_topk(
+            normed, assignment, centroids, queries, n_probe=2, k=TOP_K
+        ).collect()
+    }
+    recall = len(pruned & exact) / len(exact)
+    assert recall >= 0.35, f"recall {recall}"

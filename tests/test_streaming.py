@@ -147,6 +147,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got[t] == (2, 2.0)
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup keyed on the normalized-text hash: duplicate
+    texts arriving in later micro-batches are dropped by keyed state
+    (streaming/dedup_stream.py)."""
+    from radares_spark.streaming.dedup_stream import dedup_doc_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet").parquet(
+            str(src) + "/*"
+        )
+        q = (
+            dedup_doc_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = dt.datetime(2024, 6, 1, 9, 0)
+    write_batch("b1", [(1, "Hello, World!", t), (2, "something else", t)])
+    run()
+    # batch 2: doc 3 normalizes identically to doc 1 ("hello world"),
+    # doc 4 is new
+    write_batch(
+        "b2",
+        [(3, "hello   WORLD", t + dt.timedelta(minutes=5)),
+         (4, "fresh content", t + dt.timedelta(minutes=5))],
+    )
+    run()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 4]  # doc 3 deduped against doc 1's state
+
+
 def test_stateful_sessionizer(spark, tmp_path):
     events = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
     # batch truth (same 30-min gap rule)
