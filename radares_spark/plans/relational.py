@@ -569,8 +569,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="As-of join: latest click at-or-before each error, per user. "
     "Implemented as union + last(ignorenulls) over an event-time window "
     "— one shuffle, no range cross-product (the oracle's join+max is the "
-    "semantic spec, not the physical plan). For skewed users, salt or "
-    "use applyInPandas+merge_asof per user bucket.",
+    "semantic spec, not the physical plan). For skewed users use the "
+    "merge_asof grouped-map variant (operators/asof.py, tested "
+    "equivalent in tests/test_asof.py).",
 )
 def asof_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
