@@ -18,8 +18,6 @@ the window form's click-sorts-before-error tie rule).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame

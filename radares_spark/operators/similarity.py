@@ -6,11 +6,13 @@ Two tiers, per the standard ANN playbook:
   (small) query set against the full corpus, window-rank per query.
   Cost: O(|queries| * N) — fine when queries are few, the corpus scan
   is embarrassingly parallel and never shuffles the corpus.
-- **IVF probe top-k** — the scale path. A coarse quantizer (here the
-  per-label centroids — stand-ins for k-means centroids, which is what
-  you'd train at 100 TB) maps each query to its nearest ``n_probe``
-  cells; the exact search runs only inside probed cells. Corpus is
-  pre-partitioned by cell => the probe is a partition-pruned join.
+- **IVF probe top-k** — the scale path. A coarse quantizer maps each
+  query to its nearest ``n_probe`` cells; the exact search runs only
+  inside probed cells. Corpus is pre-partitioned by cell => the probe
+  is a partition-pruned join. The registered query uses per-label
+  centroids (SQL-oracle-checkable); ``build_ivf_index`` below is the
+  production trainer (deterministic Lloyd k-means as DataFrame ops,
+  recall-tested in tests/test_ivf.py).
 
 All arithmetic is double, summed left-to-right (``F.aggregate`` /
 DuckDB ``list_reduce``) and rounded, so the DuckDB oracle matches
@@ -19,7 +21,7 @@ exactly. Ranks tie-break on vec_id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import spread

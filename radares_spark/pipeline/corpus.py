@@ -28,7 +28,7 @@ pipeline you cannot audit is a pipeline you cannot debug at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from radares_spark.operators.dedup import (

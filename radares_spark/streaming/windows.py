@@ -11,8 +11,6 @@ windows can't express (per-key custom state machines).
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
-
 import pandas as pd
 
 from pyspark.sql import DataFrame

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from radares_spark.io.report_parser import build_bad_report, build_report
