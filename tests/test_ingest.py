@@ -165,6 +165,51 @@ def test_compact_partitions(spark, landing, tmp_path):
     assert spark.read.parquet(f"{wh}/flows").count() == before_total
 
 
+def test_e2e_ingested_flows_feed_analytics(spark, landing, tmp_path):
+    """Full reference workflow: landed xlsx -> parse -> clean ->
+    warehouse -> the declared analytics (SURVEY §2.7 A3) over the REAL
+    11-bin speed histogram columns — a reference user's entire daily
+    loop plus the analysis Postgres was supposed to serve."""
+    from radares_spark.functions.histogram import (
+        bins_long,
+        percentile_from_bins,
+        speeding_ratio,
+        weighted_mean_speed,
+    )
+    from radares_spark.schemas import SPEED_BINS
+
+    wh = str(tmp_path / "warehouse")
+    idempotent_append(spark, clean_flows(parse_reports(spark, landing)), wh)
+    flows = spark.read.parquet(f"{wh}/flows")
+    n_rows = flows.count()
+
+    hist = flows.groupBy("equipment", "pubdate").agg(
+        *[F.sum(c).alias(c) for c, _, _ in SPEED_BINS]
+    )
+    stats = hist.select(
+        "equipment",
+        "pubdate",
+        weighted_mean_speed().alias("wm"),
+        speeding_ratio(60).alias("sr"),
+    ).collect()
+    assert len(stats) == len(EQUIPS) * len(DATES)
+    for r in stats:
+        assert 0.0 <= r["wm"] <= 120.0  # inside the bin range
+        assert 0.0 <= r["sr"] <= 1.0
+
+    p85 = percentile_from_bins(hist, ["equipment", "pubdate"], 0.85).collect()
+    uppers = {hi for _, _, hi in SPEED_BINS}
+    assert all(r["p85_speed"] in uppers for r in p85)
+
+    long = bins_long(flows, ["equipment", "pubdate", "slot_start"])
+    assert long.count() == n_rows * len(SPEED_BINS)
+    # unpivot conserves mass: Σ cnt == Σ total
+    assert (
+        long.agg(F.sum("cnt")).collect()[0][0]
+        == flows.agg(F.sum("total")).collect()[0][0]
+    )
+
+
 def test_audit_and_backfill(spark, landing, tmp_path):
     wh = str(tmp_path / "warehouse")
     flows = clean_flows(parse_reports(spark, landing))
