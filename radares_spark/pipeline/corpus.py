@@ -54,7 +54,7 @@ def _quality_pass(docs: DataFrame) -> DataFrame:
     t = normalize_text(F.col("text"))
     toks = F.split(t, " ")
     n_tokens = F.size(toks)
-    stop_hits = text_ops._marker_hits(toks, text_ops.EN_STOPWORDS)
+    stop_hits = text_ops.stopword_hits(t, text_ops.EN_STOPWORDS)
     n_punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
     stopword_ratio = stop_hits / n_tokens.cast("double")
     punct_ratio = n_punct / F.length("text").cast("double")
