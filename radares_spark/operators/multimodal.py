@@ -73,6 +73,92 @@ def decode_batch(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fake_decode_features, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, resized binary, scale double"
+
+
+def resize_kernel(target_w: int, target_h: int):
+    """STUB image resize (mapInPandas kernel factory).
+
+    A real implementation decodes, resamples (PIL ``Image.resize`` /
+    libvips thumbnail) and re-encodes. The stub derives the 'resized'
+    payload deterministically (truncated md5-keyed slice of the input
+    bytes, length proportional to the area ratio) so tests can assert
+    the contract a real kernel must honor: one row per input, target
+    dims in the metadata, payload smaller when downscaling, exact
+    scale factor recorded. Swap the body, keep the plan.
+    """
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["payload"].map(len)
+            # stand-in for decoded dims (same derivation as the decoder)
+            import hashlib
+
+            h = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            w = h.map(lambda x: int(x[0:4], 16)) % 1920 + 1
+            hgt = h.map(lambda x: int(x[4:8], 16)) % 1080 + 1
+            scale = ((target_w * target_h) / (w * hgt)).clip(upper=1.0)
+            out_len = (n * scale).astype("int64").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": [
+                        bytes(b)[:ln] for b, ln in zip(pdf["payload"], out_len)
+                    ],
+                    "scale": scale.round(6),
+                }
+            )
+
+    return kernel
+
+
+def resize_batch(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    return df.mapInPandas(resize_kernel(target_w, target_h), schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts double, frame binary"
+
+
+def frame_sample_kernel(fps_out: float):
+    """STUB video frame sampler (flatMap-shaped mapInPandas kernel:
+    one input row -> N output rows, the UDTF shape the xlsx parser
+    also uses).
+
+    A real implementation demuxes with ffmpeg/torchcodec and emits one
+    JPEG per sampled timestamp. The stub derives a deterministic
+    per-payload duration and emits ``duration * fps_out`` byte-slice
+    'frames' with their timestamps — so the row-explosion contract,
+    schema, and ordering are real and tested.
+    """
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = hashlib.md5(b).hexdigest()
+                duration_s = int(h[:4], 16) % 30 + 1  # 1..30 "seconds"
+                n_frames = max(1, int(duration_s * fps_out))
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    rows.append(
+                        (doc_id, i, round(i / fps_out, 6), b[i * step : i * step + step])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts", "frame"]
+            )
+
+    return kernel
+
+
+def frame_sample_batch(df: DataFrame, fps_out: float = 1.0) -> DataFrame:
+    return df.mapInPandas(frame_sample_kernel(fps_out), schema=FRAME_SCHEMA)
+
+
 @register(
     "multimodal_metadata",
     oracle="""

@@ -11,7 +11,9 @@ stage sees only survivors of the previous one):
 3. **exact dedup** — keep min(doc_id) per normalized-text hash
    (operators/dedup.py semantics).
 4. **near dedup** — MinHash-LSH candidate pairs (operators/dedup
-   minhash + banding); for every pair the higher doc_id is dropped.
+   minhash + banding), each VERIFIED with the exact word-shingle
+   Jaccard before dropping the higher doc_id (LSH recall, exact
+   precision — a random band collision never deletes a document).
    This keeps the minimum of each pairwise-connected group reachable
    through kept docs; full transitive-closure canonicalization is an
    iterative pair-join (or connected components) over the same pair
@@ -36,6 +38,7 @@ from radares_spark.operators.dedup import (
     lsh_bands,
     minhash_signatures,
     normalize_text,
+    word_shingles,
 )
 from radares_spark.operators.text import lang_id_per_doc
 from radares_spark.operators import text as text_ops
@@ -68,27 +71,59 @@ def _quality_pass(docs: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_drops(docs: DataFrame) -> DataFrame:
-    """doc_ids to drop: the HIGHER id of every MinHash-LSH candidate
-    pair (keep-first rule, deterministic)."""
+def near_dup_drops(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
+    """doc_ids to drop: the HIGHER id of every VERIFIED near-dup pair.
+
+    Two stages — LSH recall, exact precision:
+
+    1. MinHash-LSH banding proposes candidate pairs (bucket self-join,
+       never all-pairs);
+    2. each candidate is verified with the EXACT word-3-shingle Jaccard
+       (intersection via an equi-join on (doc, shingle) keyed per pair)
+       and only pairs at/above ``jaccard_threshold`` drop their higher
+       doc_id. Random band collisions — which LSH produces by design —
+       therefore never delete a document.
+    """
     bands = lsh_bands(minhash_signatures(docs))
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("b.doc_id").alias("doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.withColumnRenamed("doc_id", "doc_a")
+    sb = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    verified = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            >= jaccard_threshold
+        )
+    )
+    return verified.select(F.col("doc_b").alias("doc_id")).distinct()
 
 
 def curate(
     docs: DataFrame,
     keep_langs: tuple[str, ...] = ("en",),
     sample_pct: int = 100,
+    jaccard_threshold: float = 0.8,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline.
 
@@ -113,9 +148,9 @@ def curate(
         .join(exact, "doc_id")
         .filter(F.col("quality_pass") & F.col("pred_lang").isin(*keep_langs) & F.col("exact_keep"))
     )
-    near = near_dup_drops(alive.select("doc_id", "text")).withColumn(
-        "near_drop", F.lit(True)
-    )
+    near = near_dup_drops(
+        alive.select("doc_id", "text"), jaccard_threshold
+    ).withColumn("near_drop", F.lit(True))
 
     bucket = (
         F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")

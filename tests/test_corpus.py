@@ -65,19 +65,14 @@ def test_exact_dup_and_lang_stages(spark):
     assert got[4] in (KEPT, "near_dup")  # shares most shingles with doc 1
 
 
-def test_no_direct_near_dup_pairs_survive(spark, result):
-    from radares_spark.operators.dedup import lsh_bands, minhash_signatures
+def test_no_verified_near_dup_pairs_survive(spark, result):
+    """Re-running the verified near-dup detector over the curated set
+    must find nothing at/above the threshold (random band collisions
+    below it are allowed to survive — that's the precision guarantee)."""
+    from radares_spark.pipeline.corpus import near_dup_drops
 
     _, curated, _ = result
-    bands = lsh_bands(minhash_signatures(curated.select("doc_id", "text")))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    assert pairs.count() == 0
+    assert near_dup_drops(curated.select("doc_id", "text")).count() == 0
 
 
 def test_curation_is_deterministic(spark, result):
