@@ -227,46 +227,68 @@ def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"), "n"
         )
 
-    urgent = tag(
-        "urgent_96_97",
-        orders.filter(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-            & F.col("o_orderdate").between(
-                F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
-            )
-        ),
-    )
-    no_orders = tag(
-        "cust_no_orders", cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    )
-    open_orders = orders.filter(F.col("o_orderstatus") == "O")
-    active = tag(
-        "cust_open_orders",
-        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"),
-    )
-    big = tag(
-        "big_customers",
-        orders.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 20),
-    )
-    supp_nations = supp.agg(F.countDistinct("s_nationkey").alias("n")).select(
-        F.lit("supp_nations").alias("check_name"), "n"
-    )
+    # ONE window + per-customer aggregate pass over the fact table
+    # feeds four audits (count threshold, gap detection, anti- and
+    # semi-join sides). At 100 TB this is the difference between one
+    # fact shuffle and four fact scans; the aggregated frame is tiny
+    # (one row per customer) so the dim joins broadcast it.
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    gappy = tag(
-        "gap_gt_60d",
+    per_cust = (
         orders.withColumn(
             "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
         )
         .groupBy("o_custkey")
-        .agg(F.max("gap_days").alias("max_gap"))
-        .filter(F.col("max_gap") > 60),
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("gap_days").alias("max_gap"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        )
     )
-    months = (
-        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-        .agg(F.countDistinct(F.date_trunc("month", "o_orderdate")).alias("n"))
-        .select(F.lit("order_months_2000").alias("check_name"), "n")
+    big = tag("big_customers", per_cust.filter(F.col("n_orders") >= 20))
+    gappy = tag("gap_gt_60d", per_cust.filter(F.col("max_gap") > 60))
+    no_orders = tag(
+        "cust_no_orders",
+        cust.join(
+            F.broadcast(per_cust.select("o_custkey")),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        ),
+    )
+    active = tag(
+        "cust_open_orders",
+        cust.join(
+            F.broadcast(per_cust.filter(F.col("n_open") > 0).select("o_custkey")),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        ),
+    )
+
+    # one conditional global aggregate covers both scan-level checks
+    in_window = F.col("o_orderdate").between(
+        F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+    )
+    both = orders.agg(
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & in_window, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("urgent"),
+        F.countDistinct(
+            F.when(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"),
+                F.date_trunc("month", "o_orderdate"),
+            )
+        ).alias("months"),
+    )
+    urgent = both.select(F.lit("urgent_96_97").alias("check_name"), F.col("urgent").alias("n"))
+    months = both.select(
+        F.lit("order_months_2000").alias("check_name"), F.col("months").alias("n")
+    )
+
+    supp_nations = supp.agg(F.countDistinct("s_nationkey").alias("n")).select(
+        F.lit("supp_nations").alias("check_name"), "n"
     )
     parts = [urgent, no_orders, active, big, supp_nations, gappy, months]
     out = parts[0]
