@@ -30,7 +30,7 @@ pipeline you cannot audit is a pipeline you cannot debug at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.operators.dedup import (
@@ -175,3 +175,56 @@ def curate(
     )
     curated = docs.join(audit.filter(F.col("outcome") == KEPT), "doc_id", "left_semi")
     return curated, audit
+
+
+N_BUDGET_BUCKETS = 1024
+
+
+def sample_to_token_budget(docs: DataFrame, budget_tokens: int) -> DataFrame:
+    """Deterministic prefix of the corpus totalling <= ``budget_tokens``
+    whitespace tokens, in content-hash order.
+
+    The naive form — a global running sum over one total ordering — is
+    a single-partition window (a 100 TB non-starter). This is the
+    scalable two-phase prefix sum instead:
+
+    1. order docs by (md5 bucket, doc_id); sum tokens per bucket — one
+       small aggregate (``N_BUDGET_BUCKETS`` rows);
+    2. running-sum the per-bucket totals on that TINY frame (the only
+       single-partition window, over 1024 rows) -> each bucket's global
+       offset, broadcast back;
+    3. within each bucket, a per-bucket window (parallel across
+       buckets) adds the local running sum to the bucket offset; keep
+       rows whose global prefix sum stays within budget.
+
+    Deterministic: same corpus + budget -> byte-identical sample, no
+    matter the partitioning. The boundary bucket admits docs up to the
+    first overflow; later buckets are cut entirely by their offsets.
+    """
+    toks = F.size(F.split(normalize_text(F.col("text")), " "))
+    bucketed = docs.withColumn(
+        "__bucket",
+        F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % N_BUDGET_BUCKETS,
+    ).withColumn("__tok", toks.cast("long"))
+
+    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("__tok").alias("__btok"))
+    off_w = (
+        W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = per_bucket.select(
+        "__bucket", (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset")
+    )
+
+    in_w = (
+        W.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__prefix", F.col("__offset") + F.sum("__tok").over(in_w))
+        .filter(F.col("__prefix") <= budget_tokens)
+        .drop("__bucket", "__tok", "__offset", "__prefix")
+    )

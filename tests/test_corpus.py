@@ -83,6 +83,37 @@ def test_curation_is_deterministic(spark, result):
     }
 
 
+def test_token_budget_sampling(spark, result):
+    """sample_to_token_budget is the exact maximal prefix of the
+    deterministic (hash-bucket, doc_id) order whose token total fits
+    the budget — computed with a two-phase prefix sum (no global
+    single-partition window over the data)."""
+    from radares_spark.operators.dedup import normalize_text
+    from radares_spark.pipeline.corpus import sample_to_token_budget
+
+    docs, _, _ = result
+    toks = F.size(F.split(normalize_text(F.col("text")), " ")).cast("long")
+    total_all = docs.select(F.sum(toks)).collect()[0][0]
+    budget = int(total_all * 0.3)
+
+    sample = sample_to_token_budget(docs, budget)
+    got = sample.select(F.sum(toks)).collect()[0][0]
+    assert got <= budget
+    # maximal: the budget shortfall is smaller than any doc it skipped
+    skipped = docs.join(sample.select("doc_id"), "doc_id", "left_anti")
+    min_skipped = skipped.select(F.min(toks)).collect()[0][0]
+    assert got + min_skipped > budget
+
+    # deterministic + monotone in the budget
+    again = {r["doc_id"] for r in sample_to_token_budget(docs, budget).select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in sample.select("doc_id").collect()}
+    smaller = {
+        r["doc_id"]
+        for r in sample_to_token_budget(docs, budget // 2).select("doc_id").collect()
+    }
+    assert smaller < again
+
+
 def test_sampling_stage(spark, result):
     docs, _, _ = result
     half, audit = curate(docs, keep_langs=("en",), sample_pct=50)
