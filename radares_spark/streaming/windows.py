@@ -32,6 +32,26 @@ def tumbling_15min(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def session_windows_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions via Spark's NATIVE ``session_window`` (dynamic
+    gap-merging window): one row per (user, session) with bounds and
+    event count. Same session rule as the lag/cumsum batch form
+    (plans/relational.events_sessionize) and the applyInPandasWithState
+    kernel below — three implementations, one semantics (tested
+    equivalent). In streaming mode this composes with a watermark for
+    state expiry; in batch it is a single shuffle on user_id."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 SESSION_SCHEMA = "user_id long, n_sessions int, n_events int"
 STATE_SCHEMA = "last_ts double, n_sessions int, n_events int"
 GAP_S = 1800.0

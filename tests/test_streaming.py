@@ -11,7 +11,11 @@ from radares_spark.io.report_parser import build_bad_report, build_report
 from radares_spark.io.tables import load_table
 from radares_spark.pipeline.run_log import read_run_log
 from radares_spark.streaming.ingest_stream import run_ingest_stream
-from radares_spark.streaming.windows import sessionize_stateful, tumbling_15min
+from radares_spark.streaming.windows import (
+    session_windows_native,
+    sessionize_stateful,
+    tumbling_15min,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -189,6 +193,29 @@ def test_streaming_exact_dedup(spark, tmp_path):
 
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 4]  # doc 3 deduped against doc 1's state
+
+
+def test_native_session_window_matches_lag_form(spark):
+    """Three sessionizer implementations, one semantics: the native
+    session_window's per-user session count and total events must match
+    the lag/cumsum batch query."""
+    from radares_spark.plans.relational import events_sessionize
+
+    expect = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessionize(spark, SF).collect()
+    }
+    native = session_windows_native(load_table(spark, SF, "events"))
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in native.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == expect
 
 
 def test_stateful_sessionizer(spark, tmp_path):
