@@ -83,6 +83,11 @@ def fetch_one(
     try:
         params = dict(BASE_PARAMS, dataStr=querystring_date(d), equipamento=equipment)
         resp = session.get(url, params=params, stream=True)
+        # A 401 (expired login) or 500 must become a ``fail`` result, NOT
+        # land its HTML error body as <equip>/<date>.xlsx — that would
+        # misclassify fetch failures as parse-quarantines downstream and
+        # leave junk the backfill planner treats as done.
+        resp.raise_for_status()
         target = Path(landing_dir) / key
         target.parent.mkdir(parents=True, exist_ok=True)
         target.write_bytes(resp.content)

@@ -13,9 +13,11 @@ O(diameter) rounds; near-dup graphs are unions of small cliques/chains
 Each round is two shuffles over the edge list — the same cost profile
 GraphX/graphframes pays, with zero extra dependencies.
 
-The fixed-point check uses an aggregate (sum of labels strictly
-decreases while anything changes) — no driver-side collect of data,
-one scalar per round.
+The fixed-point check counts CHANGED labels (join new vs previous on
+the node, count label <> prev) — type-agnostic, so node ids may be
+longs OR strings (md5-keyed pair tables); an aggregate like
+``sum(label)`` would crash on string ids. No driver-side collect of
+data, one scalar per round.
 """
 
 from __future__ import annotations
@@ -39,8 +41,8 @@ def connected_components(
         edges.groupBy("u")
         .agg(F.min("v").alias("nbr_min"))
         .select("u", F.least(F.col("u"), F.col("nbr_min")).alias("label"))
+        .localCheckpoint(eager=True)
     )
-    prev_sum = None
     for _ in range(max_iter):
         # propagate: each node takes min(own label, neighbors' labels)
         nbr = (
@@ -48,7 +50,7 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        new_labels = (
             labels.join(nbr, "u", "left")
             .select(
                 "u",
@@ -58,10 +60,17 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate the iterative lineage
         )
-        cur = labels.agg(F.sum("label")).collect()[0][0]
-        if cur == prev_sum:
+        # type-agnostic fixed point: count labels that changed this round
+        # (works for string node ids too — min/least order strings fine,
+        # but sum() would not). Both frames are checkpointed => cheap.
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "prev"), "u")
+            .filter(F.col("label") != F.col("prev"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
-        prev_sum = cur
     raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
 
 

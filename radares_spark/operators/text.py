@@ -161,9 +161,18 @@ def lang_id_per_doc(docs: DataFrame) -> DataFrame:
     the oracle kept them (r1 ADVICE divergence). Non-empty normalized
     text never contains '' tokens (spaces are collapsed), so the only
     rows this admits are the one-per-empty-doc zero rows.
+
+    NULL text coalesces to '' for the same reason (r2 ADVICE): split of
+    NULL yields NULL and explode emits NO row, which silently dropped
+    null-text docs from both the lang table and everything joined on it
+    (corpus.curate's audit invariant). With the coalesce they classify
+    as 'und' like empty docs.
     """
     toks = docs.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+        "doc_id",
+        F.explode(
+            F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("tok"),
     )
     flags = toks.select(
         "doc_id",
@@ -185,7 +194,7 @@ def lang_id_per_doc(docs: DataFrame) -> DataFrame:
 @register(
     "text_lang_id",
     oracle=f"""
-    WITH norm AS (SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents),
+    WITH norm AS (SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t FROM documents),
     tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
     hits AS (
         SELECT doc_id,

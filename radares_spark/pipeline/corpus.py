@@ -53,8 +53,9 @@ KEPT = "kept"
 
 def _quality_pass(docs: DataFrame) -> DataFrame:
     """(doc_id, quality_pass) — same expressions as the registered
-    text_quality_score query."""
-    t = normalize_text(F.col("text"))
+    text_quality_score query. NULL text coalesces to '' so the gate
+    yields a definite False (not NULL) and the doc stays auditable."""
+    t = normalize_text(F.coalesce(F.col("text"), F.lit("")))
     toks = F.split(t, " ")
     n_tokens = F.size(toks)
     stop_hits = text_ops.stopword_hits(t, text_ops.EN_STOPWORDS)
@@ -134,7 +135,12 @@ def curate(
     quality = _quality_pass(docs)
     lang = lang_id_per_doc(docs)
 
-    hashed = docs.select("doc_id", _md5(normalize_text(F.col("text"))).alias("text_hash"))
+    # coalesce: md5 of NULL text is NULL, which never matches in the
+    # equi-join below — the doc would vanish from the audit entirely
+    hashed = docs.select(
+        "doc_id",
+        _md5(normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias("text_hash"),
+    )
     keeper = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
     exact = hashed.join(keeper, "text_hash").select(
         "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("exact_keep")

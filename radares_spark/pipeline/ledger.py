@@ -103,9 +103,16 @@ def merge_flows(spark: SparkSession, updates: DataFrame, warehouse: str) -> int:
     """
     flows_path = os.path.join(warehouse, "flows")
     ledger_path = os.path.join(warehouse, "equipment_files")
+    # localCheckpoint BEFORE the partition overwrite below: the natural
+    # repair flow builds ``updates`` by READING flows_path (read, fix
+    # rows, merge back). Without materializing here, the post-overwrite
+    # ledger update re-executes a plan whose source files were just
+    # replaced — FileNotFoundException at best, silently re-reading the
+    # merged output at worst. Same self-read hazard the ``merged``
+    # checkpoint guards; ``stamped`` needs the guard for the same reason.
     stamped = updates.withColumn(
         "equipment_files_id", file_id(F.col("pubdate"), F.col("equipment"))
-    )
+    ).localCheckpoint(eager=True)
 
     days = stamped.select("pubdate").distinct()
     existing = spark.read.parquet(flows_path).join(
@@ -120,8 +127,7 @@ def merge_flows(spark: SparkSession, updates: DataFrame, warehouse: str) -> int:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # localCheckpoint breaks the self-read lineage: the write below
-        # overwrites the very partitions the plan reads
+        # merged reads flows_path too (via ``kept``) — same guard
         merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
             "pubdate"
         ).parquet(flows_path)

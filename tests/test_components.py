@@ -37,6 +37,17 @@ def test_star_and_cycle(spark):
     assert set(got.values()) == {7}
 
 
+def test_string_node_ids(spark):
+    # md5-keyed pair tables key docs by strings; min-label propagation
+    # and the changed-label fixed point must both work on them (r2
+    # ADVICE: a sum(label) convergence check crashes here)
+    df = spark.createDataFrame(
+        [("aa", "bb"), ("bb", "cc"), ("zz", "yy")], "doc_a string, doc_b string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"aa": "aa", "bb": "aa", "cc": "aa", "zz": "yy", "yy": "yy"}
+
+
 def test_canonical_drops_keep_one_per_group(spark):
     pairs = spark.createDataFrame(
         [(1, 5), (3, 5), (10, 11)], "doc_a long, doc_b long"

@@ -65,6 +65,25 @@ def test_exact_dup_and_lang_stages(spark):
     assert got[4] in (KEPT, "near_dup")  # shares most shingles with doc 1
 
 
+def test_null_text_doc_stays_in_audit(spark):
+    """r2 ADVICE: a NULL-text doc must not vanish from the audit — it
+    classifies 'und' (lang drop) or quality drop, never disappears."""
+    base = (
+        "the cat and the dog walked to the park and it is a fine day in the "
+        "town of spring with many things to see and do all day long today"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, None), (3, "")], "doc_id long, text string"
+    )
+    curated, audit = curate(docs, keep_langs=("en",))
+    got = {r["doc_id"]: r["outcome"] for r in audit.collect()}
+    assert set(got) == {1, 2, 3}  # audit covers every doc exactly once
+    assert got[1] == KEPT
+    assert got[2] in ("quality", "lang")
+    assert got[3] in ("quality", "lang")
+    assert curated.count() == 1
+
+
 def test_no_verified_near_dup_pairs_survive(spark, result):
     """Re-running the verified near-dup detector over the curated set
     must find nothing at/above the threshold (random band collisions

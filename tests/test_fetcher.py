@@ -16,12 +16,17 @@ from radares_spark.pipeline.run_log import fetch_run_log
 
 
 class FakeResponse:
-    def __init__(self, content: bytes):
+    def __init__(self, content: bytes, status_code: int = 200):
         self.content = content
+        self.status_code = status_code
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise OSError(f"HTTP {self.status_code}")
 
 
 class FakeSession:
-    """Records calls; raises for the device named FSBADJOI."""
+    """Records calls; raises for FSBADJOI, returns HTTP 401 for FS401JOI."""
 
     def __init__(self):
         self.posts: list[tuple[str, dict]] = []
@@ -35,6 +40,8 @@ class FakeSession:
         self.gets.append((url, dict(params)))
         if params["equipamento"] == "FSBADJOI":
             raise OSError("connection reset")
+        if params["equipamento"] == "FS401JOI":
+            return FakeResponse(b"<html>expired login</html>", status_code=401)
         return FakeResponse(b"xlsx:" + params["equipamento"].encode())
 
 
@@ -56,11 +63,13 @@ def test_login_form_fields():
 
 def test_fetch_lands_bytes_and_isolates_failures(tmp_path):
     s = FakeSession()
-    work = [("FS551JOI", D), ("FSBADJOI", D), ("FS655JOI", D)]
+    work = [("FS551JOI", D), ("FSBADJOI", D), ("FS401JOI", D), ("FS655JOI", D)]
     results = fetch_reports(s, "https://portal/report", work, str(tmp_path))
 
     # every device requested with the reference's fixed params
-    assert [g[1]["equipamento"] for g in s.gets] == ["FS551JOI", "FSBADJOI", "FS655JOI"]
+    assert [g[1]["equipamento"] for g in s.gets] == [
+        "FS551JOI", "FSBADJOI", "FS401JOI", "FS655JOI"
+    ]
     for _, p in s.gets:
         for k, v in BASE_PARAMS.items():
             assert p[k] == v
@@ -69,9 +78,12 @@ def test_fetch_lands_bytes_and_isolates_failures(tmp_path):
     # raw bytes landed under the padded key; failure did not stop the loop
     assert (tmp_path / "FS551JOI/2024-03-05.xlsx").read_bytes() == b"xlsx:FS551JOI"
     assert (tmp_path / "FS655JOI/2024-03-05.xlsx").read_bytes() == b"xlsx:FS655JOI"
-    assert [r.status for r in results] == ["downloaded", "fail", "downloaded"]
+    assert [r.status for r in results] == ["downloaded", "fail", "fail", "downloaded"]
     assert "connection reset" in results[1].error
     assert not (tmp_path / "FSBADJOI/2024-03-05.xlsx").exists()
+    # non-2xx response -> fail result, error body NOT landed as xlsx
+    assert "HTTP 401" in results[2].error
+    assert not (tmp_path / "FS401JOI/2024-03-05.xlsx").exists()
 
 
 def test_fetch_run_log_rows(spark, tmp_path):
