@@ -23,11 +23,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from radares_spark.plans import REGISTRY  # noqa: E402
+from radares_spark.plans import REGISTRY, radar  # noqa: E402
 from radares_spark.session import DEFAULT_CPUS, DEFAULT_SF_DIR, get_spark  # noqa: E402
 
 # Headline set: one per operator family, weighted toward shuffle-heavy
-# plans (the ones that matter at scale).
+# plans (the ones that matter at scale). This list is FROZEN across
+# rounds so ``value`` stays round-over-round comparable; radar_p85 is
+# no longer a registered query (merged into radar_stats_suite) but the
+# identical plan is kept as a library function for this purpose.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -45,6 +48,18 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# Round-3 additions (VERDICT r2 ask #5): the newest heavy plans. Timed
+# identically and reported in ``queries``/``extra_total`` but NOT in
+# ``value``, which remains the frozen-14 total.
+EXTRA = [
+    "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "events_sessionize",
+    "asof_join_error_click",
+]
+
+LIBRARY_PLANS = {"radar_p85": radar.radar_p85}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -55,9 +70,9 @@ def main() -> None:
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        df = spec.fn(spark, sf_dir)
+    for name in HEADLINE + EXTRA:
+        fn = LIBRARY_PLANS.get(name) or REGISTRY[name].fn
+        df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
@@ -65,7 +80,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(warm.values()), 3)
+    total = round(sum(warm[n] for n in HEADLINE), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -73,9 +88,11 @@ def main() -> None:
                 "metric": "headline_queries_total_wall_warm",
                 "value": total,
                 "unit": "sec",
+                "comparable_queries": HEADLINE,
                 "queries": warm,
+                "extra_total": round(sum(warm[n] for n in EXTRA), 3),
                 "cold_s": cold,
-                "cold_total": round(sum(cold.values()), 3),
+                "cold_total": round(sum(cold[n] for n in HEADLINE), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

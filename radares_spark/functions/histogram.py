@@ -57,15 +57,11 @@ def speeding_ratio(limit: int, bins: Bins = SPEED_BINS) -> Column:
     return num / _total(bins)
 
 
-def percentile_from_bins(df: DataFrame, group_cols: list[str], p: float = 0.85, bins: Bins = SPEED_BINS) -> DataFrame:
-    """p-th percentile speed from a wide histogram: the upper bound of
-    the first bin whose cumulative count reaches ``p * total``.
-
-    Single aggregation, no window: for each candidate bin, compare the
-    prefix-sum (a static expression over the wide columns) against
-    ``p * total`` — Catalyst folds this into one pass. Returns
-    ``group_cols + [p<NN>_speed]``.
-    """
+def percentile_col(p: float = 0.85, bins: Bins = SPEED_BINS) -> Column:
+    """p-th percentile speed from a wide histogram row: the upper bound
+    of the first bin whose cumulative count reaches ``p * total`` — a
+    pure column expression (prefix sums compared against the target;
+    Catalyst folds it into the enclosing pass)."""
     total = _total(bins)
     prefix = []
     acc = None
@@ -77,8 +73,15 @@ def percentile_from_bins(df: DataFrame, group_cols: list[str], p: float = 0.85, 
     for (c, lo, hi), cum in zip(bins, prefix):
         cond = cum >= target
         expr = F.when(cond, hi) if expr is None else expr.when(cond, hi)
-    pcol = expr.otherwise(F.lit(bins[-1][2])).alias(f"p{int(p * 100)}_speed")
-    return df.select(*group_cols, pcol)
+    return expr.otherwise(F.lit(bins[-1][2]))
+
+
+def percentile_from_bins(df: DataFrame, group_cols: list[str], p: float = 0.85, bins: Bins = SPEED_BINS) -> DataFrame:
+    """Single aggregation, no window: returns
+    ``group_cols + [p<NN>_speed]`` via :func:`percentile_col`."""
+    return df.select(
+        *group_cols, percentile_col(p, bins).alias(f"p{int(p * 100)}_speed")
+    )
 
 
 def percentile_from_bins_interp(

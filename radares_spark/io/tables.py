@@ -70,6 +70,43 @@ def spread(spark: SparkSession, sf_dir: str, name: str, floor: int = 4) -> DataF
     return df.repartition(n)
 
 
+def jdbc_reader_options(
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Assemble the JDBC reader option map — pure, so the contract is
+    unit-testable WITHOUT a live database or vendor jar
+    (tests/test_jdbc_options.py pins it offline).
+
+    ``table`` may be a table name or a parenthesized subquery
+    ``(SELECT ...) t`` — bind-param lookups become WHERE clauses in
+    the subquery and execute remotely, mirroring the reference's
+    parameterized ``pd.read_sql`` (clean_data.py:175,193). The four
+    partitioning options must travel together: Spark fans the read out
+    into ``num_partitions`` parallel range-bounded queries on
+    ``partition_column``.
+    """
+    if partition_column is not None and None in (lower_bound, upper_bound, num_partitions):
+        raise ValueError(
+            "partition_column requires lower_bound, upper_bound and num_partitions"
+        )
+    opts: dict[str, str] = {"url": url, "dbtable": table}
+    opts.update(properties or {})
+    if partition_column is not None:
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
 def load_jdbc(
     spark: SparkSession,
     url: str,
@@ -81,28 +118,15 @@ def load_jdbc(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """JDBC source (SURVEY §2.1 S6 — reference ``pd.read_sql`` at
-    clean_data.py:175,193, backload_scrape.py:79).
-
-    ``table`` may be a table name or a parenthesized subquery ``(SELECT
-    ... ) t`` — bind-param lookups become WHERE clauses in the subquery
-    and are executed remotely, like the reference's parameterized SQL.
-    For big tables pass the 4 partitioning args so the read fans out to
-    ``num_partitions`` parallel range-bounded queries instead of one
-    connection. Requires the vendor JDBC jar on the classpath (not
-    bundled here; engine-native parquet is the default store —
-    io/tables.load_table).
+    clean_data.py:175,193, backload_scrape.py:79). Options assembled by
+    :func:`jdbc_reader_options`; requires the vendor JDBC jar on the
+    classpath (not bundled here; engine-native parquet is the default
+    store — io/tables.load_table).
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
-        )
-    return reader.load()
+    opts = jdbc_reader_options(
+        url, table, properties, partition_column, lower_bound, upper_bound, num_partitions
+    )
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

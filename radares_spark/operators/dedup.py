@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
 
 from radares_spark.functions.vectors import COSINE_SQL_CTE, dot, l2norm
 from radares_spark.io.tables import spread
@@ -486,8 +487,48 @@ def _hp_band_sql(elem: str) -> list[str]:
     return outs
 
 
-_BANDS_SPARK = _hp_band_sql("CAST(element_at(v, {i}) AS DOUBLE)")
 _BANDS_DUCK = _hp_band_sql("v[{i}]")
+
+# Spark side: the 32 hyperplane dot products are ONE Arrow-batched
+# pandas UDF, not 2048 scalar expression terms. The scalar form (32
+# planes x 64 dims unrolled, whether one-shot or staged through a dots
+# projection — CollapseProject re-inlines the stage) exceeds Janino's
+# method limits, so whole-stage codegen FAILS and the projection runs
+# interpreted: measured ~16 s warm on the sf0.1 bench, re-evaluated on
+# both sides of the self-join. Dense linear algebra is exactly what the
+# Arrow path is for: per batch this is 64 vectorized (n x 32)
+# multiply-adds — milliseconds, and the UDF output is a materialized
+# column the band folds index cheaply.
+#
+# Parity contract: the accumulation iterates DIMENSIONS left-to-right
+# in float64 (vectorized across rows/planes), which is bit-for-bit the
+# oracle's ((w0*v0 + w1*v1) + w2*v2)... bracketing — numpy's pairwise
+# np.dot summation would NOT be, and a last-ulp sign flip on a
+# near-zero dot would silently move a vector to another bucket.
+
+
+@F.pandas_udf(ArrayType(DoubleType()))  # explicit type: no session at import
+def _hp_project_udf(v):  # pd.Series of float32[64] -> float64[32]
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(_HP_W, dtype=np.float64)  # HP_PLANES x 64
+    M = np.stack(v.to_numpy()).astype(np.float64)  # n x 64 (exact widen)
+    acc = np.zeros((M.shape[0], W.shape[0]), dtype=np.float64)
+    for d in range(M.shape[1]):  # left-to-right over dims == oracle order
+        acc += M[:, d][:, None] * W[:, d][None, :]
+    return pd.Series(list(acc))
+
+
+_HP_BAND_FOLDS = [
+    "("
+    + " + ".join(
+        f"(CASE WHEN element_at(ds, {b * HP_R + i + 1}) >= 0.0 THEN {1 << i} ELSE 0 END)"
+        for i in range(HP_R)
+    )
+    + ")"
+    for b in range(HP_BANDS)
+]
 
 
 @register(
@@ -551,8 +592,9 @@ def embedding_lsh_pairs(
     normed = emb.select(
         "vec_id", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
     )
-    sig = normed.select(
-        "vec_id", *[F.expr(e).alias(f"band{b}") for b, e in enumerate(_BANDS_SPARK)]
+    dots = normed.select("vec_id", _hp_project_udf("v").alias("ds"))
+    sig = dots.select(
+        "vec_id", *[F.expr(e).alias(f"band{b}") for b, e in enumerate(_HP_BAND_FOLDS)]
     )
     pairs_arr = F.array(
         *[
@@ -589,3 +631,57 @@ def embedding_lsh_pairs(
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- Transitive dedup groups (connected components over LSH pairs) ---------
+
+_PAIRS_RECURSIVE_CTE = f"""
+    {MINHASH_SQL.replace("WITH norm", "WITH RECURSIVE norm", 1)},
+    bands AS (
+        SELECT doc_id, b.band, b.band_hash
+        FROM sig, LATERAL (
+            VALUES {", ".join(f"({b}, md5(s{2 * b}::VARCHAR || '_' || s{2 * b + 1}::VARCHAR))" for b in range(N_BANDS))}
+        ) AS b(band, band_hash)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS r FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    )
+"""
+
+
+@register(
+    "dedup_components_canonical",
+    oracle=f"""
+    {_PAIRS_RECURSIVE_CTE}
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+    survey="D-fuzzy (transitive dedup groups — connected components)",
+    doc="Canonicalize the LSH candidate pairs into TRANSITIVE groups: "
+    "every doc that appears in any pair maps to the minimum doc_id of "
+    "its connected component (operators/components.py — iterated "
+    "min-label propagation as DataFrame self-joins, localCheckpoint "
+    "lineage truncation, one changed-label scalar per round). This is "
+    "the production dedup output: pairwise keep-first misses chains "
+    "a~b~c where (a,c) never collided. The oracle replays the same "
+    "graph with a recursive CTE (transitive closure + min) — feasible "
+    "exactly because the pair graph is bounded; at 100 TB the Spark "
+    "side's O(diameter) rounds over bucketed edges is the scalable "
+    "form.",
+)
+def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radares_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)

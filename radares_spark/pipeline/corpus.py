@@ -18,9 +18,9 @@ stage sees only survivors of the previous one):
    through kept docs; full transitive-closure canonicalization is an
    iterative pair-join (or connected components) over the same pair
    table — at 100 TB you run that as a handful of self-join rounds.
-5. **deterministic sample** — hash-mod carve-out (plans/advanced
-   deterministic_sample semantics) so reruns and other engines agree
-   on the byte-identical subset.
+5. **deterministic sample** — hash-mod carve-out (audited in
+   relational_checks_suite's sample_10pct checks) so reruns and other
+   engines agree on the byte-identical subset.
 
 Every stage is a column expression / join over the previous stage —
 one lazy plan, no driver materialization. ``curate`` returns BOTH the
@@ -30,10 +30,12 @@ pipeline you cannot audit is a pipeline you cannot debug at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from radares_spark.io.tables import load_table
 from radares_spark.operators.dedup import (
+    NORM_SQL,
     _md5,
     lsh_bands,
     minhash_signatures,
@@ -42,6 +44,7 @@ from radares_spark.operators.dedup import (
 )
 from radares_spark.operators.text import lang_id_per_doc
 from radares_spark.operators import text as text_ops
+from radares_spark.registry import register
 
 DROP_QUALITY = "quality"
 DROP_LANG = "lang"
@@ -234,3 +237,44 @@ def sample_to_token_budget(docs: DataFrame, budget_tokens: int) -> DataFrame:
         .filter(F.col("__prefix") <= budget_tokens)
         .drop("__bucket", "__tok", "__offset", "__prefix")
     )
+
+
+BUDGET_TOKENS = 15_000  # ~half the sf0.01 corpus, ~5% of sf0.1
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split({NORM_SQL.format(c='text')}, ' ')) AS n_tokens,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {N_BUDGET_BUCKETS} AS bucket
+        FROM documents
+    ),
+    pref AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS cum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens FROM pref WHERE cum <= {BUDGET_TOKENS}
+    """,
+    survey="LLM-pipeline (token-budget corpus sampling, distributed "
+    "prefix sum)",
+    doc=f"Deterministic corpus prefix totalling <= {BUDGET_TOKENS} "
+    "whitespace tokens in content-hash order "
+    "(sample_to_token_budget above): the naive global running sum is a "
+    "single-partition window; this is the scalable two-phase prefix sum "
+    f"— per-bucket totals ({N_BUDGET_BUCKETS} rows) -> tiny offset "
+    "window -> per-bucket parallel windows. The oracle replays the SAME "
+    "global order (bucket, doc_id) as one flat window, which is "
+    "feasible only because the oracle corpus is small — the equivalence "
+    "IS the scale claim.",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sampled = sample_to_token_budget(docs, BUDGET_TOKENS)
+    toks = F.size(F.split(normalize_text(F.col("text")), " "))
+    return sampled.select("doc_id", toks.alias("n_tokens"))

@@ -20,26 +20,31 @@ def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
     load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-@register(
-    "grouping_sets_revenue",
-    oracle="""
+_GROUPING_SQL = """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*)                       AS n
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-    """,
-    survey="A3 grouping sets (beyond rollup/cube)",
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+"""
+
+
+@register(
+    "grouping_analytics_lineitem",
+    oracle=_GROUPING_SQL,
+    survey="A3 rollup + grouping sets (cube lives in cube_orders)",
+    doc="ROLLUP(l_returnflag, l_linestatus) is the grouping-set family "
+    "{(rf,ls),(rf),()}; this query declares the superset "
+    "{(rf,ls),(rf),(ls),()} via GROUPING SETS, covering both the rollup "
+    "lattice and arbitrary set selection in one aggregate — Catalyst "
+    "expands to a single Expand + hash aggregate (one shuffle), not one "
+    "scan per set.",
 )
-def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_analytics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        """
-    )
+    return spark.sql(_GROUPING_SQL)
 
 
 @register(
@@ -104,30 +109,10 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "deterministic_sample",
-    oracle="""
-    SELECT count(*) AS n_sampled,
-           round(sum(o_totalprice), 2) AS sampled_total
-    FROM orders
-    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 < 10
-    """,
-    survey="LLM-pipeline: deterministic corpus sampling",
-    doc="10% sample by content hash — reproducible across engines and "
-    "runs, unlike rand()-based sampling; the standard way to carve "
-    "held-out corpus slices. The hash-mod predicate is a plain column "
-    "expression, so it pushes into the scan pipeline (no shuffle).",
-)
-def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    bucket = (
-        F.conv(F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    return orders.filter(bucket < 10).agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
-    )
+# (deterministic hash-mod sampling is audited inside
+# relational_checks_suite — sample_10pct_n / sample_10pct_total_cents —
+# and used as a pipeline stage in pipeline/corpus.curate; the
+# token-budget variant is registered as corpus_token_budget.)
 
 
 @register(

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from radares_spark.functions.cleaning import clean_direction, split_time_range
 from radares_spark.functions.histogram import (
     bins_long,
-    percentile_from_bins,
+    percentile_col,
     speeding_ratio,
     weighted_mean_speed,
 )
@@ -104,59 +104,45 @@ def radar_bins_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "radar_weighted_mean",
+    "radar_stats_suite",
     oracle=f"""
     WITH hist AS ({HIST_SQL})
     SELECT equipment, pubmonth,
            round(({" + ".join(f"{c} * {(lo + hi) / 2.0}" for c, lo, hi in QTY_BINS)})
-                 / ({" + ".join(c for c, _, _ in QTY_BINS)}), 4) AS weighted_mean
+                 / ({" + ".join(c for c, _, _ in QTY_BINS)}), 4) AS weighted_mean,
+           CASE
+{chr(10).join(f"             WHEN ({' + '.join(c for c, _, _ in QTY_BINS[: i + 1])}) >= 0.85 * ({' + '.join(c for c, _, _ in QTY_BINS)}) THEN {QTY_BINS[i][2]}" for i in range(len(QTY_BINS)))}
+             ELSE {QTY_BINS[-1][2]}
+           END AS p85_speed,
+           round(({" + ".join(c for c, lo, _ in QTY_BINS if lo >= 31)})
+                 / ({" + ".join(c for c, _, _ in QTY_BINS)})::DOUBLE, 6) AS speeding_ratio
     FROM hist
     """,
-    survey="A3 (weighted mean from histogram)",
+    survey="A3 (weighted mean + p85 percentile-from-histogram + "
+    "share-above-limit, one pass)",
+    doc="The radar analytics battery — weighted mean speed, 85th "
+    "percentile from cumulative bin prefix sums, share above the limit — "
+    "as ONE projection over the wide histogram row: one fact shuffle "
+    "feeds all three statistics (three scans at 100 TB would be the "
+    "reference's per-metric-loop shape). No window, no unpivot.",
 )
-def radar_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def radar_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = _qty_hist(spark, sf_dir)
     return hist.select(
         "equipment",
         "pubmonth",
         F.round(weighted_mean_speed(QTY_BINS), 4).alias("weighted_mean"),
+        percentile_col(0.85, QTY_BINS).alias("p85_speed"),
+        F.round(speeding_ratio(31, QTY_BINS), 6).alias("speeding_ratio"),
     )
 
 
-@register(
-    "radar_p85",
-    oracle=f"""
-    WITH hist AS ({HIST_SQL})
-    SELECT equipment, pubmonth,
-           CASE
-{chr(10).join(f"             WHEN ({' + '.join(c for c, _, _ in QTY_BINS[: i + 1])}) >= 0.85 * ({' + '.join(c for c, _, _ in QTY_BINS)}) THEN {QTY_BINS[i][2]}" for i in range(len(QTY_BINS)))}
-             ELSE {QTY_BINS[-1][2]}
-           END AS p85_speed
-    FROM hist
-    """,
-    survey="A3 (p85 percentile-from-histogram)",
-    doc="85th percentile from cumulative bin prefix sums — one pass over "
-    "the wide row, no window, no unpivot shuffle.",
-)
 def radar_p85(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return percentile_from_bins(_qty_hist(spark, sf_dir), ["equipment", "pubmonth"], 0.85, QTY_BINS)
-
-
-@register(
-    "radar_speeding_ratio",
-    oracle=f"""
-    WITH hist AS ({HIST_SQL})
-    SELECT equipment, pubmonth,
-           round(({" + ".join(c for c, lo, _ in QTY_BINS if lo >= 31)})
-                 / ({" + ".join(c for c, _, _ in QTY_BINS)})::DOUBLE, 6) AS speeding_ratio
-    FROM hist
-    """,
-    survey="A3 (share-above-limit from histogram)",
-)
-def radar_speeding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p85-only projection — kept as a library entry point (and the
+    bench's round-over-round comparable plan)."""
     hist = _qty_hist(spark, sf_dir)
     return hist.select(
-        "equipment", "pubmonth", F.round(speeding_ratio(31, QTY_BINS), 6).alias("speeding_ratio")
+        "equipment", "pubmonth", percentile_col(0.85, QTY_BINS).alias("p85_speed")
     )
 
 

@@ -159,9 +159,10 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Filter / join-semantics / HAVING audit suite (§2.4 F2/F4, §2.6 J2/J3,
-# A3 distinct-agg, §2.8 lag-gap, §2.10 date scalars) — seven independent
-# checks, one (check_name, n) row each.
+# Filter / join-semantics / HAVING / set-ops / sampling audit suite
+# (§2.4 F2/F4, §2.6 J2/J3, A3 distinct-agg, §2.8 lag-gap + set ops,
+# §2.10 date scalars, LLM-pipeline deterministic sampling) — eleven
+# independent checks, one (check_name, n) row each.
 # ---------------------------------------------------------------------------
 
 
@@ -205,17 +206,41 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'order_months_2000', count(DISTINCT date_trunc('month', o_orderdate))
     FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    UNION ALL
+    SELECT 'nations_cust_only', count(*) FROM (
+        SELECT DISTINCT c_nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'nations_both', count(*) FROM (
+        SELECT DISTINCT c_nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'sample_10pct_n', count(*)
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 < 10
+    UNION ALL
+    SELECT 'sample_10pct_total_cents', round(round(sum(o_totalprice), 2) * 100)::BIGINT
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 < 10
     """,
     survey="F2 (IN+range), J2 (anti), J3 (semi), F4 (HAVING), A3 "
-    "distinct-agg, §2.8 lag-gap, §2.10 date trunc",
-    doc="Audit suite: seven relational invariants as tagged counts — "
+    "distinct-agg, §2.8 lag-gap + set ops (except/intersect), §2.10 date "
+    "trunc, LLM-pipeline deterministic hash-mod sampling",
+    doc="Audit suite: eleven relational invariants as tagged counts — "
     "IN-list+date-range filter (reference backload_scrape.py:70-78), "
     "anti-join work-list (backload_scrape.py:61-86), semi-join existence "
     "guard (clean_data.py:168-180), HAVING threshold (verify_dates.py "
     "count<N pattern), COUNT(DISTINCT), lag()-based order-gap detection, "
-    "and month-truncation. Each check is an independent branch (no fake "
-    "dependency between them), unioned into one result — the shape of a "
-    "nightly data-quality audit job.",
+    "month-truncation, EXCEPT/INTERSECT set audits, and the "
+    "deterministic 10% content-hash sample (count + cents total — "
+    "reproducible across engines/runs unlike rand(); the hash-mod "
+    "predicate pushes into the scan pipeline). Each check is an "
+    "independent branch (no fake dependency between them), unioned into "
+    "one result — the shape of a nightly data-quality audit job.",
 )
 def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -290,7 +315,49 @@ def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nations = supp.agg(F.countDistinct("s_nationkey").alias("n")).select(
         F.lit("supp_nations").alias("check_name"), "n"
     )
-    parts = [urgent, no_orders, active, big, supp_nations, gappy, months]
+
+    # set-ops audits (§2.8): EXCEPT / INTERSECT over the nation keys
+    cn = cust.select(F.col("c_nationkey").alias("k")).distinct()
+    sn = supp.select(F.col("s_nationkey").alias("k")).distinct()
+    nations_only = tag("nations_cust_only", cn.exceptAll(sn).distinct())
+    nations_both = tag("nations_both", cn.intersect(sn))
+
+    # deterministic 10% content-hash sample: one filtered aggregate
+    # feeds both the count and the (cents-integer) total check. The
+    # double round (2 decimals, then x100 to an integer) is exact on
+    # both engines — the scaled value is mathematically integral.
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    samp = orders.filter(bucket < 10).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100).cast("long").alias("cents"),
+    )
+    sample_n = samp.select(
+        F.lit("sample_10pct_n").alias("check_name"), F.col("n_sampled").alias("n")
+    )
+    sample_cents = samp.select(
+        F.lit("sample_10pct_total_cents").alias("check_name"), F.col("cents").alias("n")
+    )
+
+    parts = [
+        urgent,
+        no_orders,
+        active,
+        big,
+        supp_nations,
+        gappy,
+        months,
+        nations_only,
+        nations_both,
+        sample_n,
+        sample_cents,
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -364,25 +431,9 @@ def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rollup / cube / pivot / unpivot (§2.7 A3, §2.9 R2)
+# Cube / pivot / unpivot (§2.7 A3, §2.9 R2; rollup + grouping sets are
+# covered by plans/advanced.grouping_analytics_lineitem)
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "rollup_lineitem",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    survey="A3 rollup",
-)
-def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
-    )
 
 
 @register(
@@ -429,40 +480,6 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Set operations (§2.8)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "set_ops_nations",
-    oracle="""
-    SELECT 'cust_only' AS side, count(*) AS n FROM (
-        SELECT DISTINCT c_nationkey FROM customer
-        EXCEPT
-        SELECT DISTINCT s_nationkey FROM supplier
-    )
-    UNION ALL
-    SELECT 'both', count(*) FROM (
-        SELECT DISTINCT c_nationkey FROM customer
-        INTERSECT
-        SELECT DISTINCT s_nationkey FROM supplier
-    )
-    """,
-    survey="§2.8 set ops (except/intersect/union)",
-)
-def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
-    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
-    cust_only = cn.exceptAll(sn).distinct().agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("cust_only").alias("side"), "n"
-    )
-    both = cn.intersect(sn).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("both").alias("side"), "n"
-    )
-    return cust_only.unionByName(both)
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,8 @@
-"""Additional hard TPC-H shapes, as LIBRARY queries.
+"""Additional hard TPC-H shapes.
 
-The driver's correctness window caps the registry at 50 entries, so
-these four are not registered — but they are held to the same bar
-locally: ``tests/test_tpch_extra.py`` runs each against its DuckDB
-oracle with the strict comparator (type-canonical, multiset-exact),
-exactly like the registered suite.
+Registered since round 3 (the registry window was freed by merging
+narrow entries into multi-audit suites), so the driver oracle-checks
+them directly.
 
 Shapes covered (and why they're hard):
 
@@ -27,8 +25,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
+from radares_spark.registry import register
+
+Q11_ORACLE = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS value
+FROM orders
+GROUP BY o_custkey
+HAVING round(sum(o_totalprice), 2) >
+       (SELECT sum(o_totalprice) * 0.001 FROM orders)
+"""
 
 
+@register(
+    "q11_important_stock",
+    oracle=Q11_ORACLE,
+    survey="F4 (HAVING vs global scalar), J4 (1-row broadcast)",
+    doc="Q11 shape: HAVING against a GLOBAL scalar aggregate of the "
+    "same input. The global threshold is a one-row broadcast joined "
+    "under the filter - one fact shuffle total, never a second scan "
+    "per group.",
+)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers whose order value exceeds 0.1% of ALL order value —
     HAVING against a global scalar of the same input (Q11 shape)."""
@@ -44,15 +60,28 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q11_ORACLE = """
-SELECT o_custkey, round(sum(o_totalprice), 2) AS value
-FROM orders
-GROUP BY o_custkey
-HAVING round(sum(o_totalprice), 2) >
-       (SELECT sum(o_totalprice) * 0.001 FROM orders)
+Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_revenue
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
+@register(
+    "q15_top_supplier",
+    oracle=Q15_ORACLE,
+    survey="derived view vs own MAX (Q15), ties surface",
+    doc="Q15 shape: revenue view joined against its own MAX (1-row "
+    "broadcast); ties all surface. Supplier dim broadcast.",
+)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) with the maximum 1997-H1 revenue — derived view
     joined to its own MAX; ties all surface (Q15 shape)."""
@@ -75,21 +104,31 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q15_ORACLE = """
-WITH revenue AS (
-    SELECT l_suppkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
-    GROUP BY l_suppkey
-)
-SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_revenue
-FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
 """
 
 
+@register(
+    "q21_waiting_suppliers",
+    oracle=Q21_ORACLE,
+    survey="J3+J2 double correlation (EXISTS + NOT EXISTS, non-equi "
+    "conjuncts) - the hardest remaining relational shape",
+    doc="Q21 shape (reference anti-join in miniature: "
+    "src/backload_scrape.py:61-86): two differently-correlated "
+    "semi/anti joins against the same fact table with a non-equi "
+    "suppkey conjunct, then a broadcast dim join + count.",
+)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 SHAPE on TESTDATA columns: suppliers whose lineitem was the
     ONLY returned one on a multi-supplier order — EXISTS (another
@@ -119,22 +158,4 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q21_ORACLE = """
-SELECT s_name, count(*) AS numwait
-FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
-WHERE l1.l_returnflag = 'R'
-  AND EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                  WHERE l3.l_orderkey = l1.l_orderkey
-                    AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_returnflag = 'R')
-GROUP BY s_name
-"""
 
-EXTRA_ORACLES = {
-    "q11_important_stock": (q11_important_stock, Q11_ORACLE),
-    "q15_top_supplier": (q15_top_supplier, Q15_ORACLE),
-    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_ORACLE),
-}

@@ -6,7 +6,7 @@ dimension self-pair joins (Q7), large-group top-k over a 3-way join
 (Q10), IN-subquery against an aggregated derived table (Q18),
 disjunctive mixed fact/dim predicates (Q19), and a scalar-subquery
 threshold + anti-join (Q22). (Conditional-aggregate ratios — the Q14
-shape — are covered by radar_speeding_ratio and pivot_status_by_segment.)
+shape — are covered by radar_stats_suite and pivot_status_by_segment.)
 
 Reference parity: the reference delegates all analysis to "querying
 and analysis with another datas" (``/root/reference/README.md:3``);

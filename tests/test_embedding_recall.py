@@ -59,6 +59,43 @@ def test_recall_at_registered_threshold(planted):
     assert recall >= 0.95, f"measured recall {recall:.3f} < 0.95 ({hit}/{len(truth)})"
 
 
+def test_banding_matches_oracle_bit_for_bit(spark):
+    """The Arrow-batched hyperplane projection claims bit-identical
+    sum order with the DuckDB oracle. The registered query can't prove
+    it (0 pairs survive 0.98 on this corpus), so replay BOTH engines at
+    threshold -1 (every band collision surfaces) and compare the full
+    candidate sets + cosines — a single last-ulp sign flip would move a
+    vector to another bucket and show up here."""
+    import duckdb
+
+    from radares_spark.plans import REGISTRY
+    from radares_spark.io.tables import TABLES
+    from tests.conftest import SF_SMOKE
+    from pathlib import Path
+
+    spark_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_lsh_pairs(
+            load_table(spark, SF_SMOKE, "embeddings"), threshold=-1.0
+        ).collect()
+    }
+
+    sql = REGISTRY["dedup_embedding_lsh"].oracle.replace(
+        f">= {NEARDUP_COS}", ">= -1.0"
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_SMOKE) / f"{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    duck_pairs = {
+        (a, b): c for a, b, c in con.execute(sql).fetchall()
+    }
+    con.close()
+
+    assert len(spark_pairs) > 500  # the check is non-vacuous
+    assert spark_pairs == duck_pairs
+
+
 def test_no_false_positives_from_natural_corpus(planted):
     # exact in-bucket verification: a random band collision never
     # produces a pair — the natural corpus (max pair cosine ~0.51)

@@ -23,11 +23,15 @@ from tests.conftest import SF_SMOKE
 #   q22_idle_customers      — single-row scalar-subquery threshold
 #   similarity_cosine_topk  — few-row query set vs corpus (non-equi !=)
 #   similarity_ivf_topk     — few-row probe set (crossJoin with centroids)
+#   q11_important_stock     — single-row global-threshold broadcast
+#   q15_top_supplier        — single-row MAX-revenue broadcast
 SANCTIONED_NESTED_LOOP = {
     "range_join_price_bands",
     "q22_idle_customers",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
+    "q11_important_stock",
+    "q15_top_supplier",
 }
 
 

@@ -1,0 +1,155 @@
+"""Scale stress: the dedup/similarity family must scale
+sub-quadratically when the corpus is inflated (VERDICT r2 ask #6 — the
+sf0.1 bench cannot see a silent bucket-skew blow-up; this test can).
+
+Corpus inflation is DISSIMILAR by construction (each copy's tokens /
+vector layout are perturbed per copy index), so candidate-pair volume
+should grow ~linearly; a quadratic blow-up would mean the banding
+degenerated into all-pairs. Assertions are layered:
+
+- structural (deterministic): max LSH bucket size stays bounded, and
+  candidate pairs grow sub-quadratically (4x corpus => << 16x pairs);
+- wall-clock (generous margins, warm-measured): 4x corpus must run in
+  < 8x the 1x time — quadratic work would be ~16x.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dedup import (
+    embedding_lsh_pairs,
+    lsh_bands,
+    minhash_signatures,
+)
+from radares_spark.operators.similarity import build_ivf_index, l2norm
+from tests.conftest import SF_ORACLE
+
+INFLATE = 4
+
+
+def _inflate_docs(docs, k: int):
+    parts = [docs]
+    for i in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                # suffix every WORD with a per-copy marker: each copy's
+                # shingle vocabulary is disjoint from every other copy's
+                # (so copies are not near-dups of anything), while the
+                # within-copy shingle diversity matches the original
+                # corpus — statistically a genuine 4x corpus. (An
+                # interleaved marker TOKEN is wrong: it makes every
+                # common word w produce the same 'm w m' shingle across
+                # all docs, i.e. a MORE similar corpus.)
+                F.regexp_replace("text", "(\\S+)", f"$1v{i}").alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _inflate_vecs(emb, k: int):
+    parts = [emb.select("vec_id", "embedding")]
+    dim = 64
+    for i in range(1, k):
+        # rotate the vector layout by 7*i positions: a rolled random
+        # vector is ~orthogonal to the original — dissimilar inflation
+        s = (7 * i) % dim
+        rolled = F.concat(F.slice("embedding", s + 1, dim - s), F.slice("embedding", 1, s))
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                rolled.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _minhash_pairs_stats(docs):
+    bands = lsh_bands(minhash_signatures(docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+    )
+    max_bucket = (
+        bands.groupBy("band", "band_hash").count().agg(F.max("count")).collect()[0][0]
+    )
+    t0 = time.perf_counter()
+    n_pairs = pairs.count()
+    return n_pairs, max_bucket, time.perf_counter() - t0
+
+
+@pytest.mark.slow
+def test_minhash_lsh_subquadratic(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    big = _inflate_docs(docs, INFLATE)
+
+    _minhash_pairs_stats(docs)  # codegen/JIT warm-up, discard
+    n1, mb1, t1 = _minhash_pairs_stats(docs)
+    n4, mb4, t4 = _minhash_pairs_stats(big)
+
+    # structural: buckets stay tiny — no degenerate hot bucket
+    assert mb4 <= max(4 * mb1, 32), f"bucket blow-up: {mb1} -> {mb4}"
+    # candidate volume sub-quadratic: 4x corpus => far below 16x pairs
+    assert n4 <= 6 * max(n1, 4), f"pair blow-up: {n1} -> {n4}"
+    # wall-clock sub-quadratic with generous noise margin
+    assert t4 <= 8 * t1 + 2.0, f"time blow-up: {t1:.2f}s -> {t4:.2f}s"
+
+
+@pytest.mark.slow
+def test_embedding_lsh_no_skew_blowup(spark):
+    """On near-uniform random vectors, sign-LSH candidate volume is
+    inherently ~ C(n,2) x collision-rate (the rate — ~1.5% for 4x8-bit
+    bands — is the 'never all-pairs' guarantee). The silent blow-up to
+    guard against is SKEW: a hot band bucket drives the rate up and
+    concentrates the join. So the assertions are rate constancy under
+    4x inflation and bucket balance — not raw pair counts, which
+    legitimately grow ~16x when the corpus has no structure."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    big = _inflate_vecs(emb, INFLATE)
+
+    def run(frame):
+        n_vec = frame.count()
+        n_cand = embedding_lsh_pairs(frame, threshold=-1.0).count()  # all cands
+        return n_cand / (n_vec * (n_vec - 1) / 2)
+
+    rate1 = run(emb)
+    rate4 = run(big)
+    assert rate4 <= 2 * rate1, f"collision rate grew: {rate1:.4f} -> {rate4:.4f}"
+    assert rate4 <= 0.05  # stays ~the theoretical 1.5%, never all-pairs
+
+
+@pytest.mark.slow
+def test_ivf_cells_stay_balanced_under_inflation(spark):
+    """IVF probe work is ~ n_probe/n_cells of the corpus ONLY if cells
+    stay balanced; a collapse into one giant cell is the silent
+    blow-up. Train on the inflated corpus, assert no cell exceeds half
+    the corpus."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    big = _inflate_vecs(emb, INFLATE)
+    normed = big.select(
+        "vec_id", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
+    )
+    assignment, _ = build_ivf_index(normed, n_cells=8, iters=2)
+    total = assignment.count()
+    biggest = assignment.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    assert total == INFLATE * 500
+    assert biggest <= total / 2, f"degenerate cell: {biggest}/{total}"
