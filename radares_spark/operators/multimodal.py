@@ -41,6 +41,24 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decode_frame(pdf: pd.DataFrame, with_meta: bool) -> pd.DataFrame:
+    import hashlib
+
+    h = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+    out = {
+        "doc_id": pdf["doc_id"],
+        "n_bytes": pdf["payload"].map(len).astype("int32"),
+        "width": (h.map(lambda x: int(x[0:4], 16)) % 1920 + 1).astype("int32"),
+        "height": (h.map(lambda x: int(x[4:8], 16)) % 1080 + 1).astype("int32"),
+        "channels": (h.map(lambda x: int(x[8], 16)) % 3 + 1).astype("int32"),
+        "mean_luma": (h.map(lambda x: int(x[9:13], 16)) / 65535.0).round(6),
+    }
+    if with_meta:
+        out["payload_md5"] = h
+        out["magic"] = h.str[:8]
+    return pd.DataFrame(out)
+
+
 def fake_decode_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """STUB decoder (mapInPandas kernel).
 
@@ -51,20 +69,16 @@ def fake_decode_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (Arrow batches in, typed rows out, one output row per input row)
     is exactly what a real decoder uses. Swap the body, keep the plan.
     """
-    import hashlib
-
     for pdf in it:
-        h = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "width": (h.map(lambda x: int(x[0:4], 16)) % 1920 + 1).astype("int32"),
-                "height": (h.map(lambda x: int(x[4:8], 16)) % 1080 + 1).astype("int32"),
-                "channels": (h.map(lambda x: int(x[8], 16)) % 3 + 1).astype("int32"),
-                "mean_luma": (h.map(lambda x: int(x[9:13], 16)) / 65535.0).round(6),
-            }
-        )
+        yield _decode_frame(pdf, with_meta=False)
+
+
+def inspect_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decoder kernel + metadata (content hash / magic prefix) in the
+    same Arrow pass — the registered ``multimodal_inspect`` shape: one
+    scan, one mapInPandas, no second metadata projection or join."""
+    for pdf in it:
+        yield _decode_frame(pdf, with_meta=True)
 
 
 def decode_batch(df: DataFrame) -> DataFrame:
@@ -159,49 +173,35 @@ def frame_sample_batch(df: DataFrame, fps_out: float = 1.0) -> DataFrame:
     return df.mapInPandas(frame_sample_kernel(fps_out), schema=FRAME_SCHEMA)
 
 
-@register(
-    "multimodal_metadata",
-    oracle="""
-    SELECT doc_id,
-           octet_length(text::BLOB)            AS n_bytes,
-           md5(text)                           AS payload_md5,
-           substr(md5(text), 1, 8)             AS magic
-    FROM documents
-    """,
-    survey="multimodal (binary column + metadata projection)",
-    doc="Metadata over opaque binary payloads: byte length, content "
-    "hash, magic prefix. Pure column expressions — at scale this scan "
-    "never materializes payload bytes for filtered-out rows.",
-)
-def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
-        "doc_id",
-        F.length(payload).alias("n_bytes"),
-        F.md5(payload).alias("payload_md5"),
-        F.substring(F.md5(payload), 1, 8).alias("magic"),
-    )
+INSPECT_SCHEMA = DECODE_SCHEMA + ", payload_md5 string, magic string"
 
 
 @register(
-    "multimodal_decode_stub",
+    "multimodal_inspect",
     oracle="""
     SELECT doc_id,
            octet_length(text::BLOB) AS n_bytes,
            (('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1)::INT AS width,
            (('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1)::INT AS height,
            (('0x' || substr(md5(text), 9, 1))::BIGINT % 3 + 1)::INT    AS channels,
-           round(('0x' || substr(md5(text), 10, 4))::BIGINT / 65535.0, 6) AS mean_luma
+           round(('0x' || substr(md5(text), 10, 4))::BIGINT / 65535.0, 6) AS mean_luma,
+           md5(text)                 AS payload_md5,
+           substr(md5(text), 1, 8)   AS magic
     FROM documents
     """,
-    survey="multimodal (mapInPandas decode pipeline — stubbed kernel)",
-    doc="The decode pipeline end-to-end: binary payload -> mapInPandas "
-    "Arrow batches -> typed feature rows. Kernel is a deterministic "
-    "md5-derived stub (no image libs in container) so the oracle can "
-    "verify the full Spark plumbing; a real decoder swaps the kernel "
-    "body only.",
+    survey="multimodal (binary column metadata + mapInPandas decode "
+    "pipeline, one Arrow pass)",
+    doc="The multimodal inspection pipeline end-to-end: binary payload "
+    "-> mapInPandas Arrow batches -> typed feature rows (decode stats) "
+    "PLUS payload metadata (content hash, magic prefix) in the same "
+    "pass — one scan, no metadata/decode join. Decode kernel is a "
+    "deterministic md5-derived stub (no image libs in container) so "
+    "the oracle can verify the full Spark plumbing; a real decoder "
+    "swaps the kernel body only. At scale, metadata-only consumers "
+    "use the pure-column projection (with_binary_payload + length/md5 "
+    "expressions) so payload bytes never materialize for filtered "
+    "rows.",
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return decode_batch(with_binary_payload(docs))
+    return with_binary_payload(docs).mapInPandas(inspect_features, schema=INSPECT_SCHEMA)

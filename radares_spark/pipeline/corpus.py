@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
 from radares_spark.operators.dedup import (
+    _MH_SIG_EXPRS,
+    BAND_R,
+    N_BANDS,
     NORM_SQL,
     _md5,
     lsh_bands,
@@ -42,7 +45,7 @@ from radares_spark.operators.dedup import (
     normalize_text,
     word_shingles,
 )
-from radares_spark.operators.text import lang_id_per_doc
+from radares_spark.operators.text import _LANG_SQL_HITS, _LANG_SQL_PICK, lang_id_per_doc
 from radares_spark.operators import text as text_ops
 from radares_spark.registry import register
 
@@ -278,3 +281,113 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = sample_to_token_budget(docs, BUDGET_TOKENS)
     toks = F.size(F.split(normalize_text(F.col("text")), " "))
     return sampled.select("doc_id", toks.alias("n_tokens"))
+
+
+# --- Registered end-to-end curation audit ----------------------------------
+
+_NORM_COALESCED = NORM_SQL.format(c="coalesce(text, '')")
+
+CURATION_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, text, {_NORM_COALESCED} AS t FROM documents
+    ),
+    quality AS (
+        SELECT doc_id,
+               (len(string_split(t, ' ')) >= 20
+                AND len(list_filter(string_split(t, ' '),
+                                    x -> list_contains({text_ops.EN_STOPWORDS!r}, x)))
+                    / len(string_split(t, ' '))::DOUBLE BETWEEN 0.01 AND 0.6
+                AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                    / length(text)::DOUBLE < 0.1) AS quality_pass
+        FROM base
+    ),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM base),
+    lhits AS (
+        SELECT doc_id,
+{_LANG_SQL_HITS}
+        FROM tok
+    ),
+    lang AS (SELECT doc_id, {_LANG_SQL_PICK} AS pred_lang FROM lhits),
+    hashed AS (SELECT doc_id, md5(t) AS th FROM base),
+    keeper AS (SELECT th, min(doc_id) AS keep_id FROM hashed GROUP BY th),
+    exact AS (
+        SELECT h.doc_id, h.doc_id = k.keep_id AS exact_keep
+        FROM hashed h JOIN keeper k USING (th)
+    ),
+    alive AS (
+        SELECT b.doc_id, b.t
+        FROM base b JOIN quality q USING (doc_id) JOIN lang l USING (doc_id)
+                    JOIN exact e USING (doc_id)
+        WHERE q.quality_pass AND l.pred_lang IN ('en') AND e.exact_keep
+    ),
+    atoks AS (SELECT doc_id, string_split(t, ' ') AS w FROM alive),
+    sharr AS (
+        SELECT doc_id,
+               list_filter(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                           x -> x IS NOT NULL) AS sh
+        FROM atoks
+    ),
+    shashed AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sharr)
+    ),
+    sig AS (SELECT doc_id, {_MH_SIG_EXPRS} FROM shashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band, b.band_hash
+        FROM sig, LATERAL (
+            VALUES {", ".join(f"({b}, md5(s{BAND_R * b}::VARCHAR || '_' || s{BAND_R * b + 1}::VARCHAR))" for b in range(N_BANDS))}
+        ) AS b(band, band_hash)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    wsh AS (SELECT DISTINCT doc_id, s
+            FROM (SELECT doc_id, unnest(sh) AS s FROM sharr)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM wsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c JOIN wsh a ON a.doc_id = c.doc_a
+                    JOIN wsh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.8
+    )
+    SELECT d.doc_id,
+           CASE WHEN NOT q.quality_pass THEN '{DROP_QUALITY}'
+                WHEN l.pred_lang NOT IN ('en') THEN '{DROP_LANG}'
+                WHEN NOT e.exact_keep THEN '{DROP_EXACT}'
+                WHEN n.doc_id IS NOT NULL THEN '{DROP_NEAR}'
+                ELSE '{KEPT}' END AS outcome
+    FROM base d JOIN quality q USING (doc_id) JOIN lang l USING (doc_id)
+                JOIN exact e USING (doc_id) LEFT JOIN near n USING (doc_id)
+"""
+
+
+@register(
+    "corpus_curation_audit",
+    oracle=CURATION_SQL,
+    survey="LLM-pipeline (end-to-end curation chain: quality -> lang "
+    "-> exact dedup -> verified near-dedup, with per-doc audit)",
+    doc="The full curation pipeline (curate above) as ONE "
+    "driver-checked query: every doc's (doc_id, outcome) where outcome "
+    "is the first stage that dropped it — quality gate, language "
+    "filter, exact dedup keeper, MinHash-LSH candidate + exact-Jaccard "
+    "verified near-dedup — or 'kept'. The near-dup stage only sees "
+    "docs alive after the cheap stages (the LSH shuffle never sees "
+    "filtered-out bytes), and every LSH candidate is verified with the "
+    "exact word-shingle Jaccard before a drop (a random band collision "
+    "never deletes a document). The oracle replays the entire chain in "
+    "SQL, so signatures, banding, Jaccard arithmetic and stage "
+    "priority are all value-checked end to end.",
+)
+def corpus_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, audit = curate(docs, keep_langs=("en",))
+    return audit

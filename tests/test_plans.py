@@ -87,6 +87,6 @@ def test_dedup_exact_single_shuffle(spark):
 
 
 def test_text_scans_have_no_shuffle(spark):
-    for name in ("text_token_count", "text_quality_score", "multimodal_metadata"):
+    for name in ("text_token_count", "text_quality_score", "multimodal_inspect"):
         plan = _plan(spark, name)
         assert "Exchange hashpartitioning" not in plan, f"{name}: unexpected shuffle"
