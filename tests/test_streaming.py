@@ -195,6 +195,44 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert got == [1, 2, 4]  # doc 3 deduped against doc 1's state
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (both sides watermarked, state
+    bounded by the lookback) produces exactly the batch join's rows."""
+    from radares_spark.streaming.joins import clicks_before_errors
+
+    events = load_table(spark, SF, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def key(rows):
+        return sorted(
+            (r["event_id"], r["user_id"], r["error_ts"], r["click_ts"]) for r in rows
+        )
+
+    # sf0.001 events are sparse: a 24h lookback yields ~114 pairs
+    expect = key(clicks_before_errors(errors, clicks, lookback="24 hours").collect())
+    assert len(expect) > 100  # non-vacuous on the testdata
+
+    esrc, csrc = str(tmp_path / "errs"), str(tmp_path / "clicks")
+    errors.write.parquet(esrc)
+    clicks.write.parquet(csrc)
+    e_stream = spark.readStream.schema(errors.schema).parquet(esrc)
+    c_stream = spark.readStream.schema(clicks.schema).parquet(csrc)
+    q = (
+        clicks_before_errors(e_stream, c_stream, lookback="24 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = key(spark.sql("select * from ssjoin").collect())
+    assert got == expect
+
+
 def test_native_session_window_matches_lag_form(spark):
     """Three sessionizer implementations, one semantics: the native
     session_window's per-user session count and total events must match
