@@ -81,3 +81,100 @@ def test_normalize_text_idempotent(sql, texts):
         assert r["n1"] == r["n2"]
         assert "  " not in r["n1"]
         assert r["n1"] == r["n1"].strip().lower()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators: token-budget sampling, connected components,
+# time-salted as-of — each checked against an independent pure-Python
+# reference implementation on random inputs.
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+import hashlib
+import re
+
+from radares_spark.operators.asof import asof_join, asof_join_salted
+from radares_spark.operators.components import connected_components
+from radares_spark.pipeline.corpus import N_BUDGET_BUCKETS, sample_to_token_budget
+
+words = st.lists(st.sampled_from("the a cat dog runs fast blue sky".split()), min_size=0, max_size=12)
+
+
+def _py_norm(s: str) -> str:
+    return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", s.lower())).strip()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 10_000), words), min_size=1, max_size=30, unique_by=lambda t: t[0]),
+    st.integers(0, 60),
+)
+def test_token_budget_matches_python_reference(sql, docs, budget):
+    """The two-phase distributed prefix sum must select EXACTLY the
+    docs a naive sequential scan in (md5-bucket, doc_id) order selects."""
+    rows = [(i, " ".join(ws)) for i, ws in docs]
+    df = sql.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in sample_to_token_budget(df, budget).collect())
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % N_BUDGET_BUCKETS
+
+    expect, cum = [], 0
+    for i, text in sorted(rows, key=lambda r: (bucket(r[0]), r[0])):
+        cum += len(_py_norm(text).split(" "))
+        if cum > budget:
+            break
+        expect.append(i)
+    assert got == sorted(expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=25))
+def test_components_match_union_find(sql, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = sql.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=30).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=0, max_size=40),
+    st.sampled_from([60, 600, 3600]),
+)
+def test_salted_asof_equals_plain(sql, lefts, rights, bucket_s):
+    """Time-salted as-of == plain grouped-map as-of on arbitrary event
+    sets, for any bucket width (boundary carries restore exactness)."""
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, f"u{u}", base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(lefts)
+    ]
+    rrows = [(f"u{u}", base + dt.timedelta(seconds=s)) for u, s in rights]
+    left = sql.createDataFrame(lrows, "event_id long, user_id string, ts timestamp")
+    right = sql.createDataFrame(rrows, "user_id string, ts timestamp") if rrows else (
+        sql.createDataFrame([], "user_id string, ts timestamp")
+    )
+    plain = {r["event_id"]: r["value_ts"] for r in asof_join(left, right, by="user_id").collect()}
+    salted = {
+        r["event_id"]: r["value_ts"]
+        for r in asof_join_salted(left, right, by="user_id", bucket_seconds=bucket_s).collect()
+    }
+    assert salted == plain
