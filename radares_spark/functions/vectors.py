@@ -13,14 +13,45 @@ Implementation notes that matter at scale:
 - Addition is strictly left-to-right — the same order as DuckDB's
   ``list_reduce`` — so oracle doubles match bit-for-bit before
   rounding.
+- For HOT scoring joins (tens of thousands of pairs and up), the
+  Arrow-batched :func:`pair_dot` beats even the codegen'd unrolled
+  expression ~2x: ``element_at`` on unsafe array data pays per-element
+  bounds/null checks, while the numpy kernel is 64 fused vector
+  multiply-adds per batch. Same left-to-right dimension order, so the
+  result is bit-identical (verified in tests) — pick by row volume,
+  not by taste.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 DIM = 64  # embeddings.embedding dimension (FIXTURES.md §B)
+
+
+@F.pandas_udf(DoubleType())  # explicit type: usable at module import
+def pair_dot(a, b):
+    """Arrow-batched ``a . b`` over two array columns.
+
+    Accumulates DIMENSIONS left-to-right in float64 (vectorized across
+    rows), reproducing exactly the ((a0*b0 + a1*b1) + a2*b2)...
+    bracketing of both the unrolled :func:`dot` expression and DuckDB's
+    ``list_reduce`` — numpy's pairwise ``np.dot`` summation would
+    diverge in the last ulp and break oracle hash parity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    m1 = np.stack(a.to_numpy()).astype(np.float64)
+    m2 = np.stack(b.to_numpy()).astype(np.float64)
+    acc = np.zeros(m1.shape[0], dtype=np.float64)
+    for d in range(m1.shape[1]):
+        acc += m1[:, d] * m2[:, d]
+    return pd.Series(acc)
 
 
 def _term(a: str, b: str, i: int) -> str:
