@@ -78,7 +78,7 @@ def build_ivf_index(
 
     assign_w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     for _ in range(iters):
-        sim = dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+        sim = pair_dot("v", "cv") / (F.col("nrm") * F.col("cn"))
         assigned = (
             normed.crossJoin(F.broadcast(centroids))
             .select("vec_id", "v", "nrm", "cell", sim.alias("sim"))
@@ -97,7 +97,7 @@ def build_ivf_index(
             .select("cell", "cv", l2norm("cv").alias("cn"))
         )
 
-    sim = dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    sim = pair_dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     assignment = (
         normed.crossJoin(F.broadcast(centroids))
         .select("vec_id", "cell", sim.alias("sim"))

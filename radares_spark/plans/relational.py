@@ -608,8 +608,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="As-of join: latest click at-or-before each error, per user. "
     "Implemented as union + last(ignorenulls) over an event-time window "
     "— one shuffle, no range cross-product (the oracle's join+max is the "
-    "semantic spec, not the physical plan). For skewed users use the "
-    "merge_asof grouped-map variant (operators/asof.py, tested "
+    "semantic spec, not the physical plan). Per-key cardinality must be "
+    "sane (one window task per user); for faster per-group merges use "
+    "the merge_asof grouped-map variant, and for genuinely hot keys the "
+    "time-salted asof_join_salted, whose per-task work is bounded by "
+    "rows per (key, time bucket) (operators/asof.py, both tested "
     "equivalent in tests/test_asof.py).",
 )
 def asof_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
