@@ -1,0 +1,168 @@
+"""CLI entry points — the reference's three executables, re-based on
+the engine.
+
+| reference | here | what changed |
+|---|---|---|
+| ``cron -> scrape.py`` (yesterday, all devices) | ``scrape`` | fetch loop is the same driver-side ``io/fetcher.py``; parse+load is the exactly-once streaming ingest instead of per-file try/except + delete-on-success |
+| ``backload_scrape.py -i d/m/Y -f d/m/Y | -l true`` | ``backload`` | the {date: [devices]} driver dict + ``.remove()`` loop (backload_scrape.py:56-86) becomes the anti-join planner (pipeline/backfill.py); only genuinely missing reports are fetched |
+| ``verify_dates.py`` | ``verify`` | the O(days) per-day COUNT loop (verify_dates.py:25-42) is one job (pipeline/audit.py), missing days included |
+
+Date arguments keep the reference's ``d/m/Y`` contract including its
+validation semantics (backload_scrape.py:33-52): unparseable or
+future dates are rejected before any network or cluster work.
+
+Everything effectful is injected (SparkSession, HTTP session, paths),
+so the full loop — plan, fetch, land, parse, idempotent-append,
+run-log — is tested offline in ``tests/test_cli.py`` with a fake
+portal serving real fixture workbooks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from radares_spark.io.fetcher import fetch_reports, login
+from radares_spark.pipeline.audit import TOTAL_EQUIP, completeness_audit
+from radares_spark.pipeline.backfill import backfill_plan
+from radares_spark.pipeline.run_log import append_run_log, fetch_run_log
+from radares_spark.streaming.ingest_stream import run_ingest_stream
+
+
+def parse_cli_date(s: str, today: dt.date | None = None) -> dt.date:
+    """``d/m/Y`` (un-padded accepted) -> date; rejects unparseable and
+    future dates — the reference's CLI guard (backload_scrape.py:33-52),
+    as errors instead of sys.exit so callers can test it."""
+    try:
+        d = dt.datetime.strptime(s, "%d/%m/%Y").date()
+    except ValueError as e:
+        raise ValueError(f"invalid date {s!r}: expected d/m/Y") from e
+    if d > (today or dt.date.today()):
+        raise ValueError(f"date {s!r} is in the future")
+    return d
+
+
+def _ingest(spark: SparkSession, landing: str, warehouse: str, checkpoint: str) -> None:
+    run_ingest_stream(spark, landing, warehouse, checkpoint)
+
+
+def cmd_scrape(
+    spark: SparkSession,
+    http,
+    report_url: str,
+    devices: Iterable[str],
+    landing: str,
+    warehouse: str,
+    checkpoint: str,
+    day: dt.date | None = None,
+) -> None:
+    """Daily pull: yesterday's report for every device (scrape.py:24,
+    59-66), then the exactly-once ingest. Fetch failures are isolated
+    per device and recorded in the run log — never abort the batch."""
+    day = day or (dt.date.today() - dt.timedelta(days=1))
+    results = fetch_reports(http, report_url, [(e, day) for e in devices], landing)
+    append_run_log(fetch_run_log(spark, results), warehouse)
+    _ingest(spark, landing, warehouse, checkpoint)
+
+
+def cmd_backload(
+    spark: SparkSession,
+    http,
+    report_url: str,
+    devices_df: DataFrame,
+    start: dt.date,
+    end: dt.date,
+    landing: str,
+    warehouse: str,
+    checkpoint: str,
+) -> int:
+    """Range backfill: fetch ONLY the (pubdate, equipment) pairs the
+    ledger is missing (anti-join planner), land, ingest. Returns the
+    number of work items fetched; a re-run over the same range is a
+    no-op (plans empty)."""
+    ledger_path = os.path.join(warehouse, "equipment_files")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_path)  # type: ignore[union-attr]
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    if fs.exists(jvm_path):
+        ledger = spark.read.parquet(ledger_path).select("pubdate", "equipment")
+    else:
+        ledger = spark.createDataFrame([], "pubdate date, equipment string")
+    plan = backfill_plan(spark, devices_df, ledger, start, end)
+    # the work list is bounded by devices x days (backfill.py docstring)
+    work = [(r["equipment"], r["pubdate"]) for r in plan.collect()]
+    if not work:
+        return 0
+    results = fetch_reports(http, report_url, work, landing)
+    append_run_log(fetch_run_log(spark, results), warehouse)
+    _ingest(spark, landing, warehouse, checkpoint)
+    return len(work)
+
+
+def cmd_verify(spark: SparkSession, warehouse: str, expected: int = TOTAL_EQUIP) -> DataFrame:
+    """Completeness audit over the ingest ledger: days (including fully
+    missing ones) with fewer than ``expected`` devices."""
+    ledger = spark.read.parquet(os.path.join(warehouse, "equipment_files"))
+    return completeness_audit(ledger, expected)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from radares_spark.pipeline.equipments import load_equipments_csv
+    from radares_spark.session import get_spark
+
+    p = argparse.ArgumentParser(prog="radares-spark")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--landing", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--equipments-csv", help="device dimension (S3 source)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("scrape")
+    b = sub.add_parser("backload")
+    b.add_argument("-i", "--initial", help="d/m/Y")
+    b.add_argument("-f", "--final", help="d/m/Y")
+    b.add_argument("-l", "--last-three-days", action="store_true")
+    v = sub.add_parser("verify")
+    v.add_argument("--expected", type=int, default=TOTAL_EQUIP)
+    args = p.parse_args(argv)
+
+    spark = get_spark("radares-spark-cli")
+    if args.cmd == "verify":
+        for r in cmd_verify(spark, args.warehouse, args.expected).collect():
+            print(f"{r['pubdate']}: {r['n_equipments']}")
+        return 0
+
+    import requests  # only the fetch paths need the network stack
+
+    http = requests.Session()
+    auth_url, report_url = os.environ["PORTAL_AUTH_URL"], os.environ["PORTAL_REPORT_URL"]
+    # credentials from the environment — never hardcoded (the
+    # reference's schema.sql:4 bakes one in; deliberately not replicated)
+    login(http, auth_url, os.environ["PORTAL_USER"], os.environ["PORTAL_PASSWORD"])
+    devices_df = load_equipments_csv(spark, args.equipments_csv)
+    devices = [r["equipment"] for r in devices_df.select("equipment").distinct().collect()]
+
+    if args.cmd == "scrape":
+        cmd_scrape(
+            spark, http, report_url, devices, args.landing, args.warehouse, args.checkpoint
+        )
+        return 0
+
+    if args.last_three_days:  # backload_scrape.py:148-150 convenience
+        end = dt.date.today() - dt.timedelta(days=1)
+        start = end - dt.timedelta(days=2)
+    else:
+        start = parse_cli_date(args.initial)
+        end = parse_cli_date(args.final)
+    n = cmd_backload(
+        spark, http, report_url, devices_df, start, end,
+        args.landing, args.warehouse, args.checkpoint,
+    )
+    print(f"backload: fetched {n} missing reports")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,6 +34,10 @@ def stream_reports(spark: SparkSession, landing_dir: str) -> DataFrame:
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
         .option("pathGlobFilter", "*.xlsx")
+        # the fetcher lands under <equipment>/<date>.xlsx (the
+        # reference's raw-bucket key layout, scrape.py:87) — recurse
+        # instead of treating the equipment dirs as partition columns
+        .option("recursiveFileLookup", "true")
         .load(landing_dir)
         .select("path", "content")
     )

@@ -1,0 +1,97 @@
+"""CLI entry points (cli.py) — the reference's three executables,
+exercised offline end to end: a fake portal serves REAL fixture
+workbooks, so backload plans -> fetches -> lands -> parses ->
+idempotently appends -> audits, all through the public surface."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.cli import cmd_backload, cmd_scrape, cmd_verify, parse_cli_date
+from radares_spark.io.report_parser import build_report
+
+TODAY = dt.date(2024, 5, 10)
+
+
+def test_parse_cli_date_contract():
+    assert parse_cli_date("5/3/2024", today=TODAY) == dt.date(2024, 3, 5)
+    assert parse_cli_date("05/03/2024", today=TODAY) == dt.date(2024, 3, 5)
+    with pytest.raises(ValueError, match="invalid date"):
+        parse_cli_date("2024-03-05", today=TODAY)
+    with pytest.raises(ValueError, match="future"):
+        parse_cli_date("11/5/2024", today=TODAY)
+
+
+class FakePortal:
+    """Serves a real template-1 workbook per (equipment, date) request."""
+
+    def __init__(self):
+        self.fetched: list[tuple[str, str]] = []
+
+    def get(self, url, params=None, stream=False):
+        equip = params["equipamento"]
+        d, m, y = params["dataStr"].split("/")
+        day = dt.date(int(y), int(m), int(d))
+        self.fetched.append((equip, day.isoformat()))
+
+        class R:
+            status_code = 200
+            content = build_report(1, day, equip)
+
+            def raise_for_status(self):
+                pass
+
+        return R()
+
+
+def test_backload_plans_fetches_ingests_then_noop(spark, tmp_path):
+    devices = spark.createDataFrame([("FS551JOI",), ("FS655JOI",)], "equipment string")
+    landing, wh, ckpt = str(tmp_path / "l"), str(tmp_path / "w"), str(tmp_path / "c")
+    portal = FakePortal()
+    start, end = dt.date(2024, 5, 1), dt.date(2024, 5, 2)
+
+    n = cmd_backload(spark, portal, "https://portal/r", devices, start, end, landing, wh, ckpt)
+    assert n == 4  # 2 devices x 2 days, nothing ingested yet
+    assert len(portal.fetched) == 4
+
+    flows = spark.read.parquet(f"{wh}/flows")
+    assert flows.count() == 4 * 96  # template 1: 96 slot rows per report
+    ledger = spark.read.parquet(f"{wh}/equipment_files")
+    assert ledger.count() == 4
+
+    # re-run over the same range: the anti-join plans NOTHING
+    n2 = cmd_backload(spark, portal, "https://portal/r", devices, start, end, landing, wh, ckpt)
+    assert n2 == 0 and len(portal.fetched) == 4
+
+    # widen the range by one day: exactly the 2 new items are fetched
+    n3 = cmd_backload(
+        spark, portal, "https://portal/r", devices, start, dt.date(2024, 5, 3), landing, wh, ckpt
+    )
+    assert n3 == 2
+    assert spark.read.parquet(f"{wh}/flows").count() == 6 * 96
+
+    # verify: both devices present on every day -> audit at expected=2
+    # is empty; at expected=3 every day is short
+    assert cmd_verify(spark, wh, expected=2).count() == 0
+    short = {r["pubdate"].isoformat() for r in cmd_verify(spark, wh, expected=3).collect()}
+    assert short == {"2024-05-01", "2024-05-02", "2024-05-03"}
+
+
+def test_scrape_pulls_one_day_and_logs(spark, tmp_path):
+    landing, wh, ckpt = str(tmp_path / "l"), str(tmp_path / "w"), str(tmp_path / "c")
+    portal = FakePortal()
+    day = dt.date(2024, 5, 1)
+    cmd_scrape(
+        spark, portal, "https://portal/r", ["FS551JOI"], landing, wh, ckpt, day=day
+    )
+    assert spark.read.parquet(f"{wh}/flows").count() == 96
+    log = spark.read.parquet(f"{wh}/run_log")
+    statuses = {r["status"] for r in log.collect()}
+    assert statuses == {"downloaded", "processed"}  # fetch log + parse log
+    # pubdate parsed from the report header, not the filename
+    got_day = spark.read.parquet(f"{wh}/flows").select(F.min("pubdate")).first()[0]
+    assert got_day == day
