@@ -112,20 +112,29 @@ def rows_to_multiset(columns: list[str], rows) -> dict:
 
 def compare_query(spark, sf_dir: str, name: str, spec) -> tuple[bool, str]:
     sdf = spec.fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_types = {f.name: _canon_spark(f.dataType) for f in sdf.schema.fields}
-    s_rows = [tuple(r) for r in sdf.collect()]
 
     if spec.oracle is None:
         # rows-only check (driver parity): the query must execute and
         # produce a stable schema; there is nothing to value-compare.
-        return (True, f"rows-only: {len(s_rows)} rows, schema {sorted(s_cols)}")
+        s_rows = sdf.collect()
+        return (True, f"rows-only: {len(s_rows)} rows, schema {sorted(sdf.columns)}")
 
     con = duckdb_conn(sf_dir)
     try:
         tbl = con.execute(spec.oracle).arrow()
     finally:
         con.close()
+    return compare_frames(sdf, tbl)
+
+
+def compare_frames(sdf, tbl: pa.Table) -> tuple[bool, str]:
+    """Driver-strict comparison of a Spark DataFrame against a DuckDB
+    Arrow result: column sets, canonicalized types class-for-class,
+    then typed row multisets."""
+    s_cols = sdf.columns
+    s_types = {f.name: _canon_spark(f.dataType) for f in sdf.schema.fields}
+    s_rows = [tuple(r) for r in sdf.collect()]
+
     d_cols = tbl.schema.names
     d_types = {f.name: _canon_arrow(f.type) for f in tbl.schema}
     d_rows = [tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()]

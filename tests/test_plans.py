@@ -90,3 +90,54 @@ def test_text_scans_have_no_shuffle(spark):
     for name in ("text_token_count", "text_quality_score", "multimodal_inspect"):
         plan = _plan(spark, name)
         assert "Exchange hashpartitioning" not in plan, f"{name}: unexpected shuffle"
+
+
+# ---- TPC-H completion library (plans/tpch_full.py Group A) ---------
+
+
+def _library_plan(spark, name: str) -> str:
+    from radares_spark.plans.tpch_full import LIBRARY_SPECS
+
+    df = LIBRARY_SPECS[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q6_forecast_revenue",
+        "q8_market_share",
+        "q12_priority_by_flag",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q17_small_quantity_revenue",
+    ],
+)
+def test_tpch_full_no_nested_loop_no_python(spark, name):
+    plan = _library_plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan, f"{name}: Python UDF in hot path"
+
+
+def test_q6_all_predicates_pushed(spark):
+    # every Q6 predicate is scan-evaluable: shipdate range, discount
+    # band, quantity cap all reach PushedFilters
+    plan = _library_plan(spark, "q6_forecast_revenue")
+    # toString truncates the PushedFilters list, so assert the scan
+    # pushdown started (shipdate reached the parquet reader) and the
+    # full Filter node carries every predicate scan-side (below the
+    # aggregate, above the FileScan — nothing evaluates post-shuffle)
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    for frag in (">= 1996-01-01", "< 1997-01-01", ">= 0.05)", "<= 0.07)", "< 24.0)"):
+        assert frag in plan, f"predicate missing from scan-side Filter: {frag}"
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp" in plan  # column pruning: 4 of 11 columns read
+
+
+def test_q17_single_shuffle_for_threshold_and_joinback(spark):
+    # the decorrelated per-part AVG and its join-back share the
+    # partkey hash partitioning: the brand-pruned lineitem is
+    # exchanged ONCE, and the final single-row agg adds its
+    # SinglePartition exchange — nothing else shuffles
+    plan = _library_plan(spark, "q17_small_quantity_revenue")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("BroadcastHashJoin") >= 1  # brand part pruning
