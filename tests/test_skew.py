@@ -64,3 +64,51 @@ def test_rejects_non_decomposable(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(li, ["l_returnflag"], [("l_quantity", "median", "m")])
+
+
+_AQE_CONFS = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # shrink the detection thresholds so a few-MB local fixture is
+    # "skewed"; at cluster scale the defaults (256 MB / factor 5) play
+    # the same role
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+}
+
+
+def test_aqe_splits_skewed_shuffle_join(spark):
+    """The claim operators/asof.py and skew.py's docstrings rest on:
+    AQE really does split a skewed SHUFFLE-JOIN partition at runtime
+    (it does NOT apply to grouped-map aggregation — that is what
+    salted_agg / asof_join_salted are for). 90% of the left side
+    shares one key; after execution the final adaptive plan must show
+    the skew-split merge join, and the result must be exact."""
+    old = {k: spark.conf.get(k, None) for k in _AQE_CONFS}
+    for k, v in _AQE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        )
+        joined = left.join(right, "k")
+        n = len(joined.collect())  # executes THIS plan; AQE finalizes it
+        # exact expectation: 270k rows of key 0 match once; the 30k
+        # distinct-key rows match iff k = 10i+9 < 2000 (200 of them)
+        assert n == 270_000 + 200
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
