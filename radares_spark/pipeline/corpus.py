@@ -30,7 +30,7 @@ pipeline you cannot audit is a pipeline you cannot debug at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
@@ -240,6 +240,69 @@ def sample_to_token_budget(docs: DataFrame, budget_tokens: int) -> DataFrame:
         .filter(F.col("__prefix") <= budget_tokens)
         .drop("__bucket", "__tok", "__offset", "__prefix")
     )
+
+
+def _unit_hash(col: Column, salt: str) -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from md5(salt:value) —
+    the same partitioning-independent idiom as the budget buckets
+    above (and DuckDB-mirrorable:
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % 1000000``). Distinct
+    salts give independent streams, so mixing and split assignment
+    never correlate."""
+    return (
+        F.conv(F.substring(_md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+
+
+def mix_corpus(
+    docs: DataFrame, weights: dict[str, float], source_col: str = "source"
+) -> DataFrame:
+    """Domain mixing: keep each source's docs at that source's
+    sampling rate (the "data mixture" step of a pretraining pipeline —
+    e.g. web 10%, books 100%).
+
+    Deterministic per doc_id (same corpus → byte-identical mixture,
+    regardless of partitioning or cluster size) and single-pass: the
+    per-source threshold is a CASE expression evaluated in the scan —
+    no per-source jobs, no shuffle, no rand(). Sources absent from
+    ``weights`` are dropped (weight 0). Rates are exact in expectation
+    per source; hold-out exactness at a token budget belongs to
+    :func:`sample_to_token_budget`, which composes downstream of this.
+    """
+    u = _unit_hash(F.col("doc_id"), "mix")
+    thresh = None
+    for src, w in weights.items():
+        cut = F.lit(int(w * 1_000_000))
+        thresh = F.when(F.col(source_col) == src, cut) if thresh is None else thresh.when(
+            F.col(source_col) == src, cut
+        )
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return docs.filter(u < thresh)
+
+
+def assign_splits(
+    docs: DataFrame, val_pct: float = 1.0, test_pct: float = 1.0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Leakage-free train/val/test assignment as a ``split`` column.
+
+    Hashing the DOC ID (not position or rand()) makes the assignment
+    a pure function of identity: stable across re-runs, cluster
+    layouts, and corpus growth — a doc never migrates between splits
+    when other docs arrive, which is what keeps eval sets honest over
+    time. Caveat (documented, not solved here): near-duplicate texts
+    with different ids can still straddle splits — run the dedup
+    stages (``curate``) BEFORE splitting, which is the pipeline order
+    ``corpus_curation_audit`` encodes.
+    """
+    u = _unit_hash(F.col(id_col), "split")
+    test_cut = int(test_pct * 10_000)
+    val_cut = test_cut + int(val_pct * 10_000)
+    split = (
+        F.when(u < test_cut, "test").when(u < val_cut, "val").otherwise("train")
+    )
+    return docs.withColumn("split", split)
 
 
 BUDGET_TOKENS = 15_000  # ~half the sf0.01 corpus, ~5% of sf0.1
