@@ -194,8 +194,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     survey="J3 (agg semi), A3, top-k",
-    doc="TPC-H Q18 shape: IN-subquery over an aggregated derived table "
-    "-> HAVING-filtered partial agg then semi join; no driver key list.",
+    doc="TPC-H Q18 shape: IN-subquery over an aggregated derived table. "
+    "The HAVING-filtered per-order aggregate IS the quantity sum the "
+    "output needs (an order has one customer/date/price), so the "
+    "filter set and the final measure come from ONE lineitem shuffle — "
+    "the textbook semi-join-then-rejoin form scans and shuffles the "
+    "fact twice for identical results.",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -205,16 +209,17 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("s"))
         .filter(F.col("s") > 250)
-        .select("l_orderkey")
     )
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "bk"), orders.o_orderkey == F.col("bk"), "left_semi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .withColumn("totalprice", F.round("o_totalprice", 2))
-        .drop("o_totalprice")
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("s", 2).alias("sum_qty"),
+        )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
