@@ -305,6 +305,62 @@ def assign_splits(
     return docs.withColumn("split", split)
 
 
+def pack_sequences(docs: DataFrame, ctx_len: int) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every doc's tokens end
+    to end in the deterministic (hash-bucket, doc_id) corpus order and
+    cut fixed ``ctx_len`` windows — the standard pretraining packing
+    that wastes zero tokens to padding (docs straddle boundaries).
+
+    Returns one row per doc: its token count, global token offset, and
+    the first/last sequence ids it lands in — the manifest a reader
+    needs to assemble any sequence (``seq k`` = docs with
+    ``first_seq <= k <= last_seq``, sliced at ``k*ctx_len`` relative
+    to each offset).
+
+    Scale shape: the global token offset is the SAME two-phase
+    distributed prefix sum as :func:`sample_to_token_budget` — the
+    only single-partition window is over the ``N_BUDGET_BUCKETS``
+    per-bucket totals; everything else is per-bucket parallel. No
+    driver-side loop ever sees a doc.
+    """
+    toks = F.size(F.split(normalize_text(F.col("text")), " "))
+    bucketed = docs.withColumn(
+        "__bucket",
+        F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % N_BUDGET_BUCKETS,
+    ).withColumn("n_tokens", toks.cast("long"))
+
+    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("n_tokens").alias("__btok"))
+    off_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = per_bucket.select(
+        "__bucket", (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset")
+    )
+    in_w = (
+        W.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "token_offset",
+            F.col("__offset") + F.sum("n_tokens").over(in_w) - F.col("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "token_offset",
+            F.floor(F.col("token_offset") / ctx_len).alias("first_seq"),
+            # empty docs occupy no window: collapse onto first_seq
+            F.greatest(
+                F.floor((F.col("token_offset") + F.col("n_tokens") - 1) / ctx_len),
+                F.floor(F.col("token_offset") / ctx_len),
+            ).alias("last_seq"),
+        )
+    )
+
+
 BUDGET_TOKENS = 15_000  # ~half the sf0.01 corpus, ~5% of sf0.1
 
 
