@@ -108,6 +108,32 @@ def build_ivf_index(
     return assignment, centroids
 
 
+def _route_probes(queries: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
+    """(query_id, qv, qn, cell) — each query routed to its ``n_probe``
+    nearest centroid cells (broadcast centroids; ties on cell id)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qcos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "qn", "cell", qcos.alias("qc"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    rw = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ivf_probe_topk(
     normed: DataFrame,
     assignment: DataFrame,
@@ -119,19 +145,9 @@ def ivf_probe_topk(
     """ANN search against a trained IVF index: route each query to its
     ``n_probe`` nearest cells, exact-score only vectors in those cells.
     Searched fraction ~ n_probe/n_cells of the corpus; with the corpus
-    stored partitioned by cell the probe join partition-prunes the scan."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    qcos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
-    pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select("query_id", "qv", "qn", "cell", qcos.alias("qc"))
-        .withColumn("prn", F.row_number().over(pw))
-        .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "qn", "cell")
-    )
+    stored partitioned by cell the probe join partition-prunes the scan
+    (:func:`probe_stored_topk` is that materialized form)."""
+    probes = _route_probes(queries, centroids, n_probe)
     corpus = normed.join(assignment, "vec_id")
     cos = F.round(pair_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
     scored = (
@@ -139,12 +155,54 @@ def ivf_probe_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
     )
-    rw = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(rw))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    return _rank_topk(scored, k)
+
+
+def write_ivf_layout(
+    normed: DataFrame,
+    assignment: DataFrame,
+    path: str,
+    max_records_per_file: int = 4_000_000,
+) -> None:
+    """Materialize the corpus partitioned by trained IVF cell — the
+    serving layout that turns probe routing into PARTITION PRUNING:
+    a probe of ``n_probe`` of ``n_cells`` cells lists and reads only
+    that fraction of a 100 TB store's files. Rows cluster on vec_id
+    inside each cell for row-group stat locality."""
+    from radares_spark.io.layout import write_layout
+
+    write_layout(
+        normed.join(assignment, "vec_id"),
+        path,
+        partition_col="cell",
+        sort_col="vec_id",
+        max_records_per_file=max_records_per_file,
     )
+
+
+def probe_stored_topk(
+    spark: SparkSession,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k against a :func:`write_ivf_layout` store. The
+    broadcast probe join's cell keys reach the scan as a
+    DynamicPruningExpression in ``PartitionFilters`` (asserted in
+    tests/test_ivf.py) — unprobed cells' files are never read, making
+    "searched fraction = n_probe/n_cells" literal I/O, not just
+    row-filter arithmetic."""
+    probes = _route_probes(queries, centroids, n_probe)
+    stored = spark.read.parquet(path)
+    cos = F.round(pair_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
+    scored = (
+        stored.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    return _rank_topk(scored, k)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:

@@ -13,6 +13,8 @@ from radares_spark.operators.similarity import (
     build_ivf_index,
     cosine_topk,
     ivf_probe_topk,
+    probe_stored_topk,
+    write_ivf_layout,
 )
 from tests.conftest import SF_SMOKE
 
@@ -76,6 +78,39 @@ def test_probe_recall_vs_brute_force(spark, index):
     }
     recall = len(pruned & exact) / len(exact)
     assert recall >= 0.35, f"recall {recall}"
+
+
+def test_stored_layout_probe_prunes_partitions(spark, index, tmp_path):
+    """The serving story end to end: corpus materialized partitioned
+    by trained cell; probing the store returns EXACTLY the in-memory
+    probe's rows, and the probe join's keys reach the scan as a
+    DynamicPruningExpression — unprobed cells' files are never read."""
+    normed, assignment, centroids = index
+    path = str(tmp_path / "ivf_store")
+    write_ivf_layout(normed, assignment, path)
+
+    import glob
+
+    cells = sorted(glob.glob(f"{path}/cell=*"))
+    assert len(cells) == N_CELLS  # one directory per trained cell
+
+    queries = normed.filter(F.col("vec_id") < 8)
+    stored = probe_stored_topk(spark, path, centroids, queries, n_probe=2, k=TOP_K)
+    mem = ivf_probe_topk(normed, assignment, centroids, queries, n_probe=2, k=TOP_K)
+    got = {tuple(r) for r in stored.collect()}
+    want = {tuple(r) for r in mem.collect()}
+    assert got == want and got
+
+    # the store scan is the only FileScan with a `cell` partition column
+    # (the plan string truncates long tmp paths, so match on that); each
+    # plan node is one line of toString()
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    store_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "cell#" in ln
+    ]
+    assert store_scans, "stored layout was never scanned"
+    for ln in store_scans:
+        assert "dynamicpruningexpression" in ln.lower(), "probe did not prune partitions"
 
 
 @pytest.mark.slow

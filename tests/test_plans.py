@@ -86,6 +86,15 @@ def test_dedup_exact_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_q18_single_fact_shuffle(spark):
+    # the HAVING aggregate doubles as the output measure: lineitem is
+    # exchanged once (the per-order agg); orders joins it and the
+    # customer dim broadcasts — no second scan/shuffle of the fact
+    plan = _plan(spark, "q18_large_orders")
+    assert plan.count("FileScan parquet") == 3  # lineitem, orders, customer — once each
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
 def test_text_scans_have_no_shuffle(spark):
     for name in ("text_token_count", "text_quality_score", "multimodal_inspect"):
         plan = _plan(spark, name)
