@@ -58,7 +58,12 @@ EXTRA = [
     "asof_join_error_click",
 ]
 
-LIBRARY_PLANS = {"radar_p85": radar.radar_p85}
+LIBRARY_PLANS = {
+    "radar_p85": radar.radar_p85,
+    # moved out of the driver window (radar_bins_long covers it
+    # transitively) but frozen here for round-over-round comparability
+    "radar_histogram_build": radar.radar_histogram_build,
+}
 
 
 def main() -> None:

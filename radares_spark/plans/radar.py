@@ -34,7 +34,7 @@ from radares_spark.functions.histogram import (
     weighted_mean_speed,
 )
 from radares_spark.io.tables import load_table
-from radares_spark.registry import register
+from radares_spark.registry import QuerySpec, register
 
 # Quantity histogram: 10 fixed bins of width 5 over l_quantity in [1, 50]
 # — structurally identical to the 11 speed bins of the radar schema.
@@ -75,14 +75,15 @@ def _qty_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "radar_histogram_build",
-    oracle=HIST_SQL,
-    survey="A2/A3 (histogram fact build), R2 inverse",
-    doc="Build the wide fixed-bin histogram fact row (the radar flows "
-    "table shape, schema.sql:59-70) from raw facts in one shuffle.",
-)
 def radar_histogram_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the wide fixed-bin histogram fact row (the radar flows
+    table shape, schema.sql:59-70) from raw facts in one shuffle.
+
+    Library tier (not in the driver's 50-entry window): the registered
+    ``radar_bins_long`` is this exact plan plus a map-side unpivot, so
+    its driver hash transitively value-checks this build; parity here
+    is ALSO pinned directly by tests/test_oracle_parity.py over
+    ``LIBRARY_SPECS``, and bench.py keeps it as a frozen headline."""
     return _qty_hist(spark, sf_dir)
 
 
@@ -239,3 +240,17 @@ def radar_total_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("total") != row_sum, 1).otherwise(0)).alias("n_bad_totals"),
     )
+
+
+# Library tier — proven plans kept OUT of the driver's 50-entry window
+# (pinned by tests/test_oracle_parity.py with the same strict compare).
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "radar_histogram_build": QuerySpec(
+        name="radar_histogram_build",
+        fn=radar_histogram_build,
+        oracle=HIST_SQL,
+        survey="A2/A3 (histogram fact build), R2 inverse",
+        doc="Wide histogram fact build; driver-checked transitively via "
+        "radar_bins_long (same plan + unpivot).",
+    ),
+}
