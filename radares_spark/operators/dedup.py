@@ -297,9 +297,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+SIMHASH_SQL = f"""
     WITH norm AS (
         SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
     ),
@@ -318,10 +316,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CASE WHEN (h32 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
         FROM th, (SELECT unnest(generate_series(0, 31)) AS bit)
         GROUP BY doc_id, bit
+    ),
+    simhashes AS (
+        SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                   AS simhash
+        FROM votes GROUP BY doc_id
     )
-    SELECT doc_id,
-           sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-    FROM votes GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    {SIMHASH_SQL}
+    SELECT doc_id, simhash FROM simhashes
     """,
     survey="D-fuzzy (SimHash fingerprint)",
     doc="32-bit SimHash: per-token md5-derived hash, bitwise majority "
@@ -332,7 +341,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "::BIGINT to match Spark's LongType rendering (r1 hash failure).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash per doc (see dedup_simhash)."""
     toks = (
         docs.select("doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -688,3 +701,90 @@ def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+# --- SimHash hamming-ball near-dup pairs (library tier) --------------------
+
+SH_BAND_BITS = 8
+SH_N_BANDS = 32 // SH_BAND_BITS
+SH_MAX_HAMMING = 3  # < SH_N_BANDS, so banded recall is EXACT (pigeonhole)
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = SH_MAX_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming) — every pair of signatures within
+    ``max_hamming`` bits, via disjoint-band blocking.
+
+    Unlike probabilistic minhash/hyperplane LSH, this blocking is
+    EXACT: a pair differing in <= 3 of 32 bits cannot differ in all 4
+    disjoint 8-bit bands (pigeonhole), so at least one band key
+    collides and the pair is a candidate — recall 1.0 by construction
+    (asserted against the all-pairs oracle in tests/test_simhash_pairs).
+    The self-join is per (band, key) bucket, never all-pairs; exact
+    hamming (bit_count of xor) then filters false candidates. At
+    100 TB: band keys are uniform md5-derived bits -> no bucket skew,
+    and the join carries only (doc_id, simhash) — 16 bytes a row.
+    """
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {SH_BAND_BITS * b}) & {(1 << SH_BAND_BITS) - 1}").alias("key"),
+                    )
+                    for b in range(SH_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sa ^ sb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(simhash_signatures(_docs(spark, sf_dir)))
+
+
+# Oracle: brute-force all-pairs hamming (feasible at oracle sf only) —
+# deliberately NOT the banded algorithm, so parity proves the banding
+# loses nothing, not merely that both sides run the same code.
+from radares_spark.registry import QuerySpec  # noqa: E402
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "dedup_simhash_pairs": QuerySpec(
+        name="dedup_simhash_pairs",
+        fn=dedup_simhash_pairs,
+        oracle=f"""
+        {SIMHASH_SQL}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_MAX_HAMMING}
+        """,
+        survey="D-fuzzy (SimHash hamming-ball pairs, exact-recall banding)",
+        doc="Banded hamming-ball search vs an ALL-PAIRS oracle: the "
+        "disjoint-band candidate set provably contains every pair with "
+        f"hamming <= {SH_MAX_HAMMING}.",
+    ),
+}

@@ -1,0 +1,173 @@
+"""Text-analysis extensions: within-doc repetition signals and PII
+scrubbing — the published quality-filter / redaction steps (Gopher
+rules, C4/Dolma PII masking) an LLM data pipeline runs alongside
+language-ID and quality scoring (operators/text.py).
+
+Reference anchor: the reference engine declares downstream analysis
+only (README.md:3); these extend the BASELINE.json text-analysis
+surface. Both are library-tier (the driver's 50-entry window is full)
+and are pinned by the SAME strict DuckDB comparison the driver runs
+(tests/test_text_ext.py via tests/oracle.py).
+
+Scale shapes:
+
+- ``repetition_signals`` — explode to (doc, token) rows, two-phase
+  counted aggregates (map-side combined), broadcast of nothing: the
+  shuffles carry one row per distinct (doc, token) / (doc, bigram),
+  bounded by corpus token count. No per-doc Python, no O(len²) array
+  lambdas (a mode-by-``filter``-inside-``transform`` formulation
+  re-evaluates the token array per element — the CollapseProject trap
+  documented on :func:`radares_spark.operators.dedup.shingle_rows`).
+- ``scrub_pii`` — pure projection: chained ``regexp_replace`` plus
+  per-rule ``regexp_count``, whole-stage-codegen'd, zero shuffles.
+  Patterns use explicit ASCII classes only, so Java regex (Spark) and
+  RE2 (DuckDB) agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dedup import NORM_SQL, normalize_text, shingle_rows
+from radares_spark.registry import QuerySpec
+
+# (name, pattern, replacement) — applied in order; email first so a
+# later rule never matches digits inside an already-masked address.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{2}[ -][0-9]{2,3}[ -][0-9]{4,5}[ -][0-9]{4}", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Input columns + ``clean_text`` + one ``n_<rule>`` count per PII
+    rule. Counts are taken on the ORIGINAL text (per-rule, before any
+    masking); the masked text applies the rules in declaration order."""
+    out = docs
+    for name, pat, _ in PII_RULES:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    clean = F.col(text_col)
+    for _, pat, repl in PII_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.withColumn("clean_text", clean)
+
+
+def pii_scrub_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`scrub_pii` over ``table``."""
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}'))::INT AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    clean = text_col
+    for _, pat, repl in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT *,
+           {counts},
+           {clean} AS clean_text
+    FROM {table}
+    """
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, word_rep_ratio, top_word_frac, top_bigram_frac)
+    — the Gopher-style repetition block. Ratios are NULL for docs with
+    no words / no bigrams (the doc spine is preserved with left joins,
+    so null-text docs stay in the audit — the r2-ADVICE invariant)."""
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wstats = words.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    bigrams = (
+        shingle_rows(docs, 2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bstats = bigrams.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bg")
+    )
+    return (
+        docs.select("doc_id")
+        .join(wstats, "doc_id", "left")
+        .join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "word_rep_ratio"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(F.col("top_bg") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs)
+
+
+REPETITION_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
+    ),
+    words AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+        ) WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    wstats AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+               count(*) AS n_distinct, max(cnt) AS top_cnt
+        FROM words GROUP BY doc_id
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    bigrams AS (
+        SELECT doc_id, g, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       list_transform(
+                           generate_series(1, greatest(len(w) - 1, 1)),
+                           i -> w[i] || ' ' || w[i+1]),
+                       x -> x IS NOT NULL)) AS g
+            FROM toks
+        ) GROUP BY doc_id, g
+    ),
+    bstats AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, max(cnt) AS top_bg
+        FROM bigrams GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(w.n_words, 0)::BIGINT AS n_words,
+           round(1 - w.n_distinct / w.n_words::DOUBLE, 6) AS word_rep_ratio,
+           round(w.top_cnt / w.n_words::DOUBLE, 6) AS top_word_frac,
+           round(b.top_bg / b.n_bigrams::DOUBLE, 6) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN wstats w USING (doc_id)
+    LEFT JOIN bstats b USING (doc_id)
+"""
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "text_repetition_signals": QuerySpec(
+        name="text_repetition_signals",
+        fn=text_repetition_signals,
+        oracle=REPETITION_SQL,
+        survey="text analysis (Gopher repetition-quality block)",
+        doc="Word-repetition ratio, top-word and top-bigram mass "
+        "fractions per doc; two map-side-combined count aggregates, "
+        "doc spine preserved through left joins.",
+    ),
+}

@@ -1,0 +1,100 @@
+"""Text extensions (operators/text_ext.py): repetition signals against
+the testdata oracle; PII scrubbing against a planted frame fed
+identically to Spark and DuckDB (the test_tpch_full group-B pattern)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from radares_spark.operators.text_ext import (
+    LIBRARY_SPECS,
+    PII_RULES,
+    pii_scrub_sql,
+    repetition_signals,
+    scrub_pii,
+)
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_frames, compare_query
+
+
+@pytest.mark.parametrize("name", sorted(LIBRARY_SPECS))
+def test_library_parity(spark, name):
+    ok, msg = compare_query(spark, SF_ORACLE, name, LIBRARY_SPECS[name])
+    assert ok, f"{name}: {msg}"
+    assert not msg.startswith("OK: 0 "), f"{name}: degenerate empty result"
+
+
+PII_DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "contact Jane.Doe+spam@example.co.uk or admin@test.io today",
+            "server at 10.0.255.3 timed out, retry 192.168.1.1 later",
+            "call +55 11 98765-4321 or +44 20 7946-0958 now",
+            "no pii here at all, just words and numbers 12345",
+            None,
+        ],
+    }
+)
+
+
+def test_pii_scrub_matches_duckdb_on_planted_frame(spark):
+    sdf = scrub_pii(spark.createDataFrame(PII_DOCS))
+    con = duckdb.connect()
+    try:
+        con.register("pii_docs", PII_DOCS)
+        tbl = con.execute(pii_scrub_sql("pii_docs")).arrow()
+    finally:
+        con.close()
+    ok, msg = compare_frames(sdf, tbl)
+    assert ok, msg
+
+
+def test_pii_scrub_semantics(spark):
+    rows = {r["doc_id"]: r for r in scrub_pii(spark.createDataFrame(PII_DOCS)).collect()}
+    assert rows[0]["n_email"] == 2 and "<EMAIL>" in rows[0]["clean_text"]
+    assert "@" not in rows[0]["clean_text"]
+    assert rows[1]["n_ipv4"] == 2 and rows[1]["clean_text"].count("<IP>") == 2
+    assert rows[2]["n_phone"] == 2 and rows[2]["clean_text"].count("<PHONE>") == 2
+    clean3 = rows[3]
+    assert clean3["clean_text"] == clean3["text"]  # untouched
+    assert clean3["n_email"] == clean3["n_ipv4"] == clean3["n_phone"] == 0
+    assert rows[4]["clean_text"] is None  # null text stays null
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    df = scrub_pii(spark.createDataFrame(PII_DOCS))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_flags_planted_repetitive_doc(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "spam spam spam spam spam spam spam spam",
+                    "all words here are fully distinct tokens friend",
+                    None,
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[0]["word_rep_ratio"] == pytest.approx(1 - 1 / 8)
+    assert got[0]["top_word_frac"] == 1.0
+    assert got[0]["top_bigram_frac"] == 1.0
+    assert got[1]["word_rep_ratio"] == 0.0
+    assert got[1]["top_word_frac"] == pytest.approx(1 / 8)
+    # null-text doc keeps its audit row (n_words 0, null ratios)
+    assert got[2]["n_words"] == 0 and got[2]["word_rep_ratio"] is None
+    assert len(got) == 3
+
+
+def test_rules_cover_expected_families():
+    assert [n for n, _, _ in PII_RULES] == ["email", "ipv4", "phone"]
