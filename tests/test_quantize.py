@@ -1,0 +1,78 @@
+"""Int8 quantization (operators/quantize.py): DuckDB parity (exact —
+integer dots are order-independent), reconstruction error bound, top-k
+recall vs the exact float path, and the staged-projection plan guard
+(the amax alias must NOT be re-inlined into all 64 terms)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import spread
+from radares_spark.operators.quantize import (
+    LIBRARY_SPECS,
+    Q_LEVELS,
+    quantize_embeddings,
+    quantized_topk,
+)
+from radares_spark.operators.similarity import TOP_K, _normed, cosine_topk
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(LIBRARY_SPECS))
+def test_quantize_oracle_parity(spark, name):
+    ok, msg = compare_query(spark, SF_ORACLE, name, LIBRARY_SPECS[name])
+    assert ok, f"{name}: {msg}"
+    assert not msg.startswith("OK: 0 "), "degenerate empty result"
+
+
+def test_reconstruction_error_bounded_by_half_scale(spark):
+    emb = spread(spark, SF_SMOKE, "embeddings")
+    joined = quantize_embeddings(emb).join(emb, "vec_id")
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        for orig, q in zip(r["embedding"], r["q"]):
+            assert abs(float(orig) - q * r["scale"]) <= r["scale"] / 2 + 1e-12
+        assert max(abs(q) for q in r["q"]) == Q_LEVELS  # amax maps to +/-127
+        assert r["qnrm"] == pytest.approx(
+            math.sqrt(sum(q * q for q in r["q"]))
+        )
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """The corpus is the adversarial case for int8 (near-uniform random
+    vectors, tiny cosine gaps between rank-k and rank-k+1) — measured
+    recall 0.975 at sf0.01; pinned >= 0.9."""
+    emb = spread(spark, SF_ORACLE, "embeddings")
+    qt = quantize_embeddings(emb).cache()
+    normed = _normed(spark, SF_ORACLE)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            normed, normed.filter(F.col("vec_id") < 8), k=TOP_K
+        ).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(qt, qt.filter(F.col("vec_id") < 8), k=TOP_K).collect()
+    }
+    assert len(exact) == len(quant) == 8 * TOP_K
+    assert len(exact & quant) / len(exact) >= 0.9
+    qt.unpersist()
+
+
+def test_amax_alias_stays_staged(spark):
+    """SPARK-36718 guard: the 64-term greatest() must appear ONCE in
+    the plan (CollapseProject would otherwise inline it into every
+    quantization term -> 4096-term expression -> Janino bailout and a
+    ~12x interpreted-mode slowdown)."""
+    df = quantize_embeddings(spread(spark, SF_SMOKE, "embeddings"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("greatest") == 1
+    # pure projection: no hash shuffle (spread()'s round-robin
+    # repartition for scan fan-out is the only exchange)
+    assert "Exchange hashpartitioning" not in plan
