@@ -1,11 +1,14 @@
 """Every registered query must hash-match its DuckDB oracle at sf0.01
-(the same check the driver runs for CORRECTNESS_r{N}.json)."""
+(the same check the driver runs for CORRECTNESS_r{N}.json) — and every
+library-tier spec (plans/library.py) is held to the identical bar, so
+"unregistered" never means "less checked"."""
 
 from __future__ import annotations
 
 import pytest
 
-from radares_spark.plans import REGISTRY, radar
+from radares_spark.plans import REGISTRY
+from radares_spark.plans.library import ALL_LIBRARY_SPECS
 from tests.conftest import SF_ORACLE
 from tests.oracle import compare_query
 
@@ -16,7 +19,8 @@ def test_oracle_parity(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", sorted(radar.LIBRARY_SPECS))
-def test_radar_library_parity(spark, name):
-    ok, msg = compare_query(spark, SF_ORACLE, name, radar.LIBRARY_SPECS[name])
+@pytest.mark.parametrize("name", sorted(ALL_LIBRARY_SPECS))
+def test_library_parity(spark, name):
+    ok, msg = compare_query(spark, SF_ORACLE, name, ALL_LIBRARY_SPECS[name])
     assert ok, f"{name}: {msg}"
+    assert not msg.startswith("OK: 0 "), f"{name}: degenerate empty result"

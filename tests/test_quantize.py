@@ -12,21 +12,15 @@ from pyspark.sql import functions as F
 
 from radares_spark.io.tables import spread
 from radares_spark.operators.quantize import (
-    LIBRARY_SPECS,
     Q_LEVELS,
     quantize_embeddings,
     quantized_topk,
 )
 from radares_spark.operators.similarity import TOP_K, _normed, cosine_topk
 from tests.conftest import SF_ORACLE, SF_SMOKE
-from tests.oracle import compare_query
 
-
-@pytest.mark.parametrize("name", sorted(LIBRARY_SPECS))
-def test_quantize_oracle_parity(spark, name):
-    ok, msg = compare_query(spark, SF_ORACLE, name, LIBRARY_SPECS[name])
-    assert ok, f"{name}: {msg}"
-    assert not msg.startswith("OK: 0 "), "degenerate empty result"
+# DuckDB parity for similarity_quantize runs in the consolidated
+# library sweep (tests/test_oracle_parity.py::test_library_parity).
 
 
 def test_reconstruction_error_bounded_by_half_scale(spark):

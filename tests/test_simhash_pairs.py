@@ -10,19 +10,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from radares_spark.operators.dedup import (
-    LIBRARY_SPECS,
     SH_MAX_HAMMING,
     SH_N_BANDS,
     simhash_pairs,
 )
 from tests.conftest import SF_ORACLE
-from tests.oracle import compare_query
 
-
-@pytest.mark.parametrize("name", sorted(LIBRARY_SPECS))
-def test_banded_pairs_match_all_pairs_oracle(spark, name):
-    ok, msg = compare_query(spark, SF_ORACLE, name, LIBRARY_SPECS[name])
-    assert ok, f"{name}: {msg}"
+# The all-pairs brute-force DuckDB parity for dedup_simhash_pairs runs
+# in the consolidated library sweep
+# (tests/test_oracle_parity.py::test_library_parity).
 
 
 def test_pigeonhole_recall_on_planted_signatures(spark):

@@ -10,21 +10,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from radares_spark.operators.text_ext import (
-    LIBRARY_SPECS,
     PII_RULES,
     pii_scrub_sql,
     repetition_signals,
     scrub_pii,
 )
-from tests.conftest import SF_ORACLE
-from tests.oracle import compare_frames, compare_query
+from tests.oracle import compare_frames
 
-
-@pytest.mark.parametrize("name", sorted(LIBRARY_SPECS))
-def test_library_parity(spark, name):
-    ok, msg = compare_query(spark, SF_ORACLE, name, LIBRARY_SPECS[name])
-    assert ok, f"{name}: {msg}"
-    assert not msg.startswith("OK: 0 "), f"{name}: degenerate empty result"
+# DuckDB parity for text_repetition_signals runs in the consolidated
+# library sweep (tests/test_oracle_parity.py::test_library_parity).
 
 
 PII_DOCS = pd.DataFrame(

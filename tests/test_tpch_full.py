@@ -17,19 +17,13 @@ import pytest
 from pyspark.sql import types as T
 
 from radares_spark.io.tables import load_table
-from radares_spark.plans.tpch_full import LIBRARY_SPECS, PARTSUPP_SPECS
+from radares_spark.plans.tpch_full import PARTSUPP_SPECS
 from tests.conftest import SF_ORACLE
-from tests.oracle import compare_frames, compare_query, duckdb_conn
+from tests.oracle import compare_frames, duckdb_conn
 
-# ---------------------------------------------------------------- A
-
-
-@pytest.mark.parametrize("name", sorted(LIBRARY_SPECS))
-def test_tpch_full_oracle_parity(spark, name):
-    ok, msg = compare_query(spark, SF_ORACLE, name, LIBRARY_SPECS[name])
-    assert ok, f"{name}: {msg}"
-    assert not msg.startswith("OK: 0 "), f"{name}: degenerate empty result"
-
+# Group A (Q6/Q8/Q12/Q13/Q14/Q17) DuckDB parity runs in the
+# consolidated library sweep
+# (tests/test_oracle_parity.py::test_library_parity).
 
 # ---------------------------------------------------------------- B
 
