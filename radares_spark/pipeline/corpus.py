@@ -47,7 +47,7 @@ from radares_spark.operators.dedup import (
 )
 from radares_spark.operators.text import _LANG_SQL_HITS, _LANG_SQL_PICK, lang_id_per_doc
 from radares_spark.operators import text as text_ops
-from radares_spark.registry import register
+from radares_spark.registry import QuerySpec, register
 
 DROP_QUALITY = "quality"
 DROP_LANG = "lang"
@@ -305,6 +305,32 @@ def assign_splits(
     return docs.withColumn("split", split)
 
 
+def stratified_sample(
+    docs: DataFrame, k: int, group_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly ``k`` docs per group, deterministically: rank every doc
+    by its salted content-hash within the group and keep rank <= k.
+
+    The hash order makes the sample a pure function of identity (same
+    corpus -> byte-identical sample on any cluster), and distinct
+    salts keep it independent of the mixing/split streams above. The
+    plan is ONE hash-partition shuffle on ``group_col``: Spark's
+    WindowGroupLimit rewrite (rank <= k over a window) runs a partial
+    top-k per input partition BEFORE the exchange, so only k rows per
+    group per upstream partition cross the wire — at 100 TB the
+    shuffle carries O(k * groups * partitions) rows, not the corpus.
+    A single monster group still sorts k-bounded heaps, never the
+    whole group. Plan-asserted in tests/test_corpus.py.
+    """
+    tagged = docs.withColumn("__u", _unit_hash(F.col(id_col), "strat"))
+    w = W.partitionBy(group_col).orderBy("__u", id_col)
+    return (
+        tagged.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__u", "__rk")
+    )
+
+
 def pack_sequences(docs: DataFrame, ctx_len: int) -> DataFrame:
     """Concat-and-chunk sequence packing: lay every doc's tokens end
     to end in the deterministic (hash-bucket, doc_id) corpus order and
@@ -510,3 +536,43 @@ def corpus_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     _, audit = curate(docs, keep_langs=("en",))
     return audit
+
+
+# --- Library tier (plans/library.py aggregates these) ----------------------
+
+STRAT_K = 10
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, STRAT_K)
+
+
+STRATIFIED_SQL = f"""
+    WITH u AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 1000000 AS uh
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY uh, doc_id) AS rk
+        FROM u
+    )
+    SELECT doc_id, source FROM r WHERE rk <= {STRAT_K}
+"""
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_stratified_sample": QuerySpec(
+        name="corpus_stratified_sample",
+        fn=corpus_stratified_sample,
+        oracle=STRATIFIED_SQL,
+        survey="LLM-pipeline (stratified per-source sampling)",
+        doc=f"Exactly {STRAT_K} docs per source, deterministic in the "
+        "salted content-hash order (stratified_sample above). The "
+        "rank <= k filter triggers Spark's WindowGroupLimit rewrite, "
+        "so each upstream partition forwards at most k rows per group "
+        "into the single shuffle — the scalable per-group top-k shape.",
+    ),
+}

@@ -144,3 +144,23 @@ def test_sampling_stage(spark, result):
     assert audit.filter(F.col("outcome") == "sampled_out").count() == len(full_ids) - len(
         half_ids
     )
+
+
+def test_stratified_sample_exact_k_and_group_limit_plan(spark):
+    """k per group, deterministic across reruns; the rank<=k filter
+    must compile to WindowGroupLimit (partial per-partition top-k
+    BEFORE the group shuffle — the 100 TB shape)."""
+    from radares_spark.pipeline.corpus import stratified_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    k = 7
+    got = stratified_sample(docs, k)
+    counts = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n_total in sizes.items():
+        assert counts.get(src, 0) == min(k, n_total), src
+    # deterministic: identical id set on a rerun with different layout
+    again = stratified_sample(docs.repartition(13), k)
+    assert {r["doc_id"] for r in got.collect()} == {r["doc_id"] for r in again.collect()}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
