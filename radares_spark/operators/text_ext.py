@@ -22,6 +22,10 @@ Scale shapes:
   per-rule ``regexp_count``, whole-stage-codegen'd, zero shuffles.
   Patterns use explicit ASCII classes only, so Java regex (Spark) and
   RE2 (DuckDB) agree byte-for-byte.
+- ``strip_boilerplate`` — CCNet line-frequency dedup: one shuffle to
+  count distinct docs per (group, normalized-line hash), broadcast of
+  the (tiny, threshold-crossing) boilerplate set back onto the line
+  stream, one regroup on doc_id to reassemble texts.
 """
 
 from __future__ import annotations
@@ -69,6 +73,111 @@ def pii_scrub_sql(table: str, text_col: str = "text") -> str:
            {counts},
            {clean} AS clean_text
     FROM {table}
+    """
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a line whose
+    normalized hash appears in >= ``min_docs`` distinct docs of the
+    same ``group_col`` (domain/shard) is navigation chrome, cookie
+    banners, footers — drop it from every doc; unique prose survives.
+
+    Output: ``doc_id``, ``clean_text`` (kept lines re-joined in
+    original order; '' if everything was boilerplate), ``n_lines``,
+    ``n_removed``. Lines that normalize to '' (blank/punctuation-only)
+    are never counted as boilerplate and are kept, so paragraph
+    structure survives.
+
+    Scale shape: explode to (doc, pos, line) rows — map-side; the
+    line-frequency table is ONE shuffle on (group, line-hash) with a
+    map-side-combined distinct count; the boilerplate set it yields is
+    tiny by construction (only hashes crossing the min_docs bar), so
+    the anti-join back onto the line stream broadcasts; the final
+    regroup is one shuffle on doc_id. Nothing is quadratic and no
+    full-corpus byte ever moves twice.
+    """
+    lines = docs.select(
+        "doc_id",
+        group_col,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    keyed = lines.withColumn("nl", normalize_text(F.col("line")))
+    freq = (
+        keyed.filter(F.col("nl") != "")
+        .groupBy(group_col, "nl")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    boiler = freq.filter(F.col("n_docs") >= min_docs).select(group_col, "nl")
+    kept = keyed.join(
+        F.broadcast(boiler),
+        [group_col, "nl"],
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def boilerplate_sql(table: str, min_docs: int = 3) -> str:
+    """DuckDB mirror of :func:`strip_boilerplate` over ``table``."""
+    norm = NORM_SQL.format(c="line")
+    return f"""
+    WITH lines AS (
+        SELECT doc_id, source, lr.pos AS pos, lr.line AS line
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       string_split(coalesce(text, ''), chr(10)),
+                       (x, i) -> struct_pack(pos := i, line := x))) AS lr
+            FROM {table}
+        )
+    ),
+    keyed AS (SELECT doc_id, source, pos, line, {norm} AS nl FROM lines),
+    freq AS (
+        SELECT source, nl, count(DISTINCT doc_id) AS n_docs
+        FROM keyed WHERE nl <> '' GROUP BY source, nl
+    ),
+    boiler AS (SELECT source, nl FROM freq WHERE n_docs >= {min_docs}),
+    kept AS (
+        SELECT k.* FROM keyed k
+        LEFT JOIN boiler b ON k.source = b.source AND k.nl = b.nl
+        WHERE b.nl IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM keyed GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           t.n_lines::BIGINT AS n_lines,
+           (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
     """
 
 
