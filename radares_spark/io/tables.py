@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -35,14 +36,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # calling session was built (the driver supplies its own session).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects. Read nanos as long and truncate to
-        # microseconds — exactly what DuckDB/Arrow do when narrowing.
+        # Some testdata generations write ts as TIMESTAMP(NANOS), which
+        # the Spark parquet reader rejects; others as plain micros
+        # TIMESTAMP. Read with nanosAsLong (a no-op for micros), then
+        # convert only if the column actually arrived as a long —
+        # truncating nanos to micros exactly as DuckDB/Arrow narrow.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
