@@ -73,19 +73,27 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the plans
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Per-query exception isolation: one broken plan must never zero
+    # out the whole round's measurement (r3 lesson — a single
+    # AnalysisException left BENCH_r03 with no numbers at all). A
+    # failed query is recorded in ``errors`` and excluded from totals.
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE + EXTRA:
-        fn = LIBRARY_PLANS.get(name) or REGISTRY[name].fn
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn = LIBRARY_PLANS.get(name) or REGISTRY[name].fn
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(warm[n] for n in HEADLINE), 3)
+    total = round(sum(warm[n] for n in HEADLINE if n in warm), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -95,9 +103,10 @@ def main() -> None:
                 "unit": "sec",
                 "comparable_queries": HEADLINE,
                 "queries": warm,
-                "extra_total": round(sum(warm[n] for n in EXTRA), 3),
+                "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
                 "cold_s": cold,
-                "cold_total": round(sum(cold[n] for n in HEADLINE), 3),
+                "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -36,15 +36,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # calling session was built (the driver supplies its own session).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Some testdata generations write ts as TIMESTAMP(NANOS), which
-        # the Spark parquet reader rejects; others as plain micros
-        # TIMESTAMP. Read with nanosAsLong (a no-op for micros), then
-        # convert only if the column actually arrived as a long —
-        # truncating nanos to micros exactly as DuckDB/Arrow narrow.
+        # Post-load invariant: ``ts`` is ALWAYS TimestampType (LTZ, UTC
+        # semantics — session TZ pinned above), whatever the parquet
+        # physical type. Three generations exist in the wild:
+        #   - TIMESTAMP(NANOS): the Spark reader rejects it, so read
+        #     with nanosAsLong and truncate to micros exactly as
+        #     DuckDB/Arrow narrow;
+        #   - plain micros without isAdjustedToUTC: Spark 4 infers
+        #     TIMESTAMP_NTZ — cast to TimestampType (byte-identical
+        #     under the pinned UTC session TZ, and required by
+        #     withWatermark / event-time consumers);
+        #   - micros with isAdjustedToUTC: already TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -114,14 +114,19 @@ def asof_join_salted(
     as one extra right row, restoring exact cross-bucket semantics.
     """
     lcols = left.columns
-    lsalt = F.floor(F.col(left_ts).cast("long") / bucket_seconds)
-    rsalt = F.floor(F.col(right_ts).cast("long") / bucket_seconds)
+    # epoch seconds via cast-through-timestamp: legal for both LTZ and
+    # NTZ timestamps (bare NTZ->BIGINT is an AnalysisException) and a
+    # no-op extra cast when the input is already TimestampType.
+    lsalt = F.floor(F.col(left_ts).cast("timestamp").cast("long") / bucket_seconds)
 
     l = left.withColumn("__side", F.lit(0)).withColumn("__salt", lsalt)
     r = (
         right.select(F.col(by), F.col(right_ts).alias("__rts"))
         .withColumn("__side", F.lit(1))
-        .withColumn("__salt", F.floor(F.col("__rts").cast("long") / bucket_seconds))
+        .withColumn(
+            "__salt",
+            F.floor(F.col("__rts").cast("timestamp").cast("long") / bucket_seconds),
+        )
     )
 
     # per-(key, bucket) latest right ts — the only state that crosses

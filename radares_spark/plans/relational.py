@@ -579,11 +579,16 @@ def events_15min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # epoch seconds via cast-through-timestamp: legal for both LTZ and
+    # NTZ inputs (a bare TIMESTAMP_NTZ -> BIGINT cast is an
+    # AnalysisException — the r3 regression class), and a no-op cast
+    # when the loader already normalized to TimestampType.
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev_epoch = F.lag("ts").over(w).cast("timestamp").cast("long")
     marked = ev.withColumn(
         "new_session",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            F.lag("ts").over(w).isNull() | (epoch - prev_epoch > 1800),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
