@@ -104,8 +104,10 @@ def incremental_dedup(
     sig = batch.select("doc_id", *SIG_COLS).distinct()
     bands = batch.select("doc_id", "band", "band_hash")
 
-    # 1. exact vs corpus
-    led_hashes = ledger.select("content_hash").distinct()
+    # 1. exact vs corpus — NO distinct on the ledger side: a semi-join
+    # ignores right-side multiplicity, and a distinct here would be a
+    # full-ledger shuffle before the join even starts.
+    led_hashes = ledger.select("content_hash")
     f_exact_corpus = (
         exact.join(led_hashes, "content_hash", "left_semi")
         .select("doc_id")
