@@ -538,15 +538,7 @@ def corpus_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit
 
 
-# --- Library tier (plans/library.py aggregates these) ----------------------
-
 STRAT_K = 10
-
-
-def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return stratified_sample(docs, STRAT_K)
-
 
 STRATIFIED_SQL = f"""
     WITH u AS (
@@ -563,16 +555,22 @@ STRATIFIED_SQL = f"""
     SELECT doc_id, source FROM r WHERE rk <= {STRAT_K}
 """
 
-LIBRARY_SPECS: dict[str, QuerySpec] = {
-    "corpus_stratified_sample": QuerySpec(
-        name="corpus_stratified_sample",
-        fn=corpus_stratified_sample,
-        oracle=STRATIFIED_SQL,
-        survey="LLM-pipeline (stratified per-source sampling)",
-        doc=f"Exactly {STRAT_K} docs per source, deterministic in the "
-        "salted content-hash order (stratified_sample above). The "
-        "rank <= k filter triggers Spark's WindowGroupLimit rewrite, "
-        "so each upstream partition forwards at most k rows per group "
-        "into the single shuffle — the scalable per-group top-k shape.",
-    ),
-}
+
+@register(
+    "corpus_stratified_sample",
+    oracle=STRATIFIED_SQL,
+    survey="LLM-pipeline (stratified per-source sampling)",
+    doc=f"Exactly {STRAT_K} docs per source, deterministic in the "
+    "salted content-hash order (stratified_sample above). The "
+    "rank <= k filter triggers Spark's WindowGroupLimit rewrite, "
+    "so each upstream partition forwards at most k rows per group "
+    "into the single shuffle — the scalable per-group top-k shape. "
+    "Library tier in r3; promoted to the driver window in r4 "
+    "(VERDICT r3 ask #5) into the slot freed by radar_clean_suite.",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, STRAT_K)
+
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {}

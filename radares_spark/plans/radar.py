@@ -147,9 +147,7 @@ def radar_p85(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "radar_direction_clean",
-    oracle="""
+DIRECTION_SQL = """
     WITH raw AS (
         SELECT c_custkey,
                concat('Rua ', c_mktsegment, '/',
@@ -163,14 +161,15 @@ def radar_p85(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 'L' THEN 'Leste' WHEN 'O' THEN 'Oeste' END AS direction,
            count(*) AS n
     FROM raw GROUP BY 1
-    """,
-    survey="P6/P7 (split + map direction cleaning)",
-    doc="The reference's direction cleanup (clean_data.py:44-50) as one "
-    "codegen'd CASE — applied to deterministically synthesized "
-    "'<street>/<suffix>' strings; unmapped suffixes -> NULL bucket "
-    "(quarantine, not crash).",
-)
+"""
+
+
 def radar_direction_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's direction cleanup (clean_data.py:44-50) as one
+    codegen'd CASE — applied to deterministically synthesized
+    '<street>/<suffix>' strings; unmapped suffixes -> NULL bucket
+    (quarantine, not crash). SURVEY P6/P7. Library tier since r4 —
+    driver-checked via radar_clean_suite (same plan, tall shape)."""
     cust = load_table(spark, sf_dir, "customer")
     suffix = F.when(F.col("c_custkey") % 17 == 0, F.lit("X")).otherwise(
         F.substring(F.lit("NSLO"), (F.col("c_custkey") % 4 + 1).cast("int"), 1)
@@ -185,9 +184,7 @@ def radar_direction_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "radar_time_slice",
-    oracle="""
+TIME_SLICE_SQL = """
     WITH raw AS (
         SELECT event_id,
                concat(strftime(time_bucket(INTERVAL '15 minutes', ts), '%H:%M'),
@@ -200,13 +197,15 @@ def radar_direction_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            substr(time_range, 10, 5) AS end_time,
            count(*) AS n
     FROM raw GROUP BY 1, 2
-    """,
-    survey="P8/P9 (time_range slicing), §2.11 grid",
-    doc="The 'HH:MM as HH:MM' slot-string round-trip "
-    "(clean_data.py:200-204): synthesize the reference's slot strings "
-    "from event timestamps, slice them back, count per slot — 96 groups.",
-)
+"""
+
+
 def radar_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'HH:MM as HH:MM' slot-string round-trip
+    (clean_data.py:200-204): synthesize the reference's slot strings
+    from event timestamps, slice them back, count per slot — 96
+    groups. SURVEY P8/P9, §2.11 grid. Library tier since r4 —
+    driver-checked via radar_clean_suite (same plan, tall shape)."""
     ev = load_table(spark, sf_dir, "events")
     slot = F.window("ts", "15 minutes")
     raw = ev.select(
@@ -216,6 +215,41 @@ def radar_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sliced = split_time_range(raw)
     return sliced.groupBy("initial_time", "end_time").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "radar_clean_suite",
+    oracle=f"""
+    SELECT 'direction' AS kind, direction AS key1, NULL AS key2, n
+    FROM ({DIRECTION_SQL})
+    UNION ALL
+    SELECT 'time_slice' AS kind, initial_time AS key1, end_time AS key2, n
+    FROM ({TIME_SLICE_SQL})
+    """,
+    survey="P6/P7 (split + map direction cleaning), P8/P9 (time_range "
+    "slicing), §2.11 grid",
+    doc="r4 suite consolidation (VERDICT r3 ask #5): the direction "
+    "cleanup and the 15-minute slot round-trip as ONE driver row in a "
+    "tall (kind, key1, key2, n) shape — freeing a registry slot for "
+    "corpus_stratified_sample without losing either value check. The "
+    "two underlying plans are unchanged (radar_direction_clean / "
+    "radar_time_slice above, still individually pinned as library "
+    "specs); the union is map-side only — no extra shuffle.",
+)
+def radar_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = radar_direction_clean(spark, sf_dir).select(
+        F.lit("direction").alias("kind"),
+        F.col("direction").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        "n",
+    )
+    t = radar_time_slice(spark, sf_dir).select(
+        F.lit("time_slice").alias("kind"),
+        F.col("initial_time").alias("key1"),
+        F.col("end_time").alias("key2"),
+        "n",
+    )
+    return d.unionByName(t)
 
 
 @register(
@@ -252,5 +286,21 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         survey="A2/A3 (histogram fact build), R2 inverse",
         doc="Wide histogram fact build; driver-checked transitively via "
         "radar_bins_long (same plan + unpivot).",
+    ),
+    "radar_direction_clean": QuerySpec(
+        name="radar_direction_clean",
+        fn=radar_direction_clean,
+        oracle=DIRECTION_SQL,
+        survey="P6/P7 (split + map direction cleaning)",
+        doc="Individual pin of the direction-cleanup half of "
+        "radar_clean_suite (registered r1-r3; suite-consolidated r4).",
+    ),
+    "radar_time_slice": QuerySpec(
+        name="radar_time_slice",
+        fn=radar_time_slice,
+        oracle=TIME_SLICE_SQL,
+        survey="P8/P9 (time_range slicing), §2.11 grid",
+        doc="Individual pin of the slot round-trip half of "
+        "radar_clean_suite (registered r1-r3; suite-consolidated r4).",
     ),
 }
