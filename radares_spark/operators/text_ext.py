@@ -269,6 +269,103 @@ REPETITION_SQL = f"""
     LEFT JOIN bstats b USING (doc_id)
 """
 
+DUP_SPAN_W = 8  # window length in words
+
+
+def dup_span_stats(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Cross-document duplicate-span detection — the distributed
+    approximation of exact substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    paper builds a corpus-wide suffix array single-node; the Spark
+    shape hashes every rolling ``w``-word window and flags windows
+    whose hash occurs in >= 2 DISTINCT documents, then scores each doc
+    by the fraction of its windows that are shared boilerplate.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_frac) for EVERY
+    doc (short/empty docs: 0 windows, frac 0.0).
+
+    Scale shape: the window stream is linear in corpus tokens (one row
+    per token position, assembled above the Generate exactly as
+    shingle_rows does to dodge the CollapseProject re-evaluation
+    trap). Two hash shuffles on the window hash — (doc, hash) distinct
+    then cross-doc count — both map-side combined, plus one semi-join
+    back and one doc regroup. Nothing is quadratic; the shared-span
+    set is proportional to actual boilerplate, not to the corpus.
+    """
+    wins = shingle_rows(docs, n=w).select(
+        "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h")
+    )
+    cross_doc = (
+        wins.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_per_doc = (
+        wins.join(cross_doc, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_span_stats(docs)
+
+
+DUP_SPANS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               md5(array_to_string(w[i:i + {DUP_SPAN_W - 1}], ' ')) AS h
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - {DUP_SPAN_W - 1})) AS t(i)
+        WHERE len(w) >= {DUP_SPAN_W}
+    ),
+    cross_doc AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+        GROUP BY h HAVING count(*) >= 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_windows,
+               count(*) FILTER (WHERE h IN (SELECT h FROM cross_doc)) AS n_dup_windows
+        FROM wins GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0) AS n_windows,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
+                ELSE round(p.n_dup_windows / p.n_windows::DOUBLE, 6)
+           END AS dup_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
     "text_repetition_signals": QuerySpec(
         name="text_repetition_signals",
@@ -278,5 +375,16 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         doc="Word-repetition ratio, top-word and top-bigram mass "
         "fractions per doc; two map-side-combined count aggregates, "
         "doc spine preserved through left joins.",
+    ),
+    "text_dup_spans": QuerySpec(
+        name="text_dup_spans",
+        fn=text_dup_spans,
+        oracle=DUP_SPANS_SQL,
+        survey="LLM-pipeline (cross-doc duplicate-span detection, "
+        "Lee et al. 2021 substring dedup as rolling window hashes)",
+        doc=f"Every rolling {DUP_SPAN_W}-word window hashed; windows in "
+        ">=2 distinct docs are shared spans; per-doc share-of-windows "
+        "score. Linear in corpus tokens, two map-side-combined hash "
+        "shuffles, no quadratic stage.",
     ),
 }
