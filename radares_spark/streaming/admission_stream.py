@@ -1,0 +1,113 @@
+"""Streaming corpus admission — ``operators/incremental.py`` as a
+Structured Streaming sink, closing the loop the reference runs as a
+cron'd nightly batch (cron/script.bash:3 → scrape.py → the
+existence-guarded insert at clean_data.py:168-180).
+
+Shape: a file-source stream of new document files → ``foreachBatch``
+admits each micro-batch against the persistent dedup ledger and
+appends (a) the per-doc admission audit and (b) the kept docs' ledger
+rows — so the NEXT micro-batch dedups against everything admitted
+before it, across restarts.
+
+Exactly-once story (the part worth copying at 100 TB/day):
+
+- the checkpoint's file log gives each landed file to exactly one
+  micro-batch;
+- both sinks write ``epoch=<id>`` partitions with DYNAMIC partition
+  overwrite — a replayed micro-batch (crash between sink and commit)
+  OVERWRITES its own partition instead of double-appending, making
+  the whole pipeline idempotent per epoch, the standard foreachBatch
+  exactly-once recipe;
+- admission itself is idempotent by construction (re-admitted content
+  classifies ``exact_dup_corpus`` and appends nothing — proven in
+  tests/test_incremental.py), so even a lost checkpoint degrades to
+  correct-but-reclassified, never to duplicate corpus docs.
+
+Scale: per micro-batch cost is the incremental_dedup contract — the
+ledger is never rescanned as text, only its hash/signature rows join
+against the (small) batch; reading the ledger per batch is a parquet
+scan of longs/hashes that partition-prunes nothing but also shuffles
+nothing ledger-sized (see operators/incremental.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.operators.incremental import incremental_dedup, ledger_rows
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def stream_docs(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a parquet landing prefix of (doc_id, text)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(landing_dir)
+
+
+def _load_ledger(spark: SparkSession, ledger_dir: str, like: DataFrame) -> DataFrame:
+    """Current ledger, or an empty correctly-shaped frame on first run."""
+    if os.path.isdir(ledger_dir) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(ledger_dir)
+        for f in files
+    ):
+        # plain partitioned read: epoch is a partition column, which
+        # recursiveFileLookup would silently drop (no partition inference)
+        return spark.read.parquet(ledger_dir).drop("epoch")
+    return ledger_rows(like).filter(F.lit(False))
+
+
+def run_admission_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    ledger_dir: str,
+    audit_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """One AvailableNow pass: admit every new file's docs against the
+    ledger, append audit + kept ledger rows, stop. Re-runnable."""
+    docs = stream_docs(spark, landing_dir, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        # signatures are recomputed per use otherwise (lazy plans);
+        # pin the batch once — it is micro-batch sized, not corpus sized
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.rdd.isEmpty():
+            return
+        ledger = _load_ledger(s, ledger_dir, batch)
+        audit, append_rows = incremental_dedup(batch, ledger)
+        # epoch-partitioned dynamic overwrite => replay-idempotent
+        (
+            append_rows.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(ledger_dir)
+        )
+        (
+            audit.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(audit_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,105 @@
+"""Streaming corpus admission (streaming/admission_stream.py):
+batch==stream parity, cross-micro-batch ledger growth, and re-landed
+content classifying as corpus duplicates — the streaming face of the
+reference's nightly existence-guarded insert (clean_data.py:168-180)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.incremental import (
+    OUT_EXACT_CORPUS,
+    OUT_KEPT,
+    incremental_dedup,
+    ledger_rows,
+)
+from radares_spark.streaming.admission_stream import run_admission_stream
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("admission")
+    d = {
+        "landing": str(root / "landing"),
+        "ledger": str(root / "ledger"),
+        "audit": str(root / "audit"),
+        "ckpt": str(root / "ckpt"),
+    }
+    return d
+
+
+def _docs(spark, lo, hi):
+    return (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    )
+
+
+def test_stream_admission_matches_batch_and_accumulates(spark, dirs):
+    # land file 1 (docs 0..100), run one AvailableNow pass
+    _docs(spark, 0, 100).coalesce(1).write.mode("append").parquet(dirs["landing"])
+    run_admission_stream(
+        spark, dirs["landing"], dirs["ledger"], dirs["audit"], dirs["ckpt"]
+    )
+    audit1 = spark.read.parquet(dirs["audit"])
+    got1 = {r["doc_id"]: r["outcome"] for r in audit1.collect()}
+
+    # parity: epoch-1 outcomes == batch incremental_dedup on empty ledger
+    batch1 = _docs(spark, 0, 100)
+    empty = ledger_rows(batch1).filter(F.lit(False))
+    expect1 = {
+        r["doc_id"]: r["outcome"]
+        for r in incremental_dedup(batch1, empty)[0].collect()
+    }
+    assert got1 == expect1
+
+    # land file 2: half re-sent content (corpus dups), half new docs
+    resent = _docs(spark, 0, 50).select(
+        (F.col("doc_id") + 1_000).alias("doc_id"), "text"
+    )
+    fresh = _docs(spark, 100, 150)
+    resent.unionByName(fresh).coalesce(1).write.mode("append").parquet(
+        dirs["landing"]
+    )
+    run_admission_stream(
+        spark, dirs["landing"], dirs["ledger"], dirs["audit"], dirs["ckpt"]
+    )
+
+    audit = spark.read.parquet(dirs["audit"])
+    ep2 = {
+        r["doc_id"]: r["outcome"]
+        for r in audit.filter(F.col("epoch") > 0).collect()
+    }
+    # only the second file's docs are in later epochs (exactly-once per file)
+    assert set(ep2) == {1_000 + i for i in range(50)} | set(range(100, 150))
+    # every re-sent doc whose original was KEPT in epoch 1 must now be
+    # an exact corpus duplicate — the ledger carried across batches
+    kept1 = {d for d, o in got1.items() if o == OUT_KEPT and d < 50}
+    assert kept1  # non-vacuous
+    for d in kept1:
+        assert ep2[1_000 + d] == OUT_EXACT_CORPUS
+
+    # ledger holds rows only for kept docs, never duplicates per (doc, band)
+    ledger = spark.read.parquet(dirs["ledger"])
+    dup_rows = (
+        ledger.groupBy("doc_id", "band").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup_rows == 0
+    kept_all = {r["doc_id"] for r in audit.filter(F.col("outcome") == OUT_KEPT).collect()}
+    assert {r["doc_id"] for r in ledger.select("doc_id").distinct().collect()} == kept_all
+
+    # re-running with nothing new landed is a no-op (checkpoint file log)
+    n_audit_before = audit.count()
+    run_admission_stream(
+        spark, dirs["landing"], dirs["ledger"], dirs["audit"], dirs["ckpt"]
+    )
+    assert (
+        spark.read.parquet(dirs["audit"]).count()
+        == n_audit_before
+    )
