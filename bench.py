@@ -48,14 +48,17 @@ HEADLINE = [
     "text_quality_score",
 ]
 
-# Round-3 additions (VERDICT r2 ask #5): the newest heavy plans. Timed
-# identically and reported in ``queries``/``extra_total`` but NOT in
-# ``value``, which remains the frozen-14 total.
+# Newest heavy plans (r3 LSH/jaccard/sessionize/asof; r4 semantic
+# dedup + duplicate-span detection). Timed identically and reported in
+# ``queries``/``extra_total`` but NOT in ``value``, which remains the
+# frozen-14 total.
 EXTRA = [
     "dedup_embedding_lsh",
     "dedup_ngram_jaccard",
     "events_sessionize",
     "asof_join_error_click",
+    "dedup_semantic",
+    "text_dup_spans",
 ]
 
 LIBRARY_PLANS = {
@@ -64,6 +67,16 @@ LIBRARY_PLANS = {
     # transitively) but frozen here for round-over-round comparability
     "radar_histogram_build": radar.radar_histogram_build,
 }
+
+
+def _late_library_plans():
+    # r4 library-tier heavies (not in REGISTRY; specs in plans/library.py)
+    from radares_spark.plans.library import ALL_LIBRARY_SPECS
+
+    return {
+        name: ALL_LIBRARY_SPECS[name].fn
+        for name in ("dedup_semantic", "text_dup_spans")
+    }
 
 
 def main() -> None:
@@ -80,9 +93,10 @@ def main() -> None:
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
+    library_plans = {**LIBRARY_PLANS, **_late_library_plans()}
     for name in HEADLINE + EXTRA:
         try:
-            fn = LIBRARY_PLANS.get(name) or REGISTRY[name].fn
+            fn = library_plans.get(name) or REGISTRY[name].fn
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()

@@ -30,7 +30,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
@@ -287,32 +287,36 @@ def dup_span_stats(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     Scale shape: the window stream is linear in corpus tokens (one row
     per token position, assembled above the Generate exactly as
     shingle_rows does to dodge the CollapseProject re-evaluation
-    trap). Two hash shuffles on the window hash — (doc, hash) distinct
-    then cross-doc count — both map-side combined, plus one semi-join
-    back and one doc regroup. Nothing is quadratic; the shared-span
-    set is proportional to actual boilerplate, not to the corpus.
+    trap) and — the part that matters — is EVALUATED ONCE. The naive
+    formulation (total-count aggregate + distinct-doc-count aggregate
+    + semi-join back) reads the explode+md5 subtree three times and
+    measured 3-4x slower at sf0.1. Instead: map-side-combined
+    (doc, hash) multiplicity rollup, ONE window over the hash (rows
+    per hash = docs containing it — the window never sees raw window
+    multiplicity), one doc regroup. Nothing is quadratic; work is
+    proportional to corpus tokens plus actual shared-span volume.
     """
     wins = shingle_rows(docs, n=w).select(
         "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h")
     )
-    cross_doc = (
-        wins.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    per_doc = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    dup_per_doc = (
-        wins.join(cross_doc, "h", "left_semi")
+    # one row per (doc, window-hash) with its in-doc multiplicity;
+    # map-side combine shrinks the only full-width shuffle
+    doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    # rows are unique per (doc, h), so count-over-hash == distinct docs
+    n_docs = F.count(F.lit(1)).over(W.partitionBy("h"))
+    per_doc = (
+        doc_h.withColumn("nd", n_docs)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
     )
     return (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
-        .join(dup_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
