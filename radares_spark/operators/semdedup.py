@@ -53,7 +53,10 @@ def semdedup_audit(
 
     Plan shape: one broadcast (centroids) for the rank projection,
     then ONE hash shuffle on ``cell`` for the within-cluster pair
-    join. Nothing crosses cluster boundaries; per-task cost is
+    join whose verdict is folded into a map-side-combinable max-flag
+    aggregate — no drop-set distinct, no corpus-wide join back (the
+    first formulation paid a full SortMergeJoin on vec_id for that).
+    Nothing crosses cluster boundaries; per-task cost is
     |cluster|^2 * DIM, bounded by the trainer's k choice — at corpus
     scale pick k ~ N/5k so a task scores ~25M pairs worst case.
     """
@@ -75,23 +78,18 @@ def semdedup_audit(
     lower_rank = (F.col("o_csim") < F.col("centroid_sim")) | (
         (F.col("o_csim") == F.col("centroid_sim")) & (F.col("o_id") < F.col("vec_id"))
     )
-    drops = (
-        ranked.join(other, "cell")
-        .filter(F.col("o_id") != F.col("vec_id"))
-        .filter(lower_rank)
-        .filter(pair_cos >= tau)
-        .select("vec_id")
-        .distinct()
-        .withColumn("__drop", F.lit(True))
-    )
+    dropped = F.when(
+        F.col("o_id").isNotNull()
+        & (F.col("o_id") != F.col("vec_id"))
+        & lower_rank
+        & (pair_cos >= tau),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # LEFT join keeps singleton-cluster vectors (no partner rows)
     return (
-        ranked.join(drops, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "centroid_sim",
-            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
-        )
+        ranked.join(other, "cell", "left")
+        .groupBy("vec_id", "cell", "centroid_sim")
+        .agg((F.max(dropped) == 0).alias("kept"))
     )
 
 

@@ -116,6 +116,29 @@ def test_dup_spans_short_and_empty_docs_survive(spark):
         assert r["n_windows"] == 0 and r["n_dup_windows"] == 0 and r["dup_frac"] == 0.0
 
 
+def test_plan_shapes_are_pinned(spark):
+    """The scale claims in the docstrings, held in the executed plans
+    (same contract as tests/test_plans.py for registered queries)."""
+    from radares_spark.plans.library import ALL_LIBRARY_SPECS
+    from tests.conftest import SF_SMOKE
+
+    sd = ALL_LIBRARY_SPECS["dedup_semantic"].fn(spark, SF_SMOKE)
+    plan = sd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no corpus-wide join back
+    assert "BatchEvalPython" not in plan  # Arrow-batched dots only
+    # centroid rank + pair join are broadcast/equi on the cluster id
+    assert "BroadcastHashJoin [cell" in plan
+
+    ds = ALL_LIBRARY_SPECS["text_dup_spans"].fn(spark, SF_SMOKE)
+    plan = ds._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # single-pass: (doc,h) rollup + window-on-h + doc regroup — exactly
+    # three hash shuffles; the doc-spine join is broadcast
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "BroadcastHashJoin [doc_id" in plan
+
+
 def test_dup_spans_internal_repeat_is_not_cross_doc(spark):
     """A window repeated twice WITHIN one doc only is not shared
     boilerplate — the >= 2 distinct-docs rule must not fire."""
