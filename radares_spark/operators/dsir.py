@@ -1,0 +1,250 @@
+"""DSIR-style data selection — importance weights from hashed n-gram
+features (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling") — plus the CCNet-flavored unigram log-prob
+score (Wenzek et al. 2020 filter by LM perplexity; here the LM is a
+hashed-unigram model so the whole thing stays engine-native — the
+real KenLM step is an external model this sandbox doesn't ship).
+
+Both scores share one mechanism and one pass:
+
+1. explode docs to word n-gram rows (the proven positions-only
+   generator of ``operators/dedup.shingle_rows``);
+2. hash each gram into ``N_BUCKETS`` buckets (md5-derived, the
+   DuckDB-mirrorable idiom of ``pipeline/corpus._unit_hash``);
+3. ONE aggregate over the gram stream computes the raw-corpus count
+   AND the target-subset count per bucket (map-side combined; output
+   is N_BUCKETS rows — kilobytes);
+4. broadcast the per-bucket log-ratio / log-prob table back onto the
+   gram stream; one per-doc sum.
+
+Scale shape: the corpus is scanned twice (feature build, scoring) but
+shuffled only as (bucket) x counts and (doc_id) x partial sums — both
+map-side combined; the model itself is broadcast-sized by
+construction (bucketing bounds the vocabulary). That is the published
+DSIR architecture: hashed features exist precisely so the model never
+grows with the corpus.
+
+DSIR weight per doc = sum over gram occurrences of
+log(p_target(b)/p_raw(b)) with add-alpha smoothing — docs that look
+like the target distribution score high; resampling then keeps docs
+with probability proportional to exp(weight) (the resample step IS
+``pipeline/corpus.sample_to_token_budget``-style selection over these
+weights, left to the caller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dedup import NORM_SQL, _md5, shingle_rows
+from radares_spark.registry import QuerySpec
+
+N_BUCKETS = 1024
+ALPHA = 1.0  # add-alpha smoothing per bucket
+NGRAM = 2  # word bigrams (DSIR paper: unigrams+bigrams; bigrams carry both)
+
+
+def _bucket(gram: Column) -> Column:
+    """md5-derived bucket in [0, N_BUCKETS) — DuckDB-mirrorable."""
+    return (
+        F.conv(F.substring(_md5(gram), 1, 8), 16, 10).cast("long") % N_BUCKETS
+    )
+
+
+def gram_buckets(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, b) — one row per word n-gram occurrence."""
+    return shingle_rows(docs, n=n).select(
+        "doc_id", _bucket(F.col("shingle")).alias("b")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n: int = NGRAM,
+    alpha: float = ALPHA,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_grams, dsir_logweight) for EVERY doc.
+
+    ``is_target`` is a boolean Column over ``docs`` marking the
+    high-quality target subset the raw corpus should be steered
+    toward (the paper's target = formal text; any predicate works).
+    ``dsir_logweight`` = sum over the doc's gram occurrences of
+    log(p_target(bucket) / p_raw(bucket)), both add-alpha smoothed.
+    Docs with no grams get weight 0.0 (no evidence either way).
+    """
+    # Two gram streams — full corpus and target subset — each reduced
+    # to N_BUCKETS count rows (map-side combined). NEVER a doc-level
+    # join or broadcast: a doc_id -> flag table is corpus-sized at
+    # 100 TB, while these two aggregates are kilobytes regardless of
+    # corpus size. Target ⊆ corpus, so a left join re-aligns them.
+    grams = gram_buckets(docs.select("doc_id", "text"), n=n)
+    tgt_grams = gram_buckets(
+        docs.filter(is_target).select("doc_id", "text"), n=n
+    )
+    raw_counts = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = tgt_grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
+    counts = raw_counts.join(tgt_counts, "b", "left").withColumn(
+        "c_tgt", F.coalesce("c_tgt", F.lit(0))
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    # log p_target(b) - log p_raw(b), smoothed; N_BUCKETS rows
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + F.lit(alpha)) / (F.col("t_tgt") + F.lit(alpha * n_buckets)))
+            - F.log((F.col("c_raw") + F.lit(alpha)) / (F.col("t_raw") + F.lit(alpha * n_buckets)))
+        ).alias("lr"),
+    )
+    scored = grams.join(F.broadcast(model), "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(F.sum("lr"), 6).alias("dsir_logweight"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, alpha: float = ALPHA, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_neg_logprob) — CCNet-style LM filter
+    score with a hashed-unigram model trained on the corpus itself:
+    average negative log-probability per token (high = surprising =
+    CCNet's 'tail'; low = head). Empty docs score 0.0."""
+    grams = gram_buckets(docs.select("doc_id", "text"), n=1)
+    counts = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(F.sum("c").alias("t"))
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (-F.log((F.col("c") + F.lit(alpha)) / (F.col("t") + F.lit(alpha * n_buckets)))).alias(
+            "nlp"
+        ),
+    )
+    scored = grams.join(F.broadcast(model), "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+        )
+    )
+
+
+# --- Library specs (DuckDB oracles) ----------------------------------------
+
+# target predicate for the registered variant: English docs — a real
+# selection task over the testdata (lang column exists in documents)
+_TARGET_SQL = "lang = 'en'"
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
+_NORM = NORM_SQL.format(c="coalesce(text, '')")
+
+# word n-gram stream with md5 bucketing, mirroring gram_buckets: DuckDB
+# slices the token array; out-of-range slices shrink, so the WHERE
+# len >= n guard reproduces Spark's NULL-propagating concat filter.
+def _grams_sql(n: int) -> str:
+    return f"""
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(w[i:i + {n - 1}], ' ')), 1, 8))::BIGINT
+                   % {N_BUCKETS} AS b
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+             LATERAL unnest(generate_series(1, len(w) - {n - 1})) AS t(i)
+        WHERE len(w) >= {n}
+    """
+
+
+DSIR_SQL = f"""
+    WITH grams AS ({_grams_sql(NGRAM)}),
+    tagged AS (
+        SELECT g.doc_id, g.b, (d.lang = 'en') AS t
+        FROM grams g JOIN documents d USING (doc_id)
+    ),
+    counts AS (
+        SELECT b, count(*) AS c_raw,
+               sum(CASE WHEN t THEN 1 ELSE 0 END) AS c_tgt
+        FROM tagged GROUP BY b
+    ),
+    totals AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts),
+    model AS (
+        SELECT b,
+               ln((c_tgt + {ALPHA}) / (t_tgt + {ALPHA * N_BUCKETS}))
+               - ln((c_raw + {ALPHA}) / (t_raw + {ALPHA * N_BUCKETS})) AS lr
+        FROM counts, totals
+    ),
+    scored AS (
+        SELECT g.doc_id, count(*) AS n_grams, round(sum(m.lr), 6) AS lw
+        FROM tagged g JOIN model m USING (b) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.lw, 0.0) AS dsir_logweight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+UNIGRAM_SQL = f"""
+    WITH grams AS ({_grams_sql(1)}),
+    counts AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+    totals AS (SELECT sum(c) AS t FROM counts),
+    model AS (
+        SELECT b, -ln((c + {ALPHA}) / (t + {ALPHA * N_BUCKETS})) AS nlp
+        FROM counts, totals
+    ),
+    scored AS (
+        SELECT g.doc_id, count(*) AS n_tokens, round(avg(m.nlp), 6) AS anlp
+        FROM grams g JOIN model m USING (b) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.anlp, 0.0) AS avg_neg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_dsir_weights": QuerySpec(
+        name="corpus_dsir_weights",
+        fn=corpus_dsir_weights,
+        oracle=DSIR_SQL,
+        survey="LLM-pipeline (DSIR hashed-ngram importance weights)",
+        doc="Per-doc log importance weight toward the lang='en' target "
+        "distribution over 1024 hashed bigram buckets, add-1 smoothed. "
+        "One gram-stream aggregate builds BOTH distributions; the "
+        "model is broadcast-sized by construction.",
+    ),
+    "corpus_unigram_logprob": QuerySpec(
+        name="corpus_unigram_logprob",
+        fn=corpus_unigram_logprob,
+        oracle=UNIGRAM_SQL,
+        survey="LLM-pipeline (CCNet-style LM filter score, hashed-"
+        "unigram model)",
+        doc="Average negative log-prob per token under a corpus-trained "
+        "hashed-unigram model — the engine-native stand-in for CCNet's "
+        "KenLM perplexity filter (external model not shipped here).",
+    ),
+}

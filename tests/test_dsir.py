@@ -1,0 +1,94 @@
+"""Planted-semantics tests for DSIR importance weights and the
+hashed-unigram LM score (operators/dsir.py). Value parity vs DuckDB is
+covered by the ALL_LIBRARY_SPECS sweep in test_oracle_parity.py; these
+pin that the scores actually DISCRIMINATE the way the papers intend."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dsir import dsir_weights, unigram_logprob
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+TARGETY = "the quick brown fox jumps over the lazy dog near the river bank"
+OTHERY = "zxq vbn mkl poi uyt rew qas dfg hjk lzx cvb nmq wer tyu iop"
+
+
+def test_dsir_steers_toward_target_distribution(spark):
+    """Docs made of target-marker grams must outscore docs made of
+    never-in-target grams; a doc with no grams scores exactly 0."""
+    docs = _docs(
+        spark,
+        [
+            (1, TARGETY),          # target member
+            (2, TARGETY + " extra"),  # target member
+            (3, TARGETY),          # raw doc that LOOKS like the target
+            (4, OTHERY),           # raw doc that does not
+            (5, None),             # no grams
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(docs, F.col("doc_id") <= 2).collect()
+    }
+    # absolute sign is smoothing-dependent at toy scale (add-1 over
+    # 1024 buckets dwarfs a 50-gram corpus); the ORDERING is the
+    # contract: target-like ranks strictly above target-unlike, and
+    # identical text to a target member scores exactly like it
+    assert out[3]["dsir_logweight"] > out[4]["dsir_logweight"]
+    assert out[3]["dsir_logweight"] == out[1]["dsir_logweight"]
+    assert out[5]["n_grams"] == 0 and out[5]["dsir_logweight"] == 0.0
+
+
+def test_dsir_on_testdata_separates_languages(spark):
+    """With target = lang 'en', English docs must average a higher
+    weight than non-English docs — the discriminative sanity check."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_logweight").alias("m"))
+        .collect()
+        if r["is_en"] is not None
+    }
+    assert means[True] > means[False]
+
+
+def test_unigram_logprob_ranks_rare_text_as_surprising(spark):
+    """A doc of corpus-common words scores lower (less surprising)
+    than a doc of corpus-rare words under the corpus-trained model."""
+    common = "alpha beta " * 30
+    docs = _docs(
+        spark,
+        [(i, common) for i in range(10)]
+        + [(100, "alpha beta alpha beta alpha beta")]  # all common words
+        + [(101, "qqqz wwwx eeec rrrv tttb yyyn")],  # all rare words
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert out[100]["avg_neg_logprob"] < out[101]["avg_neg_logprob"]
+    assert out[100]["n_tokens"] == 6 and out[101]["n_tokens"] == 6
+
+
+def test_plans_have_no_doc_level_broadcast_or_python(spark):
+    """The model tables are the ONLY broadcast sides (N_BUCKETS rows);
+    no row-Python anywhere."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    for df in (
+        dsir_weights(docs, F.col("lang") == "en"),
+        unigram_logprob(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the model reaches the gram stream as a broadcast equi join on
+        # the bucket id (the only corpus-wide join in the plan); the
+        # 1-row totals crossJoin is the sanctioned scalar broadcast
+        assert "BroadcastHashJoin [b#" in plan
+        assert "CartesianProduct" not in plan
