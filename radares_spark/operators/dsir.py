@@ -34,7 +34,7 @@ weights, left to the caller).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
@@ -147,6 +147,75 @@ def unigram_logprob(
     )
 
 
+WEIGHT_BIN_SCALE = 4  # bins per unit of log-weight
+WEIGHT_BIN_CLAMP = 512  # |bin| cap -> <= 1025 occupied bins
+
+
+def dsir_resample(
+    docs: DataFrame,
+    is_target: Column,
+    budget_tokens: int,
+    n: int = NGRAM,
+) -> DataFrame:
+    """The paper's resample step, deterministic engine-native variant:
+    take docs in DESCENDING importance-weight order (ties on doc_id)
+    until ``budget_tokens`` whitespace tokens are admitted. Returns
+    (doc_id, n_tokens, dsir_logweight) for the selected prefix.
+
+    A global weight-ordered running sum would be a single-partition
+    window; this reuses the two-phase prefix-sum shape of
+    ``pipeline.corpus.sample_to_token_budget`` with the bucket being a
+    COARSE WEIGHT BIN (floor(-w * SCALE), clamped): bin order equals
+    weight order across bins, the exact (weight desc, doc_id) order
+    holds within a bin's window, and the only single-partition window
+    runs over the <= 1025 occupied bins. Same greedy selection as
+    sorting the whole corpus, never a corpus-wide sort.
+    """
+    w = dsir_weights(docs, is_target, n=n)
+    toks = F.size(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]", " "),
+                    " +",
+                    " ",
+                )
+            ),
+            " ",
+        )
+    )
+    scored = (
+        docs.select("doc_id", toks.cast("long").alias("n_tokens"))
+        .join(w.select("doc_id", "dsir_logweight"), "doc_id")
+        .withColumn(
+            "__bin",
+            F.greatest(
+                F.lit(-WEIGHT_BIN_CLAMP),
+                F.least(
+                    F.lit(WEIGHT_BIN_CLAMP),
+                    F.floor(-F.col("dsir_logweight") * WEIGHT_BIN_SCALE),
+                ),
+            ),
+        )
+    )
+    per_bin = scored.groupBy("__bin").agg(F.sum("n_tokens").alias("__btok"))
+    off_w = W.orderBy("__bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = per_bin.select(
+        "__bin", (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset")
+    )
+    in_w = (
+        W.partitionBy("__bin")
+        .orderBy(F.desc("dsir_logweight"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.join(F.broadcast(offsets), "__bin")
+        .withColumn("__prefix", F.col("__offset") + F.sum("n_tokens").over(in_w))
+        .filter(F.col("__prefix") <= budget_tokens)
+        .select("doc_id", "n_tokens", "dsir_logweight")
+    )
+
+
 # --- Library specs (DuckDB oracles) ----------------------------------------
 
 # target predicate for the registered variant: English docs — a real
@@ -226,7 +295,45 @@ UNIGRAM_SQL = f"""
     FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
+DSIR_BUDGET = 15_000  # tokens — ~55% of the sf0.01 corpus, so the
+# selection is a strict, weight-discriminating prefix
+
+
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_resample(docs, F.col("lang") == "en", DSIR_BUDGET)
+
+
+DSIR_SELECT_SQL = f"""
+    WITH weights AS ({DSIR_SQL}),
+    toks AS (
+        SELECT doc_id,
+               len(string_split({_NORM}, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT t.doc_id, t.n_tokens, w.dsir_logweight,
+               sum(t.n_tokens) OVER (
+                   ORDER BY w.dsir_logweight DESC, t.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS pfx
+        FROM toks t JOIN weights w USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, dsir_logweight FROM r WHERE pfx <= {DSIR_BUDGET}
+"""
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_dsir_select": QuerySpec(
+        name="corpus_dsir_select",
+        fn=corpus_dsir_select,
+        oracle=DSIR_SELECT_SQL,
+        survey="LLM-pipeline (DSIR resample: weight-ordered greedy "
+        "selection under a token budget)",
+        doc=f"Greedy (weight desc, doc_id) prefix totalling <= "
+        f"{DSIR_BUDGET} tokens — the oracle is the naive global "
+        "window; the engine plan is the two-phase prefix sum over "
+        "coarse weight bins (only single-partition window: <= 1025 "
+        "bin rows).",
+    ),
     "corpus_dsir_weights": QuerySpec(
         name="corpus_dsir_weights",
         fn=corpus_dsir_weights,

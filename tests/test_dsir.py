@@ -77,6 +77,40 @@ def test_unigram_logprob_ranks_rare_text_as_surprising(spark):
     assert out[100]["n_tokens"] == 6 and out[101]["n_tokens"] == 6
 
 
+def test_dsir_resample_takes_highest_weights_first(spark):
+    """Greedy budgeted selection: the admitted set is exactly the
+    (weight desc, doc_id) prefix, never a lower-weight doc admitted
+    over a higher-weight one."""
+    from radares_spark.operators.dsir import dsir_resample, dsir_weights
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    budget = 2_000
+    picked = {
+        r["doc_id"]: r["n_tokens"]
+        for r in dsir_resample(docs, F.col("lang") == "en", budget).collect()
+    }
+    assert picked and sum(picked.values()) <= budget
+    # naive oracle ordering on the driver (500 docs)
+    w = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    order = sorted(w, key=lambda d: (-w[d], d))
+    expect, total = set(), 0
+    ntok = {
+        r["doc_id"]: r["n_tokens"]
+        for r in dsir_resample(docs, F.col("lang") == "en", 10**9)
+        .select("doc_id", "n_tokens")
+        .collect()
+    }
+    for d in order:
+        if total + ntok[d] > budget:
+            break
+        total += ntok[d]
+        expect.add(d)
+    assert set(picked) == expect
+
+
 def test_plans_have_no_doc_level_broadcast_or_python(spark):
     """The model tables are the ONLY broadcast sides (N_BUCKETS rows);
     no row-Python anywhere."""
