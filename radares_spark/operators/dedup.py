@@ -297,6 +297,53 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_pairs_capped(
+    bands: DataFrame, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs with a per-bucket population cap — the
+    guard that keeps the bucket self-join's quadratic term BOUNDED
+    when real corpora hand it a pathological bucket (boilerplate spam:
+    thousands of near-identical docs sharing every band).
+
+    Returns ``(pairs, hot_buckets)``: pairs as in
+    ``dedup_minhash_pairs`` but computed only over buckets with
+    <= ``max_bucket`` members, so per-task work is <= max_bucket^2 BY
+    CONSTRUCTION, independent of the corpus; ``hot_buckets`` is the
+    (band, band_hash, n_docs) report of what was excluded — operators
+    route those members to exact-hash dedup (``dedup_exact`` already
+    collapses identical spam for free) or to a sampled verification
+    pass. This cap-and-report split is the standard production LSH
+    hardening: a 10k-member bucket is 50M pairs of almost certainly
+    identical text — quadratic work for information the exact pass
+    yields linearly.
+
+    The hot set is tiny by nature (it IS the pathology report), so the
+    exclusion is a broadcast anti-join — no extra full-width shuffle.
+    """
+    sizes = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    hot = sizes.filter(F.col("n_docs") > max_bucket)
+    cold = bands.join(
+        F.broadcast(hot.select("band", "band_hash")),
+        ["band", "band_hash"],
+        "left_anti",
+    )
+    a = cold.alias("a")
+    b = cold.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs, hot
+
+
 SIMHASH_SQL = f"""
     WITH norm AS (
         SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
