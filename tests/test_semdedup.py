@@ -116,6 +116,48 @@ def test_dup_spans_short_and_empty_docs_survive(spark):
         assert r["n_windows"] == 0 and r["n_dup_windows"] == 0 and r["dup_frac"] == 0.0
 
 
+def test_semdedup_with_trained_kmeans_cells(spark):
+    """End-to-end production path: IVF k-means trainer supplies the
+    cells, semdedup audits within them — verified against a driver-side
+    brute force replay of the keep rule on the collected vectors."""
+    from radares_spark.operators.semdedup import semdedup_audit
+    from radares_spark.operators.similarity import _normed, build_ivf_index
+    from tests.conftest import SF_SMOKE
+
+    normed = _normed(spark, SF_SMOKE)
+    assignment, centroids = build_ivf_index(normed, n_cells=8, iters=2)
+    members = normed.join(assignment, "vec_id").select("vec_id", "cell", "v", "nrm")
+    tau = 0.3
+    out = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"], r["kept"])
+        for r in semdedup_audit(members, centroids, tau=tau).collect()
+    }
+    assert len(out) == normed.count()  # every vector audited exactly once
+
+    # brute-force replay on the driver
+    vecs = {r["vec_id"]: r["v"] for r in normed.collect()}
+    cents = {r["cell"]: r["cv"] for r in centroids.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return num / (na * nb)
+
+    for vid, (cell, csim, kept) in out.items():
+        assert round(cos(vecs[vid], cents[cell]), 4) == round(csim, 4)
+        peers = [
+            (o, oc, ocs)
+            for o, (oc, ocs, _) in out.items()
+            if oc == cell and o != vid
+        ]
+        should_drop = any(
+            ((ocs, o) < (csim, vid)) and round(cos(vecs[vid], vecs[o]), 4) >= tau
+            for o, _, ocs in peers
+        )
+        assert kept == (not should_drop), vid
+
+
 def test_plan_shapes_are_pinned(spark):
     """The scale claims in the docstrings, held in the executed plans
     (same contract as tests/test_plans.py for registered queries)."""
