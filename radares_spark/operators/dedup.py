@@ -283,16 +283,34 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = lsh_bands(minhash_signatures(_docs(spark, sf_dir)))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    return bucket_pairs(bands)
+
+
+def bucket_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) from band rows — the collect-and-
+    explode formulation, NOT a self-join: a bands self-join evaluates
+    the entire upstream signature pipeline twice (Spark's ReuseExchange
+    does not fire across the two SMJ inputs — verified on the executed
+    final plan: 0 ReusedExchange, 4 Generates), doubling the dominant
+    shingle+md5 cost. Here the pipeline runs ONCE into a per-bucket
+    sorted id list (map-side-combined aggregate — one shuffle), and
+    ordered pairs are exploded bucket-locally; per-bucket work is
+    |bucket|^2 exactly as before (cap pathological buckets with
+    ``lsh_pairs_capped``). Measured ~2x on the sf0.1 bench."""
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -329,19 +347,7 @@ def lsh_pairs_capped(
         ["band", "band_hash"],
         "left_anti",
     )
-    a = cold.alias("a")
-    b = cold.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
-    return pairs, hot
+    return bucket_pairs(cold), hot
 
 
 SIMHASH_SQL = f"""
