@@ -59,6 +59,7 @@ EXTRA = [
     "asof_join_error_click",
     "dedup_semantic",
     "text_dup_spans",
+    "corpus_dsir_select",
 ]
 
 LIBRARY_PLANS = {
@@ -75,7 +76,7 @@ def _late_library_plans():
 
     return {
         name: ALL_LIBRARY_SPECS[name].fn
-        for name in ("dedup_semantic", "text_dup_spans")
+        for name in ("dedup_semantic", "text_dup_spans", "corpus_dsir_select")
     }
 
 

@@ -296,7 +296,11 @@ def bucket_pairs(bands: DataFrame) -> DataFrame:
     sorted id list (map-side-combined aggregate — one shuffle), and
     ordered pairs are exploded bucket-locally; per-bucket work is
     |bucket|^2 exactly as before (cap pathological buckets with
-    ``lsh_pairs_capped``). Measured ~2x on the sf0.1 bench."""
+    ``lsh_pairs_capped``). Honest measurement: at sf0.1 on local[32]
+    WALL-CLOCK is within noise of the self-join (idle cores absorb the
+    duplicated pipeline); what halves is total CPU and scan volume —
+    the resource that is actually scarce on saturated executors at
+    corpus scale — plus one full-width shuffle (3 exchanges vs 2x2)."""
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
