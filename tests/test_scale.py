@@ -77,18 +77,11 @@ def _inflate_vecs(emb, k: int):
 
 
 def _minhash_pairs_stats(docs):
+    # the PRODUCTION pair path (bucket collect-and-explode since r4)
+    from radares_spark.operators.dedup import bucket_pairs
+
     bands = lsh_bands(minhash_signatures(docs))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id"), F.col("b.doc_id"))
-        .distinct()
-    )
+    pairs = bucket_pairs(bands).select("doc_a", "doc_b")
     max_bucket = (
         bands.groupBy("band", "band_hash").count().agg(F.max("count")).collect()[0][0]
     )
@@ -153,3 +146,58 @@ def test_ivf_cells_stay_balanced_under_inflation(spark):
     biggest = assignment.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     assert total == INFLATE * 500
     assert biggest <= total / 2, f"degenerate cell: {biggest}/{total}"
+
+
+@pytest.mark.slow
+def test_dup_spans_exactly_linear_under_dissimilar_inflation(spark):
+    """Duplicate-span detection is linear in corpus tokens by design;
+    per-copy-suffixed inflation keeps window vocabularies disjoint
+    across copies, so BOTH totals must grow exactly 4x — any
+    super-linear growth means cross-copy hash pollution (a broken
+    bucketing) and any sub-linear growth means lost windows."""
+    from radares_spark.operators.text_ext import dup_span_stats
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    big = _inflate_docs(docs, INFLATE)
+
+    def totals(frame):
+        r = (
+            dup_span_stats(frame)
+            .agg(
+                F.sum("n_windows").alias("w"),
+                F.sum("n_dup_windows").alias("d"),
+            )
+            .collect()[0]
+        )
+        return r["w"], r["d"]
+
+    w1, d1 = totals(docs)
+    w4, d4 = totals(big)
+    assert d1 > 0  # the testdata's planted near-dups share spans
+    assert w4 == INFLATE * w1
+    assert d4 == INFLATE * d1
+
+
+@pytest.mark.slow
+def test_semdedup_per_cluster_work_constant_when_k_scales(spark):
+    """SemDeDup's quadratic term is per cluster; the published scale
+    recipe is k ~ N / target_cluster_size. Train k cells on 1x and
+    4k cells on 4x: the LARGEST cluster (= worst-case task) must stay
+    in the same ballpark instead of growing with the corpus."""
+    from radares_spark.operators.similarity import build_ivf_index
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    big = _inflate_vecs(emb, INFLATE)
+
+    def max_cell(frame, k):
+        normed = frame.select(
+            "vec_id", F.col("embedding").alias("v"), l2norm("embedding").alias("nrm")
+        )
+        assignment, _ = build_ivf_index(normed, n_cells=k, iters=2)
+        return (
+            assignment.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    m1 = max_cell(emb, 8)
+    m4 = max_cell(big, 8 * INFLATE)
+    assert m4 <= 3 * m1, f"worst task grew with the corpus: {m1} -> {m4}"
