@@ -37,8 +37,10 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+from radares_spark.registry import QuerySpec
 
 
 def _kernel_schema(left: DataFrame, value: str) -> str:
@@ -159,3 +161,56 @@ def asof_join_salted(
     return both.groupBy(by, "__salt").applyInPandas(
         _make_kernel(lcols, left_ts, value), schema=_kernel_schema(left, value)
     )
+
+
+# --- Library spec: the salted tier against DuckDB's native ASOF JOIN -------
+
+SALT_BUCKET_S = 6 * 3600
+
+
+def asof_salted_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered window-form as-of (asof_join_error_click) solved
+    by the skew-proof SALTED tier instead — value-checked against
+    DuckDB's native ASOF JOIN, so the boundary-carry machinery gets the
+    same oracle-grade scrutiny as the driver rows (it was pytest-only
+    before r4)."""
+    from radares_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join_salted(
+        errors,
+        clicks,
+        by="user_id",
+        bucket_seconds=SALT_BUCKET_S,
+        value="last_click_ts",
+    )
+
+
+ASOF_SALTED_SQL = """
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts, c.click_ts AS last_click_ts
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.click_ts <= e.ts
+"""
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "asof_salted_error_click": QuerySpec(
+        name="asof_salted_error_click",
+        fn=asof_salted_error_click,
+        oracle=ASOF_SALTED_SQL,
+        survey="§2.6 as-of join (time-salted skew-proof tier)",
+        doc="Salted as-of vs DuckDB native ASOF JOIN: groups are "
+        "(key, 6h bucket); cross-bucket correctness restored by the "
+        "per-(key, bucket) boundary carry. Hash parity proves the "
+        "carry injection exactly reproduces unsalted semantics.",
+    ),
+}
