@@ -51,12 +51,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from radares_spark.operators.dedup import (
+    MINHASH_SQL,
     N_PERM,
+    NORM_SQL,
     _md5,
     lsh_bands,
     minhash_signatures,
     normalize_text,
 )
+from radares_spark.registry import QuerySpec
 
 NEAR_MIN_MATCH = 7  # of N_PERM=8 — signature-estimated Jaccard ~0.875
 SIG_COLS = [f"s{i}" for i in range(N_PERM)]
@@ -175,3 +178,94 @@ def incremental_dedup(
         audit.filter(F.col("outcome") == OUT_KEPT).select("doc_id"), "doc_id", "left_semi"
     )
     return audit, append_rows
+
+
+# --- Library spec: admission outcomes vs a full DuckDB SQL replay ----------
+
+LEDGER_SPLIT = 250  # doc_id < split = accepted corpus; rest = tonight's batch
+
+
+def incremental_admission_audit(spark, sf_dir: str) -> DataFrame:
+    """Driver-checkable admission scenario over the documents table:
+    ledger = docs 0..LEDGER_SPLIT-1 (as if accepted on a prior night),
+    batch = the rest. The oracle replays EVERYTHING in SQL — normalize,
+    shingles, minhash signatures, banding, semi-joins, signature
+    scoring and outcome priority — the same end-to-end rigor tier as
+    corpus_curation_audit."""
+    from radares_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    accepted = docs.filter(F.col("doc_id") < LEDGER_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= LEDGER_SPLIT)
+    audit, _ = incremental_dedup(batch, ledger_rows(accepted))
+    return audit
+
+
+INCREMENTAL_SQL = f"""
+    {MINHASH_SQL},
+    bands AS (
+        SELECT doc_id, b.band, b.band_hash
+        FROM sig, LATERAL (
+            VALUES (0, md5(s0::VARCHAR || '_' || s1::VARCHAR)), (1, md5(s2::VARCHAR || '_' || s3::VARCHAR)), (2, md5(s4::VARCHAR || '_' || s5::VARCHAR)), (3, md5(s6::VARCHAR || '_' || s7::VARCHAR))
+        ) AS b(band, band_hash)
+    ),
+    hashes AS (
+        SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS content_hash
+        FROM documents
+    ),
+    bat AS (SELECT doc_id FROM documents WHERE doc_id >= {LEDGER_SPLIT}),
+    led AS (SELECT doc_id FROM documents WHERE doc_id < {LEDGER_SPLIT}),
+    f_exact_corpus AS (
+        SELECT h.doc_id FROM hashes h JOIN bat USING (doc_id)
+        WHERE h.content_hash IN (
+            SELECT content_hash FROM hashes JOIN led USING (doc_id))
+    ),
+    keeper AS (
+        SELECT content_hash, min(doc_id) AS keep_id
+        FROM hashes JOIN bat USING (doc_id) GROUP BY content_hash
+    ),
+    f_exact_batch AS (
+        SELECT h.doc_id FROM hashes h JOIN bat USING (doc_id)
+        JOIN keeper k USING (content_hash)
+        WHERE h.doc_id <> k.keep_id
+    ),
+    f_near_corpus AS (
+        SELECT DISTINCT b_b.doc_id
+        FROM bands b_b JOIN bat ON bat.doc_id = b_b.doc_id
+        JOIN sig b_s ON b_s.doc_id = b_b.doc_id
+        JOIN bands l_b ON l_b.band = b_b.band AND l_b.band_hash = b_b.band_hash
+        JOIN led ON led.doc_id = l_b.doc_id
+        JOIN sig l_s ON l_s.doc_id = l_b.doc_id
+        WHERE CASE WHEN b_s.s0 = l_s.s0 THEN 1 ELSE 0 END + CASE WHEN b_s.s1 = l_s.s1 THEN 1 ELSE 0 END + CASE WHEN b_s.s2 = l_s.s2 THEN 1 ELSE 0 END + CASE WHEN b_s.s3 = l_s.s3 THEN 1 ELSE 0 END + CASE WHEN b_s.s4 = l_s.s4 THEN 1 ELSE 0 END + CASE WHEN b_s.s5 = l_s.s5 THEN 1 ELSE 0 END + CASE WHEN b_s.s6 = l_s.s6 THEN 1 ELSE 0 END + CASE WHEN b_s.s7 = l_s.s7 THEN 1 ELSE 0 END >= {NEAR_MIN_MATCH}
+    ),
+    f_near_batch AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bat ba ON ba.doc_id = a.doc_id
+        JOIN sig sa ON sa.doc_id = a.doc_id
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id > b.doc_id
+        JOIN bat bb ON bb.doc_id = b.doc_id
+        JOIN sig sb ON sb.doc_id = b.doc_id
+        WHERE CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END + CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END + CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END + CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END + CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END + CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END + CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END + CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END >= {NEAR_MIN_MATCH}
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM f_exact_corpus) THEN '{OUT_EXACT_CORPUS}'
+                WHEN d.doc_id IN (SELECT doc_id FROM f_exact_batch)  THEN '{OUT_EXACT_BATCH}'
+                WHEN d.doc_id IN (SELECT doc_id FROM f_near_corpus)  THEN '{OUT_NEAR_CORPUS}'
+                WHEN d.doc_id IN (SELECT doc_id FROM f_near_batch)   THEN '{OUT_NEAR_BATCH}'
+                ELSE '{OUT_KEPT}' END AS outcome
+    FROM (SELECT doc_id FROM bat) d
+"""
+
+LIBRARY_SPECS = {
+    "incremental_admission_audit": QuerySpec(
+        name="incremental_admission_audit",
+        fn=incremental_admission_audit,
+        oracle=INCREMENTAL_SQL,
+        survey="LLM-pipeline (incremental admission dedup vs ledger)",
+        doc="Nightly-crawl admission against the accepted-corpus "
+        "ledger, outcomes replayed end to end in SQL (signatures, "
+        "banding, scoring, priority). Reference anchor: the "
+        "existence-guarded insert at clean_data.py:168-180.",
+    ),
+}
