@@ -76,6 +76,63 @@ def pii_scrub_sql(table: str, text_col: str = "text") -> str:
     """
 
 
+# HTML -> text extraction rules, applied in order. ALL patterns use
+# ASCII classes + inline (?is) flags only, so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte — same contract as PII_RULES.
+HTML_STRIP_RULES: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),  # script blocks first
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),                    # comments
+    (r"<[^>]+>", " "),                           # remaining tags
+]
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def extract_html_text(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """Input columns + ``plain_text`` + ``n_tags`` + ``n_links`` — the
+    crawl pipeline's first stage (strip markup before any quality /
+    dedup / PII stage sees bytes). Pure projection: chained
+    regexp_replace in ONE codegen'd pass, zero shuffles — the same
+    execution contract as :func:`scrub_pii`. Counts are taken on the
+    ORIGINAL markup (tag density is itself a quality signal: Gopher
+    drops pages whose text is mostly chrome)."""
+    out = docs.withColumn(
+        "n_tags", F.regexp_count(F.col(html_col), F.lit(r"<[^>]+>"))
+    ).withColumn("n_links", F.regexp_count(F.col(html_col), F.lit(r"(?i)<a\b")))
+    txt = F.col(html_col)
+    for pat, repl in HTML_STRIP_RULES:
+        txt = F.regexp_replace(txt, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        txt = F.regexp_replace(txt, ent, ch)
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return out.withColumn("plain_text", txt)
+
+
+def html_extract_sql(table: str, html_col: str = "html") -> str:
+    """DuckDB mirror of :func:`extract_html_text` over ``table``."""
+    txt = html_col
+    for pat, repl in HTML_STRIP_RULES:
+        txt = f"regexp_replace({txt}, '{pat}', '{repl}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        txt = f"regexp_replace({txt}, '{ent}', '{ch_sql}', 'g')"
+    txt = f"trim(regexp_replace({txt}, '\\s+', ' ', 'g'))"
+    return f"""
+    SELECT *,
+           len(regexp_extract_all({html_col}, '<[^>]+>'))::INT AS n_tags,
+           len(regexp_extract_all({html_col}, '(?i)<a\\b'))::INT AS n_links,
+           {txt} AS plain_text
+    FROM {table}
+    """
+
+
 def strip_boilerplate(
     docs: DataFrame,
     min_docs: int = 3,

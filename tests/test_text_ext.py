@@ -145,3 +145,68 @@ def test_boilerplate_semantics(spark):
     assert got[4]["clean_text"] == BP_DOCS["text"][4]
     assert got[5]["clean_text"] == "" and got[5]["n_removed"] == 0
     assert len(got) == 6
+
+
+HTML_DOCS = __import__("pandas").DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4],
+        "html": [
+            "<html><head><script>var x = '<p>not text</p>';</script>"
+            "<style>.a{color:red}</style></head>"
+            "<body><h1>Title</h1><p>Hello &amp; welcome to the "
+            "<a href='/x'>site</a>.</p><!-- hidden --></body></html>",
+            "plain text, no markup at all",
+            "<ul><li>one</li><li>two&nbsp;&amp;&nbsp;three</li></ul>"
+            "<A HREF='y'>UPPER link</A>",
+            "",
+        ],
+    }
+)
+
+
+def test_html_extract_matches_duckdb_on_planted_frame(spark):
+    from radares_spark.operators.text_ext import extract_html_text, html_extract_sql
+    import duckdb
+
+    sdf = extract_html_text(spark.createDataFrame(HTML_DOCS))
+    con = duckdb.connect()
+    con.register("html_docs", HTML_DOCS)
+    tbl = con.execute(html_extract_sql("html_docs")).arrow().to_pylist()
+    oracle = {r["doc_id"]: r for r in tbl}
+    for r in sdf.collect():
+        o = oracle[r["doc_id"]]
+        assert r["plain_text"] == o["plain_text"], r["doc_id"]
+        assert r["n_tags"] == o["n_tags"] and r["n_links"] == o["n_links"]
+
+
+def test_html_extract_semantics(spark):
+    from radares_spark.operators.text_ext import extract_html_text
+
+    rows = {
+        r["doc_id"]: r
+        for r in extract_html_text(spark.createDataFrame(HTML_DOCS)).collect()
+    }
+    # script/style/comment content must NOT leak into the text
+    # (every tag becomes a space, so inline tags leave one before
+    # trailing punctuation — the standard strip-tags artifact)
+    assert rows[1]["plain_text"] == "Title Hello & welcome to the site ."
+    assert "not text" not in rows[1]["plain_text"]
+    assert "color:red" not in rows[1]["plain_text"]
+    assert "hidden" not in rows[1]["plain_text"]
+    assert rows[1]["n_links"] == 1
+    # markup-free text passes through untouched, zero counts
+    assert rows[2]["plain_text"] == "plain text, no markup at all"
+    assert rows[2]["n_tags"] == 0 and rows[2]["n_links"] == 0
+    # entities + nbsp + case-insensitive link counting
+    assert rows[3]["plain_text"] == "one two & three UPPER link"
+    assert rows[3]["n_links"] == 1
+    assert rows[4]["plain_text"] == ""
+
+
+def test_html_extract_is_shuffle_free(spark):
+    from radares_spark.operators.text_ext import extract_html_text
+
+    df = extract_html_text(spark.createDataFrame(HTML_DOCS))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
