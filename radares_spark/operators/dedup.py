@@ -110,8 +110,12 @@ def shingle_rows(df: DataFrame, n: int = 3) -> DataFrame:
             for p in ([F.lit(" ")] if j else []) + [F.get(w, F.col("i") - 1 + j)]
         ]
     )
+    # != '' matters only at n=1: split('', ' ') is [''] in Spark, so an
+    # empty normalized doc would emit one bogus ''-gram (at n>=2 the
+    # NULL-propagating concat already drops it). Empty docs must yield
+    # ZERO grams at every n — the DuckDB mirrors exclude them too.
     return pos.select("doc_id", shingle.alias("shingle")).filter(
-        F.col("shingle").isNotNull()
+        F.col("shingle").isNotNull() & (F.col("shingle") != "")
     )
 
 

@@ -238,12 +238,17 @@ _NORM = NORM_SQL.format(c="coalesce(text, '')")
 # word n-gram stream with md5 bucketing, mirroring gram_buckets: DuckDB
 # slices the token array; out-of-range slices shrink, so the WHERE
 # len >= n guard reproduces Spark's NULL-propagating concat filter.
+# The len(norm) > 0 guard matches Spark on NULL/empty text: DuckDB's
+# string_split('', ' ') yields [''] (one bogus gram at n=1), while
+# Spark's shingle stream yields none — drop empty docs from the gram
+# stream on both sides (they score n_tokens=0 via the outer LEFT JOIN).
 def _grams_sql(n: int) -> str:
     return f"""
         SELECT doc_id,
                ('0x' || substr(md5(array_to_string(w[i:i + {n - 1}], ' ')), 1, 8))::BIGINT
                    % {N_BUCKETS} AS b
-        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+              FROM documents WHERE len({_NORM}) > 0),
              LATERAL unnest(generate_series(1, len(w) - {n - 1})) AS t(i)
         WHERE len(w) >= {n}
     """

@@ -76,12 +76,21 @@ def ledger_rows(docs: DataFrame) -> DataFrame:
     ledger representation of ``docs`` (one row per doc per band).
     The signature ride-along on every band row is deliberate: the
     admission join scores candidates from the band row alone, no
-    second lookup against a signature table."""
+    second lookup against a signature table.
+
+    Docs too short to shingle (<3 normalized words) produce no
+    signature rows; they get ONE hash-only ledger row (null sig/band)
+    via the left joins, so short docs still participate in exact
+    dedup and never silently vanish from the audit spine or the
+    append set. Null band_hash never equi-joins, so the near-dup
+    band paths ignore these rows by construction."""
     sig = minhash_signatures(docs)
     exact = docs.select(
         "doc_id", _md5(normalize_text(F.col("text"))).alias("content_hash")
     )
-    return exact.join(sig, "doc_id").join(lsh_bands(sig), "doc_id")
+    return exact.join(sig, "doc_id", "left").join(
+        lsh_bands(sig), "doc_id", "left"
+    )
 
 
 def _sig_score(left_prefix: str, right_prefix: str):

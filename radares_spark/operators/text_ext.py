@@ -85,13 +85,15 @@ HTML_STRIP_RULES: list[tuple[str, str]] = [
     (r"(?s)<!--.*?-->", " "),                    # comments
     (r"<[^>]+>", " "),                           # remaining tags
 ]
+# &amp; MUST decode last: decoding it first would double-unescape
+# double-escaped text ('&amp;lt;' -> '&lt;' -> '<' instead of '&lt;').
 HTML_ENTITIES: list[tuple[str, str]] = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&amp;", "&"),
 ]
 
 

@@ -54,8 +54,22 @@ def stream_docs(
     return reader.parquet(landing_dir)
 
 
-def _load_ledger(spark: SparkSession, ledger_dir: str, like: DataFrame) -> DataFrame:
-    """Current ledger, or an empty correctly-shaped frame on first run."""
+def _load_ledger(
+    spark: SparkSession,
+    ledger_dir: str,
+    like: DataFrame,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Current ledger, or an empty correctly-shaped frame on first run.
+
+    ``exclude_epoch`` filters out the caller's own epoch partition: on a
+    replay (crash between the sink's writes and the checkpoint commit)
+    the ledger may already contain the replayed micro-batch's rows, and
+    admitting the batch against them would reclassify every previously
+    kept doc as ``exact_dup_corpus`` and overwrite the audit partition
+    with wrong outcomes. Excluding the epoch reconstructs the exact
+    pre-epoch ledger state, so replay recomputes the same result.
+    """
     if os.path.isdir(ledger_dir) and any(
         f.endswith(".parquet")
         for _, _, files in os.walk(ledger_dir)
@@ -63,7 +77,10 @@ def _load_ledger(spark: SparkSession, ledger_dir: str, like: DataFrame) -> DataF
     ):
         # plain partitioned read: epoch is a partition column, which
         # recursiveFileLookup would silently drop (no partition inference)
-        return spark.read.parquet(ledger_dir).drop("epoch")
+        ledger = spark.read.parquet(ledger_dir)
+        if exclude_epoch is not None:
+            ledger = ledger.filter(F.col("epoch") != F.lit(exclude_epoch))
+        return ledger.drop("epoch")
     return ledger_rows(like).filter(F.lit(False))
 
 
@@ -86,7 +103,7 @@ def run_admission_stream(
         batch = batch_df.localCheckpoint(eager=True)
         if batch.rdd.isEmpty():
             return
-        ledger = _load_ledger(s, ledger_dir, batch)
+        ledger = _load_ledger(s, ledger_dir, batch, exclude_epoch=epoch_id)
         audit, append_rows = incremental_dedup(batch, ledger)
         # epoch-partitioned dynamic overwrite => replay-idempotent
         (

@@ -103,3 +103,39 @@ def test_stream_admission_matches_batch_and_accumulates(spark, dirs):
         spark.read.parquet(dirs["audit"]).count()
         == n_audit_before
     )
+
+
+def test_replay_after_crash_is_idempotent(spark, dirs):
+    """ADVICE r4: crash between the sink's writes and the checkpoint
+    commit = output partitions exist but the commit marker is missing.
+    Deleting the newest commit marker and re-running reproduces exactly
+    that replay; the replayed micro-batch must dedup against the
+    PRE-epoch ledger (its own epoch excluded), so every audit and
+    ledger row is reproduced bit-identically."""
+    import os
+
+    def snapshot(d):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(d).collect()
+        )
+
+    audit_before = snapshot(dirs["audit"])
+    ledger_before = snapshot(dirs["ledger"])
+
+    commits_dir = os.path.join(dirs["ckpt"], "commits")
+    commits = sorted(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )
+    assert len(commits) >= 2  # the module's first test ran two epochs
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    # Hadoop's checksummed local FS would refuse to rewrite the commit
+    # over a stale .crc sidecar — a real crash loses both together
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run_admission_stream(
+        spark, dirs["landing"], dirs["ledger"], dirs["audit"], dirs["ckpt"]
+    )
+    assert snapshot(dirs["audit"]) == audit_before
+    assert snapshot(dirs["ledger"]) == ledger_before

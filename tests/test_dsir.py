@@ -126,3 +126,43 @@ def test_plans_have_no_doc_level_broadcast_or_python(spark):
         # 1-row totals crossJoin is the sanctioned scalar broadcast
         assert "BroadcastHashJoin [b#" in plan
         assert "CartesianProduct" not in plan
+
+
+def test_unigram_sql_matches_spark_on_null_and_empty_text(spark):
+    """ADVICE r4: the DuckDB mirror must agree with Spark on NULL/empty
+    docs — string_split('', ' ') yields [''] in DuckDB (one bogus gram
+    at n=1) unless empty normalized text is excluded from the gram
+    stream. Both sides must score such docs n_tokens=0, logprob 0.0."""
+    import duckdb
+    import pandas as pd
+
+    from radares_spark.operators.dsir import UNIGRAM_SQL
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                None,
+                "",
+                "   ",
+                "real words appear here",
+                "real words appear here too",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf.astype(object), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(sdf).collect()}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {
+        r[0]: r for r in con.execute(UNIGRAM_SQL).fetchall()
+    }
+    assert set(got) == set(oracle) == {1, 2, 3, 4, 5}
+    for d in got:
+        assert got[d]["n_tokens"] == oracle[d][1], d
+        assert got[d]["avg_neg_logprob"] == __import__("pytest").approx(
+            oracle[d][2], abs=1e-9
+        ), d
+    # the degenerate docs really are degenerate on both sides
+    for d in (1, 2, 3):
+        assert got[d]["n_tokens"] == 0 and got[d]["avg_neg_logprob"] == 0.0

@@ -244,3 +244,40 @@ def test_empty_ledger_bootstrap(spark, corpus_and_batch):
     assert OUT_NEAR_CORPUS not in outcomes.values()
     assert outcomes[20_001] == OUT_EXACT_BATCH
     assert append.count() > 0
+
+
+def test_short_docs_survive_the_audit_spine(spark):
+    """ADVICE r4: docs too short to shingle (<3 normalized words) must
+    still get exactly one audit row and a hash-only ledger row — they
+    dedup exactly, and kept ones classify exact_dup_corpus when the
+    same content is re-admitted the next night."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),
+            (2, "hi"),
+            (3, ""),
+            (4, "one two"),
+            (5, "a perfectly ordinary document with plenty of words in it"),
+        ],
+        "doc_id long, text string",
+    )
+    empty = ledger_rows(docs).filter(F.lit(False))
+    audit, append = incremental_dedup(docs, empty)
+    out = {r["doc_id"]: r["outcome"] for r in audit.collect()}
+    # full spine: nothing vanishes, exactly one row per doc
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert audit.count() == 5
+    assert out[2] == OUT_EXACT_BATCH  # duplicate short content, higher id
+    for d in (1, 3, 4, 5):
+        assert out[d] == OUT_KEPT, d
+    # hash-only ledger rows exist for sig-less kept docs
+    short_rows = append.filter(F.col("doc_id").isin(1, 3, 4)).collect()
+    assert {r["doc_id"] for r in short_rows} == {1, 3, 4}
+    assert all(r["band_hash"] is None for r in short_rows)
+    # re-admission: every kept doc (short ones included) is now a
+    # corpus duplicate and nothing is appended
+    audit2, append2 = incremental_dedup(docs, append)
+    out2 = {r["doc_id"]: r["outcome"] for r in audit2.collect()}
+    for d in (1, 3, 4, 5):
+        assert out2[d] == OUT_EXACT_CORPUS, d
+    assert append2.count() == 0

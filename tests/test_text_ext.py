@@ -210,3 +210,26 @@ def test_html_extract_is_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_html_entities_decode_amp_last(spark):
+    """ADVICE r4: double-escaped text must single-unescape — '&amp;lt;'
+    is the ESCAPED form of '&lt;' and must become '&lt;', never '<'.
+    Requires &amp; to decode after every other entity, in BOTH mirrors."""
+    import duckdb
+    import pandas as pd
+
+    from radares_spark.operators.text_ext import extract_html_text, html_extract_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "html": ["<p>&amp;lt;tag&amp;gt; &amp; &lt;real&gt; &amp;quot;q&amp;quot;</p>"],
+        }
+    )
+    got = extract_html_text(spark.createDataFrame(pdf)).collect()[0]["plain_text"]
+    assert got == '&lt;tag&gt; & <real> &quot;q&quot;'
+    con = duckdb.connect()
+    con.register("dd_docs", pdf)
+    oracle = con.execute(html_extract_sql("dd_docs")).arrow().to_pylist()[0]
+    assert oracle["plain_text"] == got
