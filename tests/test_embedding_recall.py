@@ -19,7 +19,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.operators.dedup import NEARDUP_COS, embedding_lsh_pairs
+from radares_spark.operators.dedup import (
+    NEARDUP_COS,
+    TESTDATA_NEARDUP_COS,
+    embedding_lsh_pairs,
+)
 from tests.conftest import SF_ORACLE
 
 N_PLANT = 50
@@ -81,7 +85,7 @@ def test_banding_matches_oracle_bit_for_bit(spark):
     }
 
     sql = REGISTRY["dedup_embedding_lsh"].oracle.replace(
-        f">= {NEARDUP_COS}", ">= -1.0"
+        f">= {TESTDATA_NEARDUP_COS}", ">= -1.0"
     )
     con = duckdb.connect()
     for t in TABLES:
