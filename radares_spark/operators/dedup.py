@@ -234,19 +234,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_signatures",
-    oracle=f"""
-    {MINHASH_SQL}
-    SELECT doc_id,
-           {", ".join(f"md5(s{b * BAND_R}::VARCHAR || '_' || s{b * BAND_R + 1}::VARCHAR) AS band{b}" for b in range(N_BANDS))}
-    FROM sig
-    """,
-    survey="D-fuzzy (MinHash signatures + LSH band hashes)",
-    doc="Per-doc MinHash signature folded into LSH band hashes "
-    f"(k={N_PERM}, b={N_BANDS}, r={BAND_R}). Value-checked end-to-end "
-    "against the oracle — proves the signature math, not just row counts.",
-)
+# r5: moved from the driver registry to library tier (strict parity
+# still pinned via tests/test_oracle_parity.py over LIBRARY_SPECS).
+# dedup_minhash_pairs consumes these exact signatures, so its driver
+# row transitively value-checks the signature pipeline; the freed slot
+# went to incremental_admission_audit (operators/incremental.py).
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(_docs(spark, sf_dir))
     return sig.select(
@@ -845,6 +837,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from radares_spark.registry import QuerySpec  # noqa: E402
 
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "dedup_minhash_signatures": QuerySpec(
+        name="dedup_minhash_signatures",
+        fn=dedup_minhash_signatures,
+        oracle=f"""
+        {MINHASH_SQL}
+        SELECT doc_id,
+               {", ".join(f"md5(s{b * BAND_R}::VARCHAR || '_' || s{b * BAND_R + 1}::VARCHAR) AS band{b}" for b in range(N_BANDS))}
+        FROM sig
+        """,
+        survey="D-fuzzy (MinHash signatures + LSH band hashes)",
+        doc="Per-doc MinHash signature folded into LSH band hashes "
+        f"(k={N_PERM}, b={N_BANDS}, r={BAND_R}). Value-checked end-to-end "
+        "against the oracle — proves the signature math, not just row "
+        "counts. Library tier since r5; dedup_minhash_pairs' driver row "
+        "covers the same pipeline transitively.",
+    ),
     "dedup_simhash_pairs": QuerySpec(
         name="dedup_simhash_pairs",
         fn=dedup_simhash_pairs,

@@ -59,7 +59,7 @@ from radares_spark.operators.dedup import (
     minhash_signatures,
     normalize_text,
 )
-from radares_spark.registry import QuerySpec
+from radares_spark.registry import QuerySpec, register
 
 NEAR_MIN_MATCH = 7  # of N_PERM=8 — signature-estimated Jaccard ~0.875
 SIG_COLS = [f"s{i}" for i in range(N_PERM)]
@@ -200,7 +200,9 @@ def incremental_admission_audit(spark, sf_dir: str) -> DataFrame:
     batch = the rest. The oracle replays EVERYTHING in SQL — normalize,
     shingles, minhash signatures, banding, semi-joins, signature
     scoring and outcome priority — the same end-to-end rigor tier as
-    corpus_curation_audit."""
+    corpus_curation_audit. Driver-registered since r5 (was library
+    tier); the slot came from dedup_minhash_signatures, which
+    dedup_minhash_pairs covers transitively."""
     from radares_spark.io.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -266,15 +268,14 @@ INCREMENTAL_SQL = f"""
     FROM (SELECT doc_id FROM bat) d
 """
 
-LIBRARY_SPECS = {
-    "incremental_admission_audit": QuerySpec(
-        name="incremental_admission_audit",
-        fn=incremental_admission_audit,
-        oracle=INCREMENTAL_SQL,
-        survey="LLM-pipeline (incremental admission dedup vs ledger)",
-        doc="Nightly-crawl admission against the accepted-corpus "
-        "ledger, outcomes replayed end to end in SQL (signatures, "
-        "banding, scoring, priority). Reference anchor: the "
-        "existence-guarded insert at clean_data.py:168-180.",
-    ),
-}
+register(
+    "incremental_admission_audit",
+    oracle=INCREMENTAL_SQL,
+    survey="LLM-pipeline (incremental admission dedup vs ledger)",
+    doc="Nightly-crawl admission against the accepted-corpus "
+    "ledger, outcomes replayed end to end in SQL (signatures, "
+    "banding, scoring, priority). Reference anchor: the "
+    "existence-guarded insert at clean_data.py:168-180.",
+)(incremental_admission_audit)
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {}

@@ -20,6 +20,7 @@ from radares_spark.operators import text  # noqa: E402,F401
 from radares_spark.operators import multimodal  # noqa: E402,F401
 from radares_spark.pipeline import corpus  # noqa: E402,F401
 from radares_spark.operators import decontam  # noqa: E402,F401
+from radares_spark.operators import incremental  # noqa: E402,F401
 from radares_spark.plans import radar  # noqa: E402,F401
 from radares_spark.plans import relational  # noqa: E402,F401
 from radares_spark.plans import advanced  # noqa: E402,F401
