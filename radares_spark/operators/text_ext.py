@@ -354,6 +354,13 @@ def dup_span_stats(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     per hash = docs containing it — the window never sees raw window
     multiplicity), one doc regroup. Nothing is quadratic; work is
     proportional to corpus tokens plus actual shared-span volume.
+
+    Straggler note: a span shared by N docs puts N rows in one window
+    partition — linear and spillable, but at crawl scale a universal
+    boilerplate sentence makes one long task. Production callers use
+    :func:`dup_span_stats_capped`, which bounds the window partition
+    at ``max_docs_per_span`` rows and reports the hot spans, with
+    EXACTLY the same output.
     """
     wins = shingle_rows(docs, n=w).select(
         "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h")
@@ -391,6 +398,90 @@ def dup_span_stats(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
             .alias("dup_frac"),
         )
     )
+
+
+DUP_SPAN_MAX_DOCS = 10_000  # production hot-span bound (distinct docs)
+
+
+def dup_span_stats_capped(
+    docs: DataFrame,
+    w: int = DUP_SPAN_W,
+    max_docs_per_span: int = DUP_SPAN_MAX_DOCS,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`dup_span_stats` with the hot-hash straggler capped — the
+    same cap-and-report hardening as ``dedup.lsh_pairs_capped``.
+
+    The uncapped count window partitions by the span hash, so a
+    universal boilerplate sentence ("all rights reserved") shared by
+    10^8 docs becomes ONE window task of 10^8 rows — linear and
+    spillable, but a straggler. Here span hashes whose distinct-doc
+    count exceeds ``max_docs_per_span`` are split out FIRST via a
+    map-side-combined aggregate (each map partition emits <= 1 row per
+    hash, so the reduce side of a universal hash sees <= n_partitions
+    rows — the sizing pass cannot itself straggle), and:
+
+    - **cold** hashes flow through the original window path, whose
+      per-partition row count is now <= max_docs_per_span BY
+      CONSTRUCTION;
+    - **hot** hashes are dup spans BY DEFINITION (distinct docs >
+      max >= 2), so their windows count toward ``n_dup_windows``
+      without ever needing the exact distinct-doc number — the result
+      is EXACT, not an approximation, which is why the library parity
+      of the cold path carries over unchanged;
+    - ``hot_spans`` (h, n_docs) is the pathology report — tiny by
+      nature, broadcast both ways.
+
+    Returns ``(stats, hot_spans)`` with ``stats`` exactly equal to the
+    uncapped :func:`dup_span_stats` output.
+    """
+    wins = shingle_rows(docs, n=w).select(
+        "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h")
+    )
+    doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    sizes = doc_h.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = sizes.filter(F.col("n_docs") > max_docs_per_span)
+    cold = doc_h.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    hot_rows = doc_h.join(F.broadcast(hot.select("h")), "h", "left_semi")
+
+    nd = F.count(F.lit(1)).over(W.partitionBy("h"))
+    cold_per_doc = (
+        cold.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("nw_cold"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
+                "ndup_cold"
+            ),
+        )
+    )
+    hot_per_doc = hot_rows.groupBy("doc_id").agg(
+        F.sum("c").alias("nw_hot")  # all hot windows are dup windows
+    )
+    merged = (
+        docs.select("doc_id")
+        .join(cold_per_doc, "doc_id", "left")
+        .join(hot_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("nw_cold", F.lit(0)) + F.coalesce("nw_hot", F.lit(0))).alias(
+                "n_windows"
+            ),
+            (
+                F.coalesce("ndup_cold", F.lit(0)) + F.coalesce("nw_hot", F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+    )
+    stats = merged.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.when(F.col("n_windows") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6)
+        )
+        .alias("dup_frac"),
+    )
+    return stats, hot
 
 
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

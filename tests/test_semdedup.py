@@ -194,3 +194,112 @@ def test_dup_spans_internal_repeat_is_not_cross_doc(spark):
     out = {r["doc_id"]: r for r in dup_span_stats(docs, w=8).collect()}
     assert out[1]["n_dup_windows"] == 0
     assert out[2]["n_dup_windows"] == 0
+
+
+def test_dup_spans_capped_excludes_universal_span(spark):
+    """r5 hot-hash hardening (dup_span_stats_capped): a planted
+    universal boilerplate span shared by 20 docs with max_docs_per_span=5
+    must (a) land in the hot report with its distinct-doc count,
+    (b) never reach the count window (broadcast anti-join feeds it), and
+    (c) leave the final stats EXACTLY equal to the uncapped operator —
+    the cap re-routes work, it does not approximate."""
+    from radares_spark.operators.text_ext import dup_span_stats_capped
+
+    universal = "all rights reserved by the original content owner llc two"  # 10 words
+    rows = [
+        (i, f"u{i} v{i} w{i} x{i} {universal} y{i} z{i}") for i in range(20)
+    ]
+    cold_span = "shared cold span of exactly eight contiguous words"  # 8 words
+    rows += [
+        (100, f"begin one {cold_span} here end alpha"),
+        (101, f"other opening {cold_span} there closing beta"),
+        (200, "completely unique document with no shared material at all"),
+    ]
+    docs = _docs(spark, rows)
+
+    stats, hot = dup_span_stats_capped(docs, w=8, max_docs_per_span=5)
+    hot_rows = hot.collect()
+    # the 10-word universal phrase yields exactly 3 rolling 8-word
+    # windows fully inside it, each shared by all 20 docs
+    assert len(hot_rows) == 3
+    assert all(r["n_docs"] == 20 for r in hot_rows)
+
+    got = sorted(tuple(r) for r in stats.collect())
+    expect = sorted(tuple(r) for r in dup_span_stats(docs, w=8).collect())
+    assert got == expect
+
+    by_id = {r[0]: r for r in got}
+    # hot docs: 16 tokens -> 9 windows, 3 of them the hot universal ones
+    assert by_id[0][1] == 9 and by_id[0][2] == 3
+    # the 2-doc cold span stays below the cap and flows through the
+    # window path: exactly one shared window each
+    assert by_id[100][2] == 1 and by_id[101][2] == 1
+    assert by_id[200][2] == 0
+
+    # plan: the Window consumes the anti-joined (cold) side
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_semdedup_at_paper_tau_drops_exactly_the_planted_twins(spark):
+    """r5 (VERDICT ask #5): the registered tau=0.35 exists only because
+    the testdata embeddings are near-orthogonal. This runs the audit at
+    the PAPER'S operating point (tau=0.95) on real 64-dim testdata
+    embeddings with planted near-identical twins: exactly one member of
+    each planted pair drops, nothing else does, and the whole audit
+    matches a driver-side brute-force replay of the keep rule."""
+    from radares_spark.operators.semdedup import semdedup_audit
+    from radares_spark.operators.similarity import _normed, build_ivf_index
+    from radares_spark.functions.vectors import l2norm
+    from tests.conftest import SF_SMOKE
+
+    base = _normed(spark, SF_SMOKE).filter(F.col("vec_id") < 100)
+    # twins: copies of vecs 0..9 with a tiny deterministic perturbation
+    # (+1% of the first coordinate) -> pair cosine > 0.999, far above tau
+    twins = (
+        base.filter(F.col("vec_id") < 10)
+        .select(
+            (F.col("vec_id") + 1_000).alias("vec_id"),
+            F.transform(
+                "v", lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+            ).alias("v"),
+        )
+        .select("vec_id", "v", l2norm("v").alias("nrm"))
+    )
+    normed = base.select("vec_id", "v", "nrm").unionByName(twins)
+
+    assignment, centroids = build_ivf_index(normed, n_cells=4, iters=2)
+    members = normed.join(assignment, "vec_id").select("vec_id", "cell", "v", "nrm")
+    tau = 0.95
+    out = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"], r["kept"])
+        for r in semdedup_audit(members, centroids, tau=tau).collect()
+    }
+    assert len(out) == 110
+
+    dropped = {vid for vid, (_, _, kept) in out.items() if not kept}
+    # exactly one member of each planted twin pair drops — no more, no
+    # less: at tau 0.95 the original near-orthogonal corpus is untouched
+    assert len(dropped) == 10
+    for i in range(10):
+        assert (i in dropped) != (i + 1_000 in dropped), i
+    assert all(v in dropped or v - 1_000 in dropped for v in dropped)
+
+    # full brute-force replay (same contract as the kmeans test above)
+    vecs = {r["vec_id"]: r["v"] for r in normed.collect()}
+    cents = {r["cell"]: r["cv"] for r in centroids.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    for vid, (cell, csim, kept) in out.items():
+        assert round(cos(vecs[vid], cents[cell]), 4) == round(csim, 4)
+        should_drop = any(
+            ((ocs, o) < (csim, vid))
+            and round(cos(vecs[vid], vecs[o]), 4) >= tau
+            for o, (oc, ocs, _) in out.items()
+            if oc == cell and o != vid
+        )
+        assert kept == (not should_drop), vid
