@@ -41,6 +41,7 @@ from radares_spark.operators.dedup import (
     NORM_SQL,
     _md5,
     lsh_bands,
+    lsh_pairs_capped,
     minhash_signatures,
     normalize_text,
     word_shingles,
@@ -78,8 +79,14 @@ def _quality_pass(docs: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_drops(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
-    """doc_ids to drop: the HIGHER id of every VERIFIED near-dup pair.
+def near_dup_drops(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``(drops, hot_buckets)`` — drops: doc_ids to drop, the HIGHER id
+    of every VERIFIED near-dup pair; hot_buckets: the cap report
+    (empty when ``max_bucket`` is None).
 
     Two stages — LSH recall, exact precision:
 
@@ -90,19 +97,37 @@ def near_dup_drops(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame
        and only pairs at/above ``jaccard_threshold`` drop their higher
        doc_id. Random band collisions — which LSH produces by design —
        therefore never delete a document.
+
+    ``max_bucket`` is the production hot-bucket cap
+    (``operators/dedup.lsh_pairs_capped``): buckets with more members
+    than the cap are excluded from the quadratic pair join and reported
+    in ``hot_buckets`` instead. In the curation chain this routes spam
+    clusters through the EXACT stage — byte-identical spam collapsed
+    there for free upstream already; the residual near-identical-but-
+    distinct members of a hot bucket are admitted-and-reported rather
+    than fed to an unbounded pairwise verification.
     """
     bands = lsh_bands(minhash_signatures(docs))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_bucket is not None:
+        pairs, hot = lsh_pairs_capped(bands, max_bucket)
+        cand = pairs.select("doc_a", "doc_b")
+    else:
+        hot = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.lit(False))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
     sh = word_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.withColumnRenamed("doc_id", "doc_a")
@@ -123,7 +148,7 @@ def near_dup_drops(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame
             >= jaccard_threshold
         )
     )
-    return verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return verified.select(F.col("doc_b").alias("doc_id")).distinct(), hot
 
 
 def curate(
@@ -131,12 +156,15 @@ def curate(
     keep_langs: tuple[str, ...] = ("en",),
     sample_pct: int = 100,
     jaccard_threshold: float = 0.8,
-) -> tuple[DataFrame, DataFrame]:
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the full curation pipeline.
 
-    Returns ``(curated, audit)``: curated = surviving doc rows;
-    audit = (doc_id, outcome) where outcome is ``kept`` or the first
-    stage that dropped the doc.
+    Returns ``(curated, audit, hot_buckets)``: curated = surviving doc
+    rows; audit = (doc_id, outcome) where outcome is ``kept`` or the
+    first stage that dropped the doc; hot_buckets = the near-stage cap
+    report (empty unless ``max_bucket`` is set — see
+    :func:`near_dup_drops`).
     """
     quality = _quality_pass(docs)
     lang = lang_id_per_doc(docs)
@@ -160,9 +188,10 @@ def curate(
         .join(exact, "doc_id")
         .filter(F.col("quality_pass") & F.col("pred_lang").isin(*keep_langs) & F.col("exact_keep"))
     )
-    near = near_dup_drops(
-        alive.select("doc_id", "text"), jaccard_threshold
-    ).withColumn("near_drop", F.lit(True))
+    near, hot = near_dup_drops(
+        alive.select("doc_id", "text"), jaccard_threshold, max_bucket
+    )
+    near = near.withColumn("near_drop", F.lit(True))
 
     bucket = (
         F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
@@ -186,7 +215,7 @@ def curate(
         )
     )
     curated = docs.join(audit.filter(F.col("outcome") == KEPT), "doc_id", "left_semi")
-    return curated, audit
+    return curated, audit, hot
 
 
 N_BUDGET_BUCKETS = 1024
@@ -534,7 +563,7 @@ CURATION_SQL = f"""
 )
 def corpus_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    _, audit = curate(docs, keep_langs=("en",))
+    _, audit, _ = curate(docs, keep_langs=("en",))
     return audit
 
 

@@ -33,6 +33,7 @@ nothing ledger-sized (see operators/incremental.py docstring).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +41,12 @@ from pyspark.sql import functions as F
 from radares_spark.operators.incremental import incremental_dedup, ledger_rows
 
 DOCS_SCHEMA = "doc_id long, text string"
+
+# Epoch value for compacted history. Structured Streaming batch ids
+# start at 0 and only grow (tracked in the checkpoint), so -1 can never
+# collide with a replayed epoch: the replay's epoch-exclusion filter
+# always keeps compacted rows visible.
+COMPACTED_EPOCH = -1
 
 
 def stream_docs(
@@ -128,3 +135,72 @@ def run_admission_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_ledger(
+    spark: SparkSession,
+    ledger_dir: str,
+    bucketed_table: str | None = None,
+    bucketed_path: str | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """Offline ledger maintenance — run BETWEEN stream runs, with the
+    stream stopped and every landed epoch committed (the same window
+    the reference's nightly cron leaves between runs,
+    cron/script.bash:3).
+
+    The admission ledger is append-only: every micro-batch adds an
+    ``epoch=N`` partition and nothing ever rewrites old ones, so after
+    a year of nightly crawls the directory holds hundreds of small
+    partitions. Compaction folds them into ONE deduplicated
+    ``epoch=COMPACTED_EPOCH`` partition:
+
+    - ``distinct()`` over the content columns — semantically a no-op
+      on a healthy ledger (admission never appends a kept doc twice),
+      but it makes compaction idempotent and self-healing after a
+      manual restore;
+    - the ``epoch=-1`` partition value keeps the crash-replay contract
+      intact: a replayed micro-batch excludes only ITS OWN epoch id,
+      and batch ids never go negative, so compacted history is always
+      visible to replays (see ``_load_ledger``);
+    - the swap is write-to-sibling + atomic-ish rename, never an
+      in-place rewrite, so a crash mid-compaction leaves either the
+      old or the new directory, not a mix.
+
+    When ``bucketed_table`` is given, the compacted rows are ALSO
+    registered as a bucketed+sorted external table on the band join
+    keys (``io/bucketing.write_bucketed``) — the layout under which
+    the nightly admission band join scans the ledger side with zero
+    Exchange (plan-asserted in tests/test_incremental.py).
+    """
+    tmp = ledger_dir.rstrip("/") + "__compact_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    compacted = (
+        spark.read.parquet(ledger_dir)
+        .drop("epoch")
+        .distinct()
+        .withColumn("epoch", F.lit(COMPACTED_EPOCH))
+    )
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(tmp)
+    )
+    old = ledger_dir.rstrip("/") + "__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(ledger_dir, old)
+    os.rename(tmp, ledger_dir)
+    shutil.rmtree(old)
+
+    if bucketed_table is not None:
+        from radares_spark.io.bucketing import write_bucketed
+
+        write_bucketed(
+            spark.read.parquet(ledger_dir).drop("epoch"),
+            bucketed_table,
+            bucketed_path or ledger_dir.rstrip("/") + "__bucketed",
+            ["band", "band_hash"],
+            n_buckets,
+        )

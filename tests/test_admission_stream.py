@@ -139,3 +139,67 @@ def test_replay_after_crash_is_idempotent(spark, dirs):
     )
     assert snapshot(dirs["audit"]) == audit_before
     assert snapshot(dirs["ledger"]) == ledger_before
+
+
+def test_compact_then_admit_is_idempotent(spark, dirs, tmp_path):
+    """r5 ledger lifecycle: compaction folds the epoch partitions into
+    one deduplicated epoch=-1 partition without changing ledger content;
+    admission after compaction still sees all history (re-sent content
+    classifies exact_dup_corpus); a second compaction is a no-op."""
+    import os
+
+    from radares_spark.streaming.admission_stream import (
+        COMPACTED_EPOCH,
+        compact_ledger,
+    )
+
+    def content(d):
+        return sorted(tuple(r) for r in spark.read.parquet(d).drop("epoch").collect())
+
+    before = content(dirs["ledger"])
+    kept_before = {
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["audit"])
+        .filter(F.col("outcome") == OUT_KEPT)
+        .collect()
+    }
+    compact_ledger(
+        spark,
+        dirs["ledger"],
+        bucketed_table="ledger_compact_b",
+        bucketed_path=str(tmp_path / "ledger_b"),
+        n_buckets=4,
+    )
+    assert content(dirs["ledger"]) == before  # content preserved exactly
+    parts = [d for d in os.listdir(dirs["ledger"]) if d.startswith("epoch=")]
+    assert parts == [f"epoch={COMPACTED_EPOCH}"]  # one folded partition
+    assert spark.table("ledger_compact_b").count() == len(before)
+
+    # admission after compaction: re-sent kept content is still a
+    # corpus duplicate; genuinely new docs are kept
+    resent = _docs(spark, 100, 120).select(
+        (F.col("doc_id") + 2_000).alias("doc_id"), "text"
+    )
+    fresh = _docs(spark, 150, 170)
+    resent.unionByName(fresh).coalesce(1).write.mode("append").parquet(
+        dirs["landing"]
+    )
+    run_admission_stream(
+        spark, dirs["landing"], dirs["ledger"], dirs["audit"], dirs["ckpt"]
+    )
+    ep = {
+        r["doc_id"]: r["outcome"]
+        for r in spark.read.parquet(dirs["audit"])
+        .filter(F.col("epoch") >= 2)
+        .collect()
+    }
+    assert set(ep) == {2_000 + i for i in range(100, 120)} | set(range(150, 170))
+    resent_of_kept = {2_000 + d for d in kept_before if 100 <= d < 120}
+    assert resent_of_kept  # non-vacuous
+    for d in resent_of_kept:
+        assert ep[d] == OUT_EXACT_CORPUS, d
+
+    # second compaction: semantically a no-op
+    mid = content(dirs["ledger"])
+    compact_ledger(spark, dirs["ledger"])
+    assert content(dirs["ledger"]) == mid

@@ -16,7 +16,7 @@ from tests.conftest import SF_SMOKE
 @pytest.fixture(scope="module")
 def result(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
-    curated, audit = curate(docs, keep_langs=("en",))
+    curated, audit, _ = curate(docs, keep_langs=("en",))
     return docs, curated, audit.cache()
 
 
@@ -57,7 +57,7 @@ def test_exact_dup_and_lang_stages(spark):
         ],
         "doc_id long, text string",
     )
-    _, audit = curate(docs, keep_langs=("en",))
+    _, audit, _ = curate(docs, keep_langs=("en",))
     got = {r["doc_id"]: r["outcome"] for r in audit.collect()}
     assert got[1] == KEPT
     assert got[2] == "exact_dup"
@@ -75,7 +75,7 @@ def test_null_text_doc_stays_in_audit(spark):
     docs = spark.createDataFrame(
         [(1, base), (2, None), (3, "")], "doc_id long, text string"
     )
-    curated, audit = curate(docs, keep_langs=("en",))
+    curated, audit, _ = curate(docs, keep_langs=("en",))
     got = {r["doc_id"]: r["outcome"] for r in audit.collect()}
     assert set(got) == {1, 2, 3}  # audit covers every doc exactly once
     assert got[1] == KEPT
@@ -91,12 +91,13 @@ def test_no_verified_near_dup_pairs_survive(spark, result):
     from radares_spark.pipeline.corpus import near_dup_drops
 
     _, curated, _ = result
-    assert near_dup_drops(curated.select("doc_id", "text")).count() == 0
+    drops, _ = near_dup_drops(curated.select("doc_id", "text"))
+    assert drops.count() == 0
 
 
 def test_curation_is_deterministic(spark, result):
     docs, curated, _ = result
-    again, _ = curate(docs, keep_langs=("en",))
+    again, _, _ = curate(docs, keep_langs=("en",))
     assert {r["doc_id"] for r in curated.select("doc_id").collect()} == {
         r["doc_id"] for r in again.select("doc_id").collect()
     }
@@ -135,8 +136,8 @@ def test_token_budget_sampling(spark, result):
 
 def test_sampling_stage(spark, result):
     docs, _, _ = result
-    half, audit = curate(docs, keep_langs=("en",), sample_pct=50)
-    full, _ = curate(docs, keep_langs=("en",))
+    half, audit, _ = curate(docs, keep_langs=("en",), sample_pct=50)
+    full, _, _ = curate(docs, keep_langs=("en",))
     # the sample is a strict, deterministic subset of the full output
     full_ids = {r["doc_id"] for r in full.select("doc_id").collect()}
     half_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
@@ -164,3 +165,58 @@ def test_stratified_sample_exact_k_and_group_limit_plan(spark):
     assert {r["doc_id"] for r in got.collect()} == {r["doc_id"] for r in again.collect()}
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_hot_bucket_cap_routes_spam_through_exact_stage(spark):
+    """r5 (VERDICT ask #7): curate(max_bucket=...) wires the LSH
+    hot-bucket cap into the curation chain. A spam cluster of
+    near-identical docs floods its LSH buckets past the cap: the
+    quadratic near-dup verification skips those buckets (members are
+    admitted-and-reported via hot_buckets), while byte-identical spam
+    still drops through the exact stage, which the cap never touches."""
+    from radares_spark.pipeline.corpus import curate
+
+    base = (
+        "the cat and the dog walked to the park and it is a fine day in the "
+        "town of spring with many things to see and do all day long today "
+        "while friends talk and children play near the old stone fountain"
+    )
+    spam = [(100 + i, f"{base} variant {i}") for i in range(12)]
+    docs = spark.createDataFrame(
+        spam
+        + [
+            (200, base),  # byte-identical pair -> exact path
+            (201, base),
+            (
+                1,
+                "an entirely different and quite unique document about the "
+                "harvest season with wheat and corn and apples in the barn "
+                "stored for the long winter months ahead by the farmers",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+
+    # uncapped baseline: the cluster is a REAL near-dup cluster — the
+    # pairwise stage drops most of it
+    _, audit0, hot0 = curate(docs, keep_langs=("en",))
+    got0 = {r["doc_id"]: r["outcome"] for r in audit0.collect()}
+    assert hot0.count() == 0  # no cap -> empty report
+    near_dropped0 = {d for d in range(100, 112) if got0[d] == "near_dup"}
+    assert len(near_dropped0) >= 8
+
+    # capped at 5: every bucket the 12-member cluster floods is hot
+    curated, audit, hot = curate(docs, keep_langs=("en",), max_bucket=5)
+    got = {r["doc_id"]: r["outcome"] for r in audit.collect()}
+    hot_rows = hot.collect()
+    assert hot_rows and all(r["n_docs"] > 5 for r in hot_rows)
+    # exact stage is untouched by the cap: identical spam still drops
+    assert got[min(200, 201)] in (KEPT, "near_dup") and got[201] == "exact_dup"
+    # the capped near stage admits the hot-bucket members it can no
+    # longer verify pairwise — they are reported, not silently dropped
+    near_dropped = {d for d in range(100, 112) if got[d] == "near_dup"}
+    assert len(near_dropped) < len(near_dropped0)
+    kept_spam = {d for d in range(100, 112) if got[d] == KEPT}
+    assert len(kept_spam) >= 8
+    # doc 1 is unaffected either way
+    assert got0[1] == KEPT and got[1] == KEPT
