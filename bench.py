@@ -80,6 +80,7 @@ EXTRA = [
     "dedup_semantic",
     "text_dup_spans",
     "corpus_dsir_select",
+    "incremental_admission_audit",  # driver-registered r5
 ]
 
 LIBRARY_PLANS = {

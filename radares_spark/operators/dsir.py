@@ -216,6 +216,100 @@ def dsir_resample(
     )
 
 
+HEAD_FRAC = 0.33  # token-mass fraction in the head (lowest perplexity)
+TAIL_FRAC = 0.33  # token-mass fraction in the tail (highest perplexity)
+PPL_BIN_SCALE = 64  # bins per unit of avg-neg-logprob
+PPL_BIN_CLAMP = 1024  # anlp >= 0 always (smoothed probs < 1) -> <= 1025 bins
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    head_frac: float = HEAD_FRAC,
+    tail_frac: float = TAIL_FRAC,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, order docs by LM perplexity ascending and cut the corpus
+    into three buckets by TOKEN MASS — ``head`` = the lowest-perplexity
+    docs holding the first ``head_frac`` of the language's tokens
+    (closest to the LM's training distribution), ``tail`` = the last
+    ``tail_frac``, ``middle`` = the rest. Downstream pipelines keep
+    head+middle and drop or down-weight the tail.
+
+    Engine-native stand-ins, stated: the score is
+    :func:`unigram_logprob` (hashed-unigram avg neg log-prob — the
+    KenLM stand-in documented there) and the model is corpus-global
+    rather than CCNet's per-language LMs (the hashed model has no
+    language-specific vocabulary to exploit; the SPLIT is still
+    per-language, which is the part that matters for mixing).
+
+    Returns (doc_id, lang, n_tokens, avg_neg_logprob, bucket) for
+    every doc. Docs with 0 scoreable tokens carry no mass and land in
+    'head' by prefix convention — callers gate them with the quality
+    pass, not here.
+
+    Scale shape: the per-language perplexity-ordered running token sum
+    is the same two-phase prefix sum as :func:`dsir_resample`, with
+    the coarse bin = floor(anlp * {PPL_BIN_SCALE}) so bin order equals
+    score order: per-(lang, bin) offsets come from a window over
+    <= {PPL_BIN_CLAMP}+1 bin rows per language, the exact (anlp,
+    doc_id) order holds within a bin, and nothing sorts the corpus
+    globally. Language totals are a broadcast-sized aggregate.
+    """
+    scores = unigram_logprob(docs.select("doc_id", "text"))
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .withColumn(
+            "__bin",
+            F.least(
+                F.lit(PPL_BIN_CLAMP),
+                F.floor(F.col("avg_neg_logprob") * PPL_BIN_SCALE),
+            ),
+        )
+    )
+    per_bin = scored.groupBy("lang", "__bin").agg(
+        F.sum("n_tokens").alias("__btok")
+    )
+    off_w = (
+        W.partitionBy("lang")
+        .orderBy("__bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = per_bin.select(
+        "lang",
+        "__bin",
+        (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset"),
+    )
+    totals = scored.groupBy("lang").agg(F.sum("n_tokens").alias("__tot"))
+    in_w = (
+        W.partitionBy("lang", "__bin")
+        .orderBy(F.asc("avg_neg_logprob"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    head_cut = F.col("__tot") * F.lit(head_frac)
+    tail_cut = F.col("__tot") * F.lit(1.0 - tail_frac)
+    return (
+        scored.join(F.broadcast(offsets), ["lang", "__bin"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("__pfx", F.col("__offset") + F.sum("n_tokens").over(in_w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "avg_neg_logprob",
+            F.when(F.col("__pfx") <= head_cut, F.lit("head"))
+            .when(F.col("__pfx") <= tail_cut, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return ccnet_buckets(docs)
+
+
 # --- Library specs (DuckDB oracles) ----------------------------------------
 
 # target predicate for the registered variant: English docs — a real
@@ -326,7 +420,35 @@ DSIR_SELECT_SQL = f"""
     SELECT doc_id, n_tokens, dsir_logweight FROM r WHERE pfx <= {DSIR_BUDGET}
 """
 
+CCNET_SQL = f"""
+    WITH scores AS ({UNIGRAM_SQL}),
+    r AS (
+        SELECT s.doc_id, d.lang, s.n_tokens, s.avg_neg_logprob,
+               sum(s.n_tokens) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.avg_neg_logprob ASC, s.doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS pfx,
+               sum(s.n_tokens) OVER (PARTITION BY d.lang) AS tot
+        FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, avg_neg_logprob,
+           CASE WHEN pfx <= tot * {HEAD_FRAC} THEN 'head'
+                WHEN pfx <= tot * {1.0 - TAIL_FRAC} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+"""
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_ccnet_buckets": QuerySpec(
+        name="corpus_ccnet_buckets",
+        fn=corpus_ccnet_buckets,
+        oracle=CCNET_SQL,
+        survey="LLM-pipeline (CCNet head/middle/tail perplexity split)",
+        doc="Per-language token-mass thirds by LM score ascending — the "
+        "oracle is the naive per-language global window; the engine "
+        "plan is the two-phase prefix sum over coarse perplexity bins "
+        "(no corpus-wide sort).",
+    ),
     "corpus_dsir_select": QuerySpec(
         name="corpus_dsir_select",
         fn=corpus_dsir_select,

@@ -166,3 +166,39 @@ def test_unigram_sql_matches_spark_on_null_and_empty_text(spark):
     # the degenerate docs really are degenerate on both sides
     for d in (1, 2, 3):
         assert got[d]["n_tokens"] == 0 and got[d]["avg_neg_logprob"] == 0.0
+
+
+def test_ccnet_buckets_split_by_token_mass_per_language(spark):
+    """ccnet_buckets semantics on testdata: within every language, the
+    bucket sequence is monotone in (score, doc_id) order — head, then
+    middle, then tail — and the head/middle masses are the MAXIMAL
+    prefixes fitting their token-mass fractions."""
+    from radares_spark.operators.dsir import HEAD_FRAC, TAIL_FRAC, ccnet_buckets
+    from radares_spark.io.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    rows = ccnet_buckets(docs).collect()
+    assert len(rows) == docs.count()
+
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r["avg_neg_logprob"], r["doc_id"]))
+        seq = [order[r["bucket"]] for r in rs]
+        assert seq == sorted(seq), lang  # monotone prefix split
+        assert set(seq) == {0, 1, 2}, lang  # all three fire on testdata
+        tot = sum(r["n_tokens"] for r in rs)
+        head = [r for r in rs if r["bucket"] == "head"]
+        head_mass = sum(r["n_tokens"] for r in head)
+        assert head_mass <= tot * HEAD_FRAC, lang
+        first_middle = next(r for r in rs if r["bucket"] == "middle")
+        assert head_mass + first_middle["n_tokens"] > tot * HEAD_FRAC, lang
+        nontail_mass = sum(
+            r["n_tokens"] for r in rs if r["bucket"] in ("head", "middle")
+        )
+        assert nontail_mass <= tot * (1.0 - TAIL_FRAC), lang
+        first_tail = next(r for r in rs if r["bucket"] == "tail")
+        assert nontail_mass + first_tail["n_tokens"] > tot * (1.0 - TAIL_FRAC), lang
