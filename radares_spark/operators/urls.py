@@ -1,0 +1,156 @@
+"""URL canonicalization + URL-level dedup — crawl-pipeline stage zero,
+alongside HTML extraction (``text_ext.extract_html_text``).
+
+Web crawls re-reach the same page through cosmetically different URLs
+(scheme/host case, ``www.``, default ports, trailing slashes, tracking
+query params, fragments, query-param order). Canonicalizing BEFORE
+fetching/storing dedups at the cheapest possible point: a pure string
+projection, no content bytes involved. The reference's analogue is its
+deterministic landing key ``equip/Y-M-D.xlsx``
+(/root/reference/src/scrape.py:87-88) — one canonical name per
+(device, day) so re-downloads overwrite instead of duplicating.
+
+Canonical form produced here (absolute http(s) URLs; anything else
+passes through with only fragment/tracking cleanup):
+
+- scheme and host lowercased; leading ``www.`` dropped;
+- default ports dropped (``:80`` for http, ``:443`` for https);
+- trailing slashes dropped from the path (root becomes '');
+- fragment dropped;
+- tracking params dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``mc_cid``, ``mc_eid``, ``ref``);
+- remaining query params sorted bytewise so param order is canonical.
+
+Every rule is a Java-regex/RE2-compatible expression (ASCII classes,
+no lookarounds), so the DuckDB mirror (:func:`canonical_url_sql`)
+agrees byte-for-byte — the same planted-frame parity contract as
+``text_ext.extract_html_text`` / ``scrub_pii``.
+
+Scale shape: :func:`with_canonical_url` is ONE codegen'd projection,
+zero shuffles (the query-param array is materialized in its own
+projection before the filter/sort lambdas touch it — the
+CollapseProject re-evaluation trap documented on
+``dedup.shingle_rows``). :func:`url_dedup_audit` adds the standard
+keeper idiom: one shuffle on the canonical-URL hash, min doc_id keeps
+— identical shape to ``dedup.dedup_exact``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+
+def _canonical_parts(url: Column) -> dict[str, Column]:
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1)), "^www\\.", ""
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(url, "\\?([^#]*)", 1)
+    return {"scheme": scheme, "host": host, "path": path, "query": query}
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Adds ``out_col`` (+ ``url_host`` for per-domain grouping)."""
+    p = _canonical_parts(F.col(url_col))
+    # materialize the split BEFORE the lambdas: inlining it would make
+    # CollapseProject re-run the regexp chain once per array element
+    staged = df.withColumns(
+        {
+            "__scheme": p["scheme"],
+            "__host": p["host"],
+            "__path": p["path"],
+            "__params": F.split(p["query"], "&"),
+        }
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.col("__params"),
+            lambda x: (F.length(x) > 0) & ~x.rlike(TRACKING_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    canon = F.concat(
+        F.when(F.col("__scheme") == "", F.lit("")).otherwise(
+            F.concat(F.col("__scheme"), F.lit("://"))
+        ),
+        F.col("__host"),
+        F.col("__path"),
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return (
+        staged.withColumn(out_col, canon)
+        .withColumn("url_host", F.col("__host"))
+        .drop("__scheme", "__host", "__path", "__params")
+    )
+
+
+def url_dedup_audit(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canonical_url, outcome) — ``kept`` for the smallest id per
+    canonical URL, ``url_dup`` for the rest. Same keeper shape as
+    ``dedup_exact``: one shuffle on the canonical key."""
+    canon = with_canonical_url(df, url_col).select(id_col, "canonical_url")
+    keeper = canon.groupBy("canonical_url").agg(F.min(id_col).alias("__keep"))
+    return (
+        canon.join(keeper, "canonical_url")
+        .select(
+            id_col,
+            "canonical_url",
+            F.when(F.col(id_col) == F.col("__keep"), F.lit("kept"))
+            .otherwise(F.lit("url_dup"))
+            .alias("outcome"),
+        )
+    )
+
+
+def canonical_url_sql(table: str, url_col: str = "url") -> str:
+    """DuckDB mirror of :func:`with_canonical_url` over ``table``."""
+    scheme = f"lower(regexp_extract({url_col}, '{_SCHEME_RE}', 1))"
+    rest = f"regexp_replace({url_col}, '{_SCHEME_RE}', '')"
+    hostport = (
+        f"regexp_replace(lower(regexp_extract({rest}, '^([^/?#]*)', 1)),"
+        " '^www\\.', '')"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1),"
+        " '/+$', '')"
+    )
+    query = f"regexp_extract({url_col}, '\\?([^#]*)', 1)"
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'),"
+        f" p -> len(p) > 0 AND NOT regexp_matches(p, '{TRACKING_RE}')))"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
+    qs = f"coalesce(array_to_string({kept}, '&'), '')"
+    canon = (
+        f"(CASE WHEN {scheme} = '' THEN '' ELSE {scheme} || '://' END)"
+        f" || {host} || {path}"
+        f" || (CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)"
+    )
+    return f"""
+    SELECT *,
+           {canon} AS canonical_url,
+           {host} AS url_host
+    FROM {table}
+    """

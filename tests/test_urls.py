@@ -1,0 +1,88 @@
+"""URL canonicalization + URL-level dedup (operators/urls.py):
+planted-frame DuckDB parity (same contract as extract_html_text /
+scrub_pii), rule-by-rule semantics, shuffle-free projection plan."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from radares_spark.operators.urls import (
+    canonical_url_sql,
+    url_dedup_audit,
+    with_canonical_url,
+)
+
+URLS = pd.DataFrame(
+    {
+        "doc_id": list(range(1, 13)),
+        "url": [
+            "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+            "http://example.com/a/b?a=1&b=2",  # same page as doc 1
+            "https://example.com:443/a/b/",  # https twin, not the same
+            "https://example.com/a/b",  # same as doc 3
+            "http://example.com/",  # root with slash
+            "http://example.com",  # root bare -> same as doc 5
+            "http://example.com/x?gclid=123&fbclid=9&ref=nav",  # tracking only
+            "http://example.com/x",  # same as doc 7
+            "http://other.org:8080/p?z=1&y=2&utm_campaign=q",  # nondefault port kept
+            "ftp://example.com/file#sec",  # non-http scheme passes through
+            "/relative/path?b=1&a=2",  # schemeless
+            "http://example.com/x?a=1%20b&a=0",  # duplicate param names sort
+        ],
+    }
+)
+
+
+def test_canonicalization_matches_duckdb_on_planted_frame(spark):
+    got = {
+        r["doc_id"]: (r["canonical_url"], r["url_host"])
+        for r in with_canonical_url(spark.createDataFrame(URLS)).collect()
+    }
+    con = duckdb.connect()
+    con.register("urls", URLS)
+    oracle = {
+        r["doc_id"]: (r["canonical_url"], r["url_host"])
+        for r in con.execute(canonical_url_sql("urls")).arrow().to_pylist()
+    }
+    assert got == oracle
+
+
+def test_canonicalization_rules(spark):
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in with_canonical_url(spark.createDataFrame(URLS)).collect()
+    }
+    # case/www/port/tracking/fragment/order all normalize away
+    assert got[1] == "http://example.com/a/b?a=1&b=2"
+    assert got[1] == got[2]
+    assert got[3] == "https://example.com/a/b" == got[4]
+    assert got[1] != got[3]  # scheme is part of identity
+    assert got[5] == "http://example.com" == got[6]
+    assert got[7] == "http://example.com/x" == got[8]
+    assert got[9] == "http://other.org:8080/p?y=2&z=1"  # 8080 kept, params sorted
+    assert got[10] == "ftp://example.com/file"  # fragment still dropped
+    assert got[11] == "/relative/path?a=2&b=1"
+    assert got[12] == "http://example.com/x?a=0&a=1%20b"  # bytewise sort
+
+
+def test_url_dedup_audit_keeps_min_id(spark):
+    out = {
+        r["doc_id"]: r["outcome"]
+        for r in url_dedup_audit(spark.createDataFrame(URLS)).collect()
+    }
+    assert out[1] == "kept" and out[2] == "url_dup"
+    assert out[3] == "kept" and out[4] == "url_dup"
+    assert out[5] == "kept" and out[6] == "url_dup"
+    assert out[7] == "kept" and out[8] == "url_dup"
+    for d in (9, 10, 11, 12):
+        assert out[d] == "kept"
+    assert len(out) == 12  # every row audited exactly once
+
+
+def test_canonicalization_is_shuffle_free(spark):
+    df = with_canonical_url(spark.createDataFrame(URLS))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
