@@ -9,7 +9,14 @@ nothing collected to the driver):
   long-running cluster job;
 - ``cold_s``   — first-run seconds, which on a fresh local JVM are
   dominated by whole-stage-codegen compilation + JIT (tens of seconds
-  for wide expressions) and say little about per-row cost.
+  for wide expressions) and say little about per-row cost. Cold is
+  also SINGLE-SHOT by definition, so a one-off environment event (the
+  container's root disk stalls for seconds at random — the reason
+  shuffle dirs live on tmpfs, see session.py) lands entirely in one
+  cold number: a 12x cold outlier with a flat warm median was chased
+  in r5 and did not reproduce in three controlled re-runs (3.5-3.6 s
+  vs 39 s). Judge cold_s with that in mind; warm medians are the
+  signal.
 
 ``value`` is the warm total.
 
