@@ -76,8 +76,13 @@ MH_A = [824633720, 593507521, 386910103, 173741827, 935185403, 715225741, 557038
 MH_B = [15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
 
 
-def shingle_rows(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) word n-gram rows — map-side, evaluation-safe.
+def shingle_rows(
+    df: DataFrame, n: int = 3, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, shingle[, *carry]) word n-gram rows — map-side,
+    evaluation-safe. ``carry`` columns of ``df`` ride along each gram
+    row (e.g. a per-doc target flag), so callers never need a
+    doc-level join back onto the gram stream.
 
     Catalyst trap this shape avoids: putting the n-gram assembly inside
     an array ``transform``/generator expression lets CollapseProject
@@ -94,9 +99,12 @@ def shingle_rows(df: DataFrame, n: int = 3) -> DataFrame:
     F.get is 0-based and NULL out-of-bounds; strict concat propagates
     NULL => short docs yield no partial shingle (filtered).
     """
-    toks = df.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    toks = df.select(
+        "doc_id", *carry, F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
     pos = toks.select(
         "doc_id",
+        *carry,
         "w",
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1)))
@@ -114,7 +122,7 @@ def shingle_rows(df: DataFrame, n: int = 3) -> DataFrame:
     # empty normalized doc would emit one bogus ''-gram (at n>=2 the
     # NULL-propagating concat already drops it). Empty docs must yield
     # ZERO grams at every n — the DuckDB mirrors exclude them too.
-    return pos.select("doc_id", shingle.alias("shingle")).filter(
+    return pos.select("doc_id", shingle.alias("shingle"), *carry).filter(
         F.col("shingle").isNotNull() & (F.col("shingle") != "")
     )
 

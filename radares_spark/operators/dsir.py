@@ -53,10 +53,12 @@ def _bucket(gram: Column) -> Column:
     )
 
 
-def gram_buckets(docs: DataFrame, n: int = NGRAM) -> DataFrame:
-    """(doc_id, b) — one row per word n-gram occurrence."""
-    return shingle_rows(docs, n=n).select(
-        "doc_id", _bucket(F.col("shingle")).alias("b")
+def gram_buckets(
+    docs: DataFrame, n: int = NGRAM, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, b[, *carry]) — one row per word n-gram occurrence."""
+    return shingle_rows(docs, n=n, carry=carry).select(
+        "doc_id", _bucket(F.col("shingle")).alias("b"), *carry
     )
 
 
@@ -76,29 +78,38 @@ def dsir_weights(
     log(p_target(bucket) / p_raw(bucket)), both add-alpha smoothed.
     Docs with no grams get weight 0.0 (no evidence either way).
     """
-    # Two gram streams — full corpus and target subset — each reduced
-    # to N_BUCKETS count rows (map-side combined). NEVER a doc-level
-    # join or broadcast: a doc_id -> flag table is corpus-sized at
-    # 100 TB, while these two aggregates are kilobytes regardless of
-    # corpus size. Target ⊆ corpus, so a left join re-aligns them.
-    grams = gram_buckets(docs.select("doc_id", "text"), n=n)
-    tgt_grams = gram_buckets(
-        docs.filter(is_target).select("doc_id", "text"), n=n
+    # ONE gram stream with the per-doc target flag riding along each
+    # row (shingle_rows' carry): a single map-side-combined aggregate
+    # yields BOTH distributions. NEVER a doc-level join or broadcast: a
+    # doc_id -> flag table is corpus-sized at 100 TB, while this
+    # aggregate is kilobytes regardless of corpus size. (r5: the flag
+    # rider replaced a second filtered gram stream — the gram+md5
+    # pipeline, the dominant cost, now evaluates once per aggregate
+    # pass instead of twice.)
+    grams = gram_buckets(
+        docs.select("doc_id", "text", is_target.alias("__t")), n=n, carry=("__t",)
     )
-    raw_counts = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt_counts = tgt_grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt"))
-    counts = raw_counts.join(tgt_counts, "b", "left").withColumn(
-        "c_tgt", F.coalesce("c_tgt", F.lit(0))
+    counts = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_tgt"),
     )
-    totals = counts.agg(
-        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
-    )
-    # log p_target(b) - log p_raw(b), smoothed; N_BUCKETS rows
-    model = counts.crossJoin(F.broadcast(totals)).select(
+    # corpus totals via a single-partition window over the <= n_buckets
+    # count rows — bounded by construction (the same sanctioned idiom
+    # as the resample bin window below). The previous
+    # counts.agg(...) + crossJoin(broadcast(totals)) formulation put
+    # the counts subtree — gram stream included — into the plan TWICE.
+    tot_w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    model = counts.select(
         "b",
         (
-            F.log((F.col("c_tgt") + F.lit(alpha)) / (F.col("t_tgt") + F.lit(alpha * n_buckets)))
-            - F.log((F.col("c_raw") + F.lit(alpha)) / (F.col("t_raw") + F.lit(alpha * n_buckets)))
+            F.log(
+                (F.col("c_tgt") + F.lit(alpha))
+                / (F.sum("c_tgt").over(tot_w) + F.lit(alpha * n_buckets))
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(alpha))
+                / (F.sum("c_raw").over(tot_w) + F.lit(alpha * n_buckets))
+            )
         ).alias("lr"),
     )
     scored = grams.join(F.broadcast(model), "b").groupBy("doc_id").agg(
@@ -125,12 +136,16 @@ def unigram_logprob(
     CCNet's 'tail'; low = head). Empty docs score 0.0."""
     grams = gram_buckets(docs.select("doc_id", "text"), n=1)
     counts = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.agg(F.sum("c").alias("t"))
-    model = counts.crossJoin(F.broadcast(totals)).select(
+    # single-partition window over <= n_buckets rows — see dsir_weights
+    tot_w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    model = counts.select(
         "b",
-        (-F.log((F.col("c") + F.lit(alpha)) / (F.col("t") + F.lit(alpha * n_buckets)))).alias(
-            "nlp"
-        ),
+        (
+            -F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.sum("c").over(tot_w) + F.lit(alpha * n_buckets))
+            )
+        ).alias("nlp"),
     )
     scored = grams.join(F.broadcast(model), "b").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
