@@ -202,3 +202,22 @@ def test_ccnet_buckets_split_by_token_mass_per_language(spark):
         assert nontail_mass <= tot * (1.0 - TAIL_FRAC), lang
         first_tail = next(r for r in rs if r["bucket"] == "tail")
         assert nontail_mass + first_tail["n_tokens"] > tot * (1.0 - TAIL_FRAC), lang
+
+
+def test_ccnet_and_resample_never_sort_the_corpus(spark):
+    """The scale claim of both prefix-sum consumers, held in the plan:
+    no range partitioning (global sort) anywhere — ordering work happens
+    only inside the bounded bin/lang windows."""
+    from radares_spark.operators.dsir import ccnet_buckets, dsir_resample
+    from radares_spark.io.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    for df in (
+        ccnet_buckets(docs),
+        dsir_resample(docs, F.col("lang") == "en", 10_000),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
