@@ -136,12 +136,19 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the plans
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # calibration: one discarded cold run, then median of warm reps
-    cal_df = _calibration_plan(spark, sf_dir)
-    _noop_time(cal_df)
-    calibration_s = round(
-        statistics.median(_noop_time(cal_df) for _ in range(CALIBRATION_REPS)), 4
-    )
+    # calibration: one discarded cold run, then median of warm reps.
+    # Isolated like the queries below — a transient calibration failure
+    # must never zero out the round's measurements (the r3 lesson);
+    # value_per_calibration already tolerates calibration_s = None.
+    calibration_s = None
+    try:
+        cal_df = _calibration_plan(spark, sf_dir)
+        _noop_time(cal_df)
+        calibration_s = round(
+            statistics.median(_noop_time(cal_df) for _ in range(CALIBRATION_REPS)), 4
+        )
+    except Exception:  # noqa: BLE001 — isolation is the point
+        pass
 
     # Per-query exception isolation: one broken plan must never zero
     # out the whole round's measurement (r3 lesson — a single

@@ -271,9 +271,14 @@ def ccnet_buckets(
     globally. Language totals are a broadcast-sized aggregate.
     """
     scores = unigram_logprob(docs.select("doc_id", "text"))
+    # __lang is the JOIN key only: NULL lang never equi-joins (the doc
+    # would vanish from the output while the oracle's PARTITION BY
+    # keeps it), so NULLs ride under a sentinel no real lang tag uses;
+    # the output column stays the original lang
     scored = (
         docs.select("doc_id", "lang")
         .join(scores, "doc_id")
+        .withColumn("__lang", F.coalesce(F.col("lang"), F.lit("\x00null")))
         .withColumn(
             "__bin",
             F.least(
@@ -282,30 +287,30 @@ def ccnet_buckets(
             ),
         )
     )
-    per_bin = scored.groupBy("lang", "__bin").agg(
+    per_bin = scored.groupBy("__lang", "__bin").agg(
         F.sum("n_tokens").alias("__btok")
     )
     off_w = (
-        W.partitionBy("lang")
+        W.partitionBy("__lang")
         .orderBy("__bin")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     offsets = per_bin.select(
-        "lang",
+        "__lang",
         "__bin",
         (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset"),
     )
-    totals = scored.groupBy("lang").agg(F.sum("n_tokens").alias("__tot"))
+    totals = scored.groupBy("__lang").agg(F.sum("n_tokens").alias("__tot"))
     in_w = (
-        W.partitionBy("lang", "__bin")
+        W.partitionBy("__lang", "__bin")
         .orderBy(F.asc("avg_neg_logprob"), F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     head_cut = F.col("__tot") * F.lit(head_frac)
     tail_cut = F.col("__tot") * F.lit(1.0 - tail_frac)
     return (
-        scored.join(F.broadcast(offsets), ["lang", "__bin"])
-        .join(F.broadcast(totals), "lang")
+        scored.join(F.broadcast(offsets), ["__lang", "__bin"])
+        .join(F.broadcast(totals), "__lang")
         .withColumn("__pfx", F.col("__offset") + F.sum("n_tokens").over(in_w))
         .select(
             "doc_id",

@@ -85,8 +85,14 @@ def ledger_rows(docs: DataFrame) -> DataFrame:
     append set. Null band_hash never equi-joins, so the near-dup
     band paths ignore these rows by construction."""
     sig = minhash_signatures(docs)
+    # coalesce: md5 of NULL text would be a NULL content_hash, which
+    # never equi-joins — a NULL-text doc would re-admit as 'kept' every
+    # night and grow the ledger forever (same rule as corpus.curate)
     exact = docs.select(
-        "doc_id", _md5(normalize_text(F.col("text"))).alias("content_hash")
+        "doc_id",
+        _md5(normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "content_hash"
+        ),
     )
     return exact.join(sig, "doc_id", "left").join(
         lsh_bands(sig), "doc_id", "left"
@@ -221,7 +227,7 @@ INCREMENTAL_SQL = f"""
         ) AS b(band, band_hash)
     ),
     hashes AS (
-        SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS content_hash
+        SELECT doc_id, md5({NORM_SQL.format(c="coalesce(text, '')")}) AS content_hash
         FROM documents
     ),
     bat AS (SELECT doc_id FROM documents WHERE doc_id >= {LEDGER_SPLIT}),

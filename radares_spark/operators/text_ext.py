@@ -420,14 +420,22 @@ def dup_span_stats_capped(
     hash, so the reduce side of a universal hash sees <= n_partitions
     rows — the sizing pass cannot itself straggle), and:
 
-    - **cold** hashes flow through the original window path, whose
-      per-partition row count is now <= max_docs_per_span BY
-      CONSTRUCTION;
     - **hot** hashes are dup spans BY DEFINITION (distinct docs >
       max >= 2), so their windows count toward ``n_dup_windows``
       without ever needing the exact distinct-doc number — the result
       is EXACT, not an approximation, which is why the library parity
       of the cold path carries over unchanged;
+    - a broadcast LEFT join marks hot rows, and the count window
+      partitions on ``(h, salt)`` where salt is constant for cold rows
+      and the doc_id for hot rows: cold partitions hold the true
+      distinct-doc count and are <= max_docs_per_span rows BY
+      CONSTRUCTION; hot rows fall into singleton partitions (their
+      window count is ignored — the marker decides). This keeps the
+      whole per-doc rollup to ONE pass over the (doc, hash) stream:
+      the first formulation split cold/hot into anti+semi joined
+      branches and re-evaluated the dominant shingle+md5 pipeline
+      three times (review finding; measured 2.3x slower than the
+      uncapped operator at sf0.1 — worse than the straggler it fixed);
     - ``hot_spans`` (h, n_docs) is the pathology report — tiny by
       nature, broadcast both ways.
 
@@ -440,35 +448,33 @@ def dup_span_stats_capped(
     doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
     sizes = doc_h.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     hot = sizes.filter(F.col("n_docs") > max_docs_per_span)
-    cold = doc_h.join(F.broadcast(hot.select("h")), "h", "left_anti")
-    hot_rows = doc_h.join(F.broadcast(hot.select("h")), "h", "left_semi")
 
-    nd = F.count(F.lit(1)).over(W.partitionBy("h"))
-    cold_per_doc = (
-        cold.withColumn("nd", nd)
+    marked = doc_h.join(
+        F.broadcast(hot.select("h", F.lit(True).alias("__hot"))), "h", "left"
+    ).withColumn(
+        # doc_id >= 0 everywhere in this engine; -1 can't collide, and
+        # a hot hash has NO unmarked rows, so cold partitions are pure
+        "__salt",
+        F.when(F.col("__hot"), F.col("doc_id")).otherwise(F.lit(-1)),
+    )
+    nd = F.count(F.lit(1)).over(W.partitionBy("h", "__salt"))
+    per_doc = (
+        marked.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("nw_cold"),
-            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
-                "ndup_cold"
-            ),
+            F.sum("c").alias("n_windows"),
+            F.sum(
+                F.when(F.col("__hot") | (F.col("nd") >= 2), F.col("c")).otherwise(0)
+            ).alias("n_dup_windows"),
         )
-    )
-    hot_per_doc = hot_rows.groupBy("doc_id").agg(
-        F.sum("c").alias("nw_hot")  # all hot windows are dup windows
     )
     merged = (
         docs.select("doc_id")
-        .join(cold_per_doc, "doc_id", "left")
-        .join(hot_per_doc, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            (F.coalesce("nw_cold", F.lit(0)) + F.coalesce("nw_hot", F.lit(0))).alias(
-                "n_windows"
-            ),
-            (
-                F.coalesce("ndup_cold", F.lit(0)) + F.coalesce("nw_hot", F.lit(0))
-            ).alias("n_dup_windows"),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
         )
     )
     stats = merged.select(

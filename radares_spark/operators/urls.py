@@ -45,8 +45,13 @@ _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
 
 def _canonical_parts(url: Column) -> dict[str, Column]:
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    rest = F.regexp_replace(url, _SCHEME_RE, "")
+    # fragment first: everything after '#' is fragment, so a '?' inside
+    # it is NOT a query ('http://h/a#frag?x=1' has no query params).
+    # NULL url propagates to NULL canonical (audited 'kept' — no URL
+    # identity to dedup on), mirroring the NULL-text audit spine rules.
+    base = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    rest = F.regexp_replace(base, _SCHEME_RE, "")
     hostport = F.regexp_replace(
         F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1)), "^www\\.", ""
     )
@@ -58,7 +63,7 @@ def _canonical_parts(url: Column) -> dict[str, Column]:
     path = F.regexp_replace(
         F.regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), "/+$", ""
     )
-    query = F.regexp_extract(url, "\\?([^#]*)", 1)
+    query = F.regexp_extract(base, "\\?(.*)$", 1)
     return {"scheme": scheme, "host": host, "path": path, "query": query}
 
 
@@ -106,13 +111,21 @@ def url_dedup_audit(
     canonical URL, ``url_dup`` for the rest. Same keeper shape as
     ``dedup_exact``: one shuffle on the canonical key."""
     canon = with_canonical_url(df, url_col).select(id_col, "canonical_url")
-    keeper = canon.groupBy("canonical_url").agg(F.min(id_col).alias("__keep"))
+    keeper = canon.filter(F.col("canonical_url").isNotNull()).groupBy(
+        "canonical_url"
+    ).agg(F.min(id_col).alias("__keep"))
+    # LEFT join: a NULL canonical (NULL input url) never equi-joins, and
+    # an inner join would silently drop the doc from the audit spine —
+    # the invariant everywhere else is one audit row per input row
     return (
-        canon.join(keeper, "canonical_url")
+        canon.join(keeper, "canonical_url", "left")
         .select(
             id_col,
             "canonical_url",
-            F.when(F.col(id_col) == F.col("__keep"), F.lit("kept"))
+            F.when(
+                F.col("__keep").isNull() | (F.col(id_col) == F.col("__keep")),
+                F.lit("kept"),
+            )
             .otherwise(F.lit("url_dup"))
             .alias("outcome"),
         )
@@ -121,8 +134,9 @@ def url_dedup_audit(
 
 def canonical_url_sql(table: str, url_col: str = "url") -> str:
     """DuckDB mirror of :func:`with_canonical_url` over ``table``."""
-    scheme = f"lower(regexp_extract({url_col}, '{_SCHEME_RE}', 1))"
-    rest = f"regexp_replace({url_col}, '{_SCHEME_RE}', '')"
+    base = f"regexp_replace({url_col}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({base}, '{_SCHEME_RE}', 1))"
+    rest = f"regexp_replace({base}, '{_SCHEME_RE}', '')"
     hostport = (
         f"regexp_replace(lower(regexp_extract({rest}, '^([^/?#]*)', 1)),"
         " '^www\\.', '')"
@@ -136,7 +150,7 @@ def canonical_url_sql(table: str, url_col: str = "url") -> str:
         f"regexp_replace(regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1),"
         " '/+$', '')"
     )
-    query = f"regexp_extract({url_col}, '\\?([^#]*)', 1)"
+    query = f"regexp_extract({base}, '\\?(.*)$', 1)"
     kept = (
         f"list_sort(list_filter(string_split({query}, '&'),"
         f" p -> len(p) > 0 AND NOT regexp_matches(p, '{TRACKING_RE}')))"

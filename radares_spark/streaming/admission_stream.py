@@ -163,9 +163,18 @@ def compact_ledger(
       intact: a replayed micro-batch excludes only ITS OWN epoch id,
       and batch ids never go negative, so compacted history is always
       visible to replays (see ``_load_ledger``);
-    - the swap is write-to-sibling + atomic-ish rename, never an
-      in-place rewrite, so a crash mid-compaction leaves either the
-      old or the new directory, not a mix.
+    - crash safety is SUPERSET-monotone, not rename-atomic (review fix:
+      a two-rename swap had a window where ``ledger_dir`` did not
+      exist, which ``_load_ledger``'s first-run branch would silently
+      turn into total dedup-history loss). Order of operations: stage
+      the distinct rows to a sibling dir, write them INTO ``ledger_dir``
+      as the ``epoch=-1`` partition (dynamic overwrite touches only
+      that partition), THEN delete the superseded ``epoch=N`` dirs. A
+      crash at any point leaves ``ledger_dir`` holding a SUPERSET of
+      the compacted rows — duplicates at worst, never a loss — and
+      admission is multiplicity-insensitive (semi-joins + distinct), so
+      outcomes are unaffected; the next compaction's ``distinct()``
+      heals the duplicates.
 
     When ``bucketed_table`` is given, the compacted rows are ALSO
     registered as a bucketed+sorted external table on the band join
@@ -176,23 +185,30 @@ def compact_ledger(
     tmp = ledger_dir.rstrip("/") + "__compact_tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    compacted = (
+    # stage first: the distinct reads ledger_dir lazily, so it must be
+    # fully materialized elsewhere before anything writes into the dir
+    (
         spark.read.parquet(ledger_dir)
         .drop("epoch")
         .distinct()
-        .withColumn("epoch", F.lit(COMPACTED_EPOCH))
-    )
-    (
-        compacted.write.mode("overwrite")
-        .partitionBy("epoch")
+        .write.mode("overwrite")
         .parquet(tmp)
     )
-    old = ledger_dir.rstrip("/") + "__compact_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(ledger_dir, old)
-    os.rename(tmp, ledger_dir)
-    shutil.rmtree(old)
+    # fold into ledger_dir as the epoch=-1 partition; dynamic overwrite
+    # replaces ONLY that partition, live epochs stay untouched
+    (
+        spark.read.parquet(tmp)
+        .withColumn("epoch", F.lit(COMPACTED_EPOCH))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(ledger_dir)
+    )
+    # now superseded: every row of every epoch>=0 dir is in epoch=-1
+    for d in os.listdir(ledger_dir):
+        if d.startswith("epoch=") and d != f"epoch={COMPACTED_EPOCH}":
+            shutil.rmtree(os.path.join(ledger_dir, d))
+    shutil.rmtree(tmp)
 
     if bucketed_table is not None:
         from radares_spark.io.bucketing import write_bucketed

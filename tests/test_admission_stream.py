@@ -203,3 +203,79 @@ def test_compact_then_admit_is_idempotent(spark, dirs, tmp_path):
     mid = content(dirs["ledger"])
     compact_ledger(spark, dirs["ledger"])
     assert content(dirs["ledger"]) == mid
+
+
+def test_partial_compaction_is_superset_safe(spark, dirs):
+    """Review fix: a crash between the epoch=-1 fold and the old-epoch
+    deletion leaves DUPLICATE rows (old epochs + compacted partition),
+    never a missing ledger dir. Admission outcomes must be unchanged
+    under that duplication, and the next compaction heals it."""
+    import os
+    import shutil
+
+    from radares_spark.operators.incremental import incremental_dedup, ledger_rows
+    from radares_spark.streaming.admission_stream import (
+        COMPACTED_EPOCH,
+        _load_ledger,
+        compact_ledger,
+    )
+
+    def content(d):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(d).drop("epoch").collect()
+        )
+
+    # land one more file so a live epoch>=0 partition coexists with the
+    # compacted epoch=-1 from the previous test
+    _docs(spark, 170, 185).coalesce(1).write.mode("append").parquet(
+        dirs["landing"]
+    )
+    run_admission_stream(
+        spark, dirs["landing"], dirs["ledger"], dirs["audit"], dirs["ckpt"]
+    )
+    before = content(dirs["ledger"])
+
+    # simulate the crash: fold into epoch=-1 but "die" before deleting
+    # the superseded epoch dirs — exactly compact_ledger's steps 1-2
+    tmp = dirs["ledger"].rstrip("/") + "__crash_tmp"
+    spark.read.parquet(dirs["ledger"]).drop("epoch").distinct().write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    (
+        spark.read.parquet(tmp)
+        .withColumn("epoch", F.lit(COMPACTED_EPOCH))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(dirs["ledger"])
+    )
+    shutil.rmtree(tmp)
+    parts = {d for d in os.listdir(dirs["ledger"]) if d.startswith("epoch=")}
+    assert len(parts) > 1  # duplicates really exist (old epochs + fold)
+
+    # outcomes are multiplicity-insensitive: admitting a batch against
+    # the duplicated ledger equals admitting against the clean content
+    batch = _docs(spark, 150, 160).select(
+        (F.col("doc_id") + 9_000).alias("doc_id"), "text"
+    )
+    dup_ledger = _load_ledger(spark, dirs["ledger"], batch)
+    audit_dup = {
+        r["doc_id"]: r["outcome"]
+        for r in incremental_dedup(batch, dup_ledger)[0].collect()
+    }
+    clean_path = dirs["ledger"].rstrip("/") + "__clean_view"
+    spark.read.parquet(dirs["ledger"]).drop("epoch").distinct().write.mode(
+        "overwrite"
+    ).parquet(clean_path)
+    audit_clean = {
+        r["doc_id"]: r["outcome"]
+        for r in incremental_dedup(batch, spark.read.parquet(clean_path))[0].collect()
+    }
+    assert audit_dup == audit_clean
+
+    # re-running compaction heals: one partition, original content
+    compact_ledger(spark, dirs["ledger"])
+    assert content(dirs["ledger"]) == before
+    assert [d for d in os.listdir(dirs["ledger"]) if d.startswith("epoch=")] == [
+        f"epoch={COMPACTED_EPOCH}"
+    ]

@@ -221,3 +221,35 @@ def test_ccnet_and_resample_never_sort_the_corpus(spark):
         assert "rangepartitioning" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_keep_null_lang_docs(spark):
+    """Review fix: a NULL-lang doc must not vanish through the
+    null-rejecting equi-joins — it forms its own language group, same
+    as the oracle's PARTITION BY lang."""
+    import duckdb
+    import pandas as pd
+
+    from radares_spark.operators.dsir import CCNET_SQL, ccnet_buckets
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over another lazy dog",
+                "zzgblorp qwxv jjkh unique rare tokens here now",
+                "common words appear here as well in this doc",
+            ],
+            "lang": ["en", "en", None, None],
+        }
+    )
+    sdf = spark.createDataFrame(pdf.astype(object), "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["lang"], r["bucket"]) for r in ccnet_buckets(sdf).collect()}
+    assert set(got) == {1, 2, 3, 4}  # NULL-lang docs stay in the output
+    assert got[3][0] is None and got[4][0] is None
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {r[0]: (r[1], r[4]) for r in con.execute(CCNET_SQL).fetchall()}
+    assert got == oracle

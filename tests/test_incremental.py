@@ -258,6 +258,8 @@ def test_short_docs_survive_the_audit_spine(spark):
             (3, ""),
             (4, "one two"),
             (5, "a perfectly ordinary document with plenty of words in it"),
+            (6, None),  # NULL text: hashes like '' (review fix) — never
+            # a NULL content_hash that would re-admit forever
         ],
         "doc_id long, text string",
     )
@@ -265,9 +267,10 @@ def test_short_docs_survive_the_audit_spine(spark):
     audit, append = incremental_dedup(docs, empty)
     out = {r["doc_id"]: r["outcome"] for r in audit.collect()}
     # full spine: nothing vanishes, exactly one row per doc
-    assert set(out) == {1, 2, 3, 4, 5}
-    assert audit.count() == 5
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert audit.count() == 6
     assert out[2] == OUT_EXACT_BATCH  # duplicate short content, higher id
+    assert out[6] == OUT_EXACT_BATCH  # NULL == '' content, dup of doc 3
     for d in (1, 3, 4, 5):
         assert out[d] == OUT_KEPT, d
     # hash-only ledger rows exist for sig-less kept docs

@@ -236,10 +236,15 @@ def test_dup_spans_capped_excludes_universal_span(spark):
     assert by_id[100][2] == 1 and by_id[101][2] == 1
     assert by_id[200][2] == 0
 
-    # plan: the Window consumes the anti-joined (cold) side
+    # plan: the Window consumes the hot-marked broadcast LEFT join, and
+    # the (doc, hash) stream appears ONCE per branch — two gram
+    # pipelines total (sizes + marked), never three (review finding)
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    # AQE's toString appends the pre-execution plan — count the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") <= 2, final
 
 
 def test_semdedup_at_paper_tau_drops_exactly_the_planted_twins(spark):

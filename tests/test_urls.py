@@ -16,7 +16,7 @@ from radares_spark.operators.urls import (
 
 URLS = pd.DataFrame(
     {
-        "doc_id": list(range(1, 13)),
+        "doc_id": list(range(1, 16)),
         "url": [
             "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
             "http://example.com/a/b?a=1&b=2",  # same page as doc 1
@@ -30,6 +30,9 @@ URLS = pd.DataFrame(
             "ftp://example.com/file#sec",  # non-http scheme passes through
             "/relative/path?b=1&a=2",  # schemeless
             "http://example.com/x?a=1%20b&a=0",  # duplicate param names sort
+            "http://example.com/a#frag?x=1",  # '?' inside fragment is NOT a query
+            None,  # NULL url keeps its audit row
+            "http://example.com/a",  # same page as doc 13
         ],
     }
 )
@@ -65,6 +68,9 @@ def test_canonicalization_rules(spark):
     assert got[10] == "ftp://example.com/file"  # fragment still dropped
     assert got[11] == "/relative/path?a=2&b=1"
     assert got[12] == "http://example.com/x?a=0&a=1%20b"  # bytewise sort
+    # review fix: '?' inside the fragment is fragment, not query
+    assert got[13] == "http://example.com/a" == got[15]
+    assert got[14] is None  # NULL propagates, no fabricated identity
 
 
 def test_url_dedup_audit_keeps_min_id(spark):
@@ -78,7 +84,11 @@ def test_url_dedup_audit_keeps_min_id(spark):
     assert out[7] == "kept" and out[8] == "url_dup"
     for d in (9, 10, 11, 12):
         assert out[d] == "kept"
-    assert len(out) == 12  # every row audited exactly once
+    # review fixes: fragment-only difference IS a dup; NULL url gets an
+    # audit row (kept — no URL identity), never vanishes from the spine
+    assert out[13] == "kept" and out[15] == "url_dup"
+    assert out[14] == "kept"
+    assert len(out) == 15  # every row audited exactly once
 
 
 def test_canonicalization_is_shuffle_free(spark):
