@@ -96,3 +96,34 @@ def test_canonicalization_is_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canonicalization_is_idempotent(spark):
+    """Property: canonicalize(canonicalize(u)) == canonicalize(u) —
+    the canonical form is a fixed point, so re-crawling already-
+    canonical URLs never reshuffles identities. Checked over the
+    planted frame plus adversarial shapes (ports on non-default
+    schemes, empty queries, bare '?', deep fragments)."""
+    import pandas as pd
+
+    adversarial = pd.DataFrame(
+        {
+            "doc_id": [101, 102, 103, 104, 105],
+            "url": [
+                "https://a.b:8443/p/?",
+                "http://x.y/?#",
+                "HTTPS://WWW.A.B/",
+                "http://h/p?utm_source=only",
+                "scheme+x://Host/Path/?z=1&utm_a=2#f?g",
+            ],
+        }
+    )
+    frame = pd.concat([URLS, adversarial], ignore_index=True)
+    once = with_canonical_url(spark.createDataFrame(frame)).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = with_canonical_url(once)
+    rows = twice.collect()
+    assert len(rows) == len(frame)
+    for r in rows:
+        assert r["canonical_url"] == r["url"], r["doc_id"]
