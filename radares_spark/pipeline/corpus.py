@@ -40,6 +40,7 @@ from radares_spark.operators.dedup import (
     N_BANDS,
     NORM_SQL,
     _md5,
+    bucket_pairs,
     lsh_bands,
     lsh_pairs_capped,
     minhash_signatures,
@@ -110,24 +111,17 @@ def near_dup_drops(
     bands = lsh_bands(minhash_signatures(docs))
     if max_bucket is not None:
         pairs, hot = lsh_pairs_capped(bands, max_bucket)
-        cand = pairs.select("doc_a", "doc_b")
     else:
         hot = (
             bands.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.lit(False))
         )
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
+        # collect-and-explode, not a bands self-join: the signature
+        # pipeline is evaluated ONCE (the self-join provably ran it
+        # twice — see bucket_pairs' docstring)
+        pairs = bucket_pairs(bands)
+    cand = pairs.select("doc_a", "doc_b")
     sh = word_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.withColumnRenamed("doc_id", "doc_a")
