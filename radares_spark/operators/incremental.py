@@ -107,7 +107,10 @@ def _sig_score(left_prefix: str, right_prefix: str):
 
 
 def incremental_dedup(
-    new_docs: DataFrame, ledger: DataFrame, min_match: int = NEAR_MIN_MATCH
+    new_docs: DataFrame,
+    ledger: DataFrame,
+    min_match: int = NEAR_MIN_MATCH,
+    pin_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Admit ``new_docs`` against ``ledger`` (rows shaped like
     :func:`ledger_rows`; may be empty).
@@ -116,8 +119,20 @@ def incremental_dedup(
     ``(doc_id, outcome)`` row per batch doc; ``append_rows`` is the
     ledger rows of the kept docs — append them (idempotently) and the
     next batch dedups against tonight's corpus too.
+
+    ``pin_batch`` materializes the batch's ledger rows once
+    (``localCheckpoint``): the admission logic consumes them from five
+    branches (exact, signatures, bands, spine, append), and a lazy
+    plan re-runs the shingle+minhash pipeline in EVERY branch —
+    measured 14 Generate subtrees / 21 scans in the audit plan before
+    pinning. The batch is nightly-crawl sized and the pinned rows are
+    hashes+signatures only, so this is cheap by the same argument the
+    ledger itself is (module docstring). Pass False to keep a fully
+    lazy plan (e.g. for plan-shape inspection).
     """
     batch = ledger_rows(new_docs)
+    if pin_batch:
+        batch = batch.localCheckpoint(eager=True)
     exact = batch.select("doc_id", "content_hash").distinct()
     sig = batch.select("doc_id", *SIG_COLS).distinct()
     bands = batch.select("doc_id", "band", "band_hash")
@@ -214,7 +229,11 @@ def incremental_admission_audit(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     accepted = docs.filter(F.col("doc_id") < LEDGER_SPLIT)
     batch = docs.filter(F.col("doc_id") >= LEDGER_SPLIT)
-    audit, _ = incremental_dedup(batch, ledger_rows(accepted))
+    # pin the simulated ledger: in production it is a parquet table
+    # (cheap scans); recomputing it from raw text per consuming branch
+    # is an artifact of the simulation, not the architecture
+    ledger = ledger_rows(accepted).localCheckpoint(eager=True)
+    audit, _ = incremental_dedup(batch, ledger)
     return audit
 
 
