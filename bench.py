@@ -129,6 +129,19 @@ def _calibration_plan(spark, sf_dir: str):
     )
 
 
+def _calibration_cpu_plan(spark):
+    """FROZEN CPU anchor — DO NOT CHANGE, EVER. md5 over an in-memory
+    range: zero I/O, so together with the scan anchor it separates
+    disk-speed drift from CPU drift (a same-session pair of runs
+    showed the scan anchor moving 55% while CPU-bound queries moved
+    ~10% — one anchor alone over- or under-corrects)."""
+    return (
+        spark.range(0, 2_000_000)
+        .select(F.md5(F.col("id").cast("string")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("m"))
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     spark = get_spark("radares-spark-bench", shuffle_partitions=DEFAULT_CPUS)
@@ -141,11 +154,17 @@ def main() -> None:
     # must never zero out the round's measurements (the r3 lesson);
     # value_per_calibration already tolerates calibration_s = None.
     calibration_s = None
+    calibration_cpu_s = None
     try:
         cal_df = _calibration_plan(spark, sf_dir)
         _noop_time(cal_df)
         calibration_s = round(
             statistics.median(_noop_time(cal_df) for _ in range(CALIBRATION_REPS)), 4
+        )
+        cpu_df = _calibration_cpu_plan(spark)
+        _noop_time(cpu_df)
+        calibration_cpu_s = round(
+            statistics.median(_noop_time(cpu_df) for _ in range(CALIBRATION_REPS)), 4
         )
     except Exception:  # noqa: BLE001 — isolation is the point
         pass
@@ -185,6 +204,7 @@ def main() -> None:
                 "unit": "sec",
                 "warm_reps": WARM_REPS,
                 "calibration_s": calibration_s,
+                "calibration_cpu_s": calibration_cpu_s,
                 "value_per_calibration": round(total / calibration_s, 2)
                 if calibration_s
                 else None,
