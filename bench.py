@@ -108,9 +108,15 @@ def _late_library_plans():
     }
 
 
+def _materialize(df) -> None:
+    """The one definition of 'run the query': full result produced via
+    the noop sink, nothing collected to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _noop_time(df) -> float:
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    _materialize(df)
     return time.perf_counter() - t0
 
 
@@ -153,6 +159,8 @@ def main() -> None:
     # Isolated like the queries below — a transient calibration failure
     # must never zero out the round's measurements (the r3 lesson);
     # value_per_calibration already tolerates calibration_s = None.
+    # the anchors are isolated from each other too: the CPU anchor needs
+    # no files, so a broken sf_dir must not take it down with the scan
     calibration_s = None
     calibration_cpu_s = None
     try:
@@ -161,12 +169,15 @@ def main() -> None:
         calibration_s = round(
             statistics.median(_noop_time(cal_df) for _ in range(CALIBRATION_REPS)), 4
         )
+    except Exception:  # noqa: BLE001 — isolation is the point
+        pass
+    try:
         cpu_df = _calibration_cpu_plan(spark)
         _noop_time(cpu_df)
         calibration_cpu_s = round(
             statistics.median(_noop_time(cpu_df) for _ in range(CALIBRATION_REPS)), 4
         )
-    except Exception:  # noqa: BLE001 — isolation is the point
+    except Exception:  # noqa: BLE001
         pass
 
     # Per-query exception isolation: one broken plan must never zero
@@ -186,7 +197,7 @@ def main() -> None:
             # frame, and excluding it would flatter their cold number
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            _materialize(df)
             cold[name] = round(time.perf_counter() - t0, 3)
             warm[name] = round(
                 statistics.median(_noop_time(df) for _ in range(WARM_REPS)), 3
