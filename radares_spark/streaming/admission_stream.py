@@ -182,6 +182,15 @@ def compact_ledger(
     the nightly admission band join scans the ledger side with zero
     Exchange (plan-asserted in tests/test_incremental.py).
     """
+    if not (
+        os.path.isdir(ledger_dir)
+        and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(ledger_dir)
+            for f in files
+        )
+    ):
+        return  # nothing landed yet — compaction is a no-op, not an error
     tmp = ledger_dir.rstrip("/") + "__compact_tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)

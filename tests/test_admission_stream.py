@@ -279,3 +279,18 @@ def test_partial_compaction_is_superset_safe(spark, dirs):
     assert [d for d in os.listdir(dirs["ledger"]) if d.startswith("epoch=")] == [
         f"epoch={COMPACTED_EPOCH}"
     ]
+
+
+def test_compact_before_first_landing_is_a_noop(spark, tmp_path):
+    """Ops hardening: a nightly maintenance script may fire before any
+    data has ever landed — compaction must no-op, not throw."""
+    import os
+
+    from radares_spark.streaming.admission_stream import compact_ledger
+
+    empty = str(tmp_path / "never_landed")
+    compact_ledger(spark, empty)  # missing dir
+    assert not os.path.exists(empty)
+    os.makedirs(empty)
+    compact_ledger(spark, empty)  # present but parquet-less
+    assert os.listdir(empty) == []
