@@ -77,12 +77,15 @@ MH_B = [15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 
 
 
 def shingle_rows(
-    df: DataFrame, n: int = 3, carry: tuple[str, ...] = ()
+    df: DataFrame, n: int = 3, carry: tuple[str, ...] = (), with_pos: bool = False
 ) -> DataFrame:
-    """(doc_id, shingle[, *carry]) word n-gram rows — map-side,
-    evaluation-safe. ``carry`` columns of ``df`` ride along each gram
-    row (e.g. a per-doc target flag), so callers never need a
-    doc-level join back onto the gram stream.
+    """(doc_id, shingle[, shingle_pos][, *carry]) word n-gram rows —
+    map-side, evaluation-safe. ``carry`` columns of ``df`` ride along
+    each gram row (e.g. a per-doc target flag), so callers never need
+    a doc-level join back onto the gram stream. ``with_pos`` adds the
+    1-based start-token position (span-removal needs it; default off
+    so set-semantics consumers like ``word_shingles().distinct()``
+    keep their meaning).
 
     Catalyst trap this shape avoids: putting the n-gram assembly inside
     an array ``transform``/generator expression lets CollapseProject
@@ -122,7 +125,8 @@ def shingle_rows(
     # empty normalized doc would emit one bogus ''-gram (at n>=2 the
     # NULL-propagating concat already drops it). Empty docs must yield
     # ZERO grams at every n — the DuckDB mirrors exclude them too.
-    return pos.select("doc_id", shingle.alias("shingle"), *carry).filter(
+    pos_cols = [F.col("i").alias("shingle_pos")] if with_pos else []
+    return pos.select("doc_id", shingle.alias("shingle"), *pos_cols, *carry).filter(
         F.col("shingle").isNotNull() & (F.col("shingle") != "")
     )
 

@@ -526,6 +526,159 @@ DUP_SPANS_SQL = f"""
 """
 
 
+def remove_dup_spans(
+    docs: DataFrame, w: int = DUP_SPAN_W, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL — the transform stage of
+    Lee et al. 2021 substring dedup (``dup_span_stats`` is the detect
+    stage): every token covered by a rolling ``w``-word window whose
+    hash occurs in >= ``min_docs`` DISTINCT documents is excised, and
+    the survivors are reassembled in order.
+
+    Returns one row per input doc:
+    (doc_id, n_tokens, n_removed, removed_frac, clean_text) —
+    empty/short docs keep their row (0 tokens, '' text).
+
+    Scale shape (all linear in corpus tokens + shared-span volume):
+
+    - token and window streams are assembled above their Generates
+      exactly as ``shingle_rows`` does (the CollapseProject trap);
+    - the shared-hash set comes from TWO stacked map-side-combined
+      aggregates — ``groupBy(doc, h)`` then ``groupBy(h)`` — so a
+      universal boilerplate hash sees <= n_partitions rows at the
+      second reduce, never one row per occurrence;
+    - covered positions = dup windows x ``w`` offsets, deduplicated
+      per (doc, pos): proportional to actually-duplicated text, not
+      the corpus;
+    - reassembly is ONE doc_id regroup via
+      ``array_sort(collect_list(struct(pos, word)))`` — the same
+      order-preserving idiom as ``strip_boilerplate``.
+
+    Skew note: the wins->dup-hash semi-join equi-keys on ``h``; when
+    the dup set outgrows the broadcast threshold AND one span is
+    universal, that shuffle inherits the span skew. AQE's skew-join
+    split handles it (enabled in session.py); at crawl scale, route
+    hashes from ``dup_span_stats_capped``'s ``hot_spans`` report
+    through a broadcast branch first.
+    """
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " ").alias("w")
+    )
+    tok_rows = (
+        toks.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)))).alias("pos"),
+        )
+        .select("doc_id", "pos", F.get("w", F.col("pos") - 1).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    wins = shingle_rows(docs, n=w, with_pos=True).select(
+        "doc_id",
+        F.col("shingle_pos").alias("i"),
+        F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h"),
+    )
+    doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        doc_h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup, "h", "left_semi")
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (w - 1))).alias("pos")
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = tok_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_tokens = F.coalesce("n_tokens", F.lit(0))
+    n_removed = (n_tokens - F.coalesce("n_kept", F.lit(0))).alias("n_removed")
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_removed,
+            F.when(n_tokens == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (n_tokens - F.coalesce("n_kept", F.lit(0))) / n_tokens.cast("double"), 6
+                )
+            )
+            .alias("removed_frac"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_dup_spans(docs)
+
+
+DUP_REMOVAL_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    tok_rows AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+        WHERE w[i] <> ''
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               md5(array_to_string(w[i:i + {DUP_SPAN_W - 1}], ' ')) AS h
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - {DUP_SPAN_W - 1})) AS t(i)
+        WHERE len(w) >= {DUP_SPAN_W}
+    ),
+    dup AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+        GROUP BY h HAVING count(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, i + off AS pos
+        FROM wins, LATERAL unnest(generate_series(0, {DUP_SPAN_W - 1})) AS o(off)
+        WHERE h IN (SELECT h FROM dup)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.word
+        FROM tok_rows t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_tokens FROM tok_rows GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(tt.n_tokens, 0) AS n_tokens,
+           coalesce(tt.n_tokens, 0) - coalesce(p.n_kept, 0) AS n_removed,
+           CASE WHEN coalesce(tt.n_tokens, 0) = 0 THEN 0.0
+                ELSE round((tt.n_tokens - coalesce(p.n_kept, 0)) / tt.n_tokens::DOUBLE, 6)
+           END AS removed_frac,
+           coalesce(p.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN totals tt USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
     "text_repetition_signals": QuerySpec(
         name="text_repetition_signals",
@@ -546,5 +699,17 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         ">=2 distinct docs are shared spans; per-doc share-of-windows "
         "score. Linear in corpus tokens, two map-side-combined hash "
         "shuffles, no quadratic stage.",
+    ),
+    "text_dup_span_removal": QuerySpec(
+        name="text_dup_span_removal",
+        fn=text_dup_span_removal,
+        oracle=DUP_REMOVAL_SQL,
+        survey="LLM-pipeline (cross-doc duplicate-span REMOVAL, the "
+        "transform stage of Lee et al. 2021 substring dedup)",
+        doc=f"Tokens covered by any rolling {DUP_SPAN_W}-word window "
+        "shared across >=2 distinct docs are excised and survivors "
+        "reassembled in order; per-doc removal stats + clean text. "
+        "Linear in corpus tokens + shared-span volume; reassembly is "
+        "one doc_id regroup.",
     ),
 }

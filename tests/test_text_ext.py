@@ -233,3 +233,75 @@ def test_html_entities_decode_amp_last(spark):
     con.register("dd_docs", pdf)
     oracle = con.execute(html_extract_sql("dd_docs")).arrow().to_pylist()[0]
     assert oracle["plain_text"] == got
+
+
+# ---- duplicate-span removal (Lee et al. 2021 transform stage) ----
+
+SPAN = "the quick brown fox jumps over the lazy"  # exactly 8 words
+SPAN_DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            f"alpha beta gamma {SPAN} delta epsilon",
+            f"one two {SPAN} three four five",
+            "completely unique text with many different words here now",
+            "short doc",  # < 8 words: no windows, nothing removable
+            None,
+        ],
+    }
+)
+
+
+def test_dup_span_removal_planted_semantics(spark):
+    from radares_spark.operators.text_ext import remove_dup_spans
+
+    rows = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(spark.createDataFrame(SPAN_DOCS)).collect()
+    }
+    # docs 0 and 1 share exactly the 8-word span; only those windows are
+    # cross-doc, so exactly 8 tokens drop and the unique rims survive
+    assert rows[0]["n_removed"] == 8
+    assert rows[0]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert rows[1]["n_removed"] == 8
+    assert rows[1]["clean_text"] == "one two three four five"
+    # unique doc untouched
+    assert rows[2]["n_removed"] == 0
+    assert rows[2]["clean_text"] == SPAN_DOCS["text"][2]
+    # short doc: no windows exist, so nothing can be removed
+    assert rows[3]["n_removed"] == 0 and rows[3]["clean_text"] == "short doc"
+    # NULL text keeps its audit row
+    assert rows[4]["n_tokens"] == 0 and rows[4]["clean_text"] == ""
+    assert rows[4]["removed_frac"] == 0.0
+
+
+def test_dup_span_removal_matches_duckdb_on_planted_frame(spark):
+    from radares_spark.operators.text_ext import DUP_REMOVAL_SQL, remove_dup_spans
+
+    sdf = remove_dup_spans(spark.createDataFrame(SPAN_DOCS))
+    con = duckdb.connect()
+    try:
+        con.register("documents", SPAN_DOCS)
+        tbl = con.execute(DUP_REMOVAL_SQL).arrow()
+    finally:
+        con.close()
+    ok, msg = compare_frames(sdf, tbl)
+    assert ok, msg
+
+
+def test_dup_span_removal_overlapping_spans(spark):
+    """Two overlapping shared windows cover their UNION of positions —
+    coverage dedups per (doc, pos), not per window."""
+    from radares_spark.operators.text_ext import remove_dup_spans
+
+    nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 words => 2 rolling windows
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [f"unique1 {nine} tail1", f"other {nine} tail2"],
+        }
+    )
+    rows = {r["doc_id"]: r for r in remove_dup_spans(spark.createDataFrame(pdf)).collect()}
+    assert rows[10]["n_removed"] == 9
+    assert rows[10]["clean_text"] == "unique1 tail1"
+    assert rows[11]["clean_text"] == "other tail2"
