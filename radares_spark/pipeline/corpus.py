@@ -596,4 +596,103 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, STRAT_K)
 
 
-LIBRARY_SPECS: dict[str, QuerySpec] = {}
+WS_BIN_SCALE = 64  # bins per unit of exponential key
+WS_BIN_CLAMP = 1024  # e >= 0 always -> <= 1025 occupied bins
+
+
+def weighted_sample(
+    docs: DataFrame, weight: Column, k: int, seed: str = "ws"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): give each doc
+    an exponential race key ``e = -ln(u) / w`` with ``u`` uniform in
+    (0, 1); the k SMALLEST keys are exactly a weighted draw without
+    replacement — the distributed form of the paper's A-ES reservoir.
+    Docs with non-positive weight are excluded (zero mass cannot win).
+
+    Deterministic: ``u`` comes from the same ``md5(seed:doc_id)``
+    unit-hash idiom as mixing/splits, so the sample is a pure function
+    of identity — byte-identical across re-runs, partitionings, and
+    cluster sizes, and mirrorable in the DuckDB oracle.
+
+    Scale shape: "take the k smallest e" is a global top-k — a naive
+    ``row_number() OVER (ORDER BY e)`` is a single-partition window.
+    This reuses the two-phase prefix shape of
+    :func:`sample_to_token_budget` / ``dsir_resample`` with a prefix
+    COUNT over coarse key bins: bin order equals key order across
+    bins, per-bin ranks run parallel, and the only single-partition
+    window is over the <= {clamp} occupied bin rows. Selection equals
+    the global (e, doc_id) order exactly — binning never changes it.
+
+    Returns (doc_id, weight, sel_rank) for the k winners;
+    ``sel_rank`` is the doc's 1-based position in the draw order.
+    """
+    u = (_unit_hash(F.col("doc_id"), seed) + F.lit(0.5)) / F.lit(1_000_000.0)
+    scored = (
+        docs.select("doc_id", weight.cast("double").alias("weight"))
+        .filter(F.col("weight") > 0)
+        .withColumn("__e", -F.log(u) / F.col("weight"))
+        .withColumn(
+            "__bin",
+            F.least(F.lit(WS_BIN_CLAMP), F.floor(F.col("__e") * WS_BIN_SCALE)),
+        )
+    )
+    per_bin = scored.groupBy("__bin").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = W.orderBy("__bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = per_bin.select(
+        "__bin", (F.sum("__n").over(off_w) - F.col("__n")).alias("__offset")
+    )
+    in_w = W.partitionBy("__bin").orderBy(F.asc("__e"), F.asc("doc_id"))
+    return (
+        scored.join(F.broadcast(offsets), "__bin")
+        .withColumn("sel_rank", F.col("__offset") + F.row_number().over(in_w))
+        .filter(F.col("sel_rank") <= k)
+        .select("doc_id", "weight", "sel_rank")
+    )
+
+
+weighted_sample.__doc__ = weighted_sample.__doc__.format(clamp=WS_BIN_CLAMP + 1)
+
+WS_K = 100
+
+WEIGHTED_SAMPLE_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split({NORM_SQL.format(c='text')}, ' '))::DOUBLE AS weight,
+               (('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 1000000 + 0.5) / 1000000.0 AS u
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, weight, -ln(u) / weight AS e
+        FROM scored WHERE weight > 0
+    )
+    SELECT doc_id, weight,
+           row_number() OVER (ORDER BY e, doc_id) AS sel_rank
+    FROM keyed
+    QUALIFY sel_rank <= {WS_K}
+"""
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.size(F.split(normalize_text(F.col("text")), " "))
+    return weighted_sample(docs, toks, WS_K)
+
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_weighted_sample": QuerySpec(
+        name="corpus_weighted_sample",
+        fn=corpus_weighted_sample,
+        oracle=WEIGHTED_SAMPLE_SQL,
+        survey="LLM-pipeline (weighted sampling without replacement, "
+        "Efraimidis-Spirakis exponential race)",
+        doc=f"Top-{WS_K} docs by deterministic exponential race key "
+        "-ln(u)/weight (weight = whitespace token count): an exact "
+        "weighted-without-replacement draw. Selection via the "
+        "two-phase prefix COUNT over coarse key bins — the oracle "
+        "replays the same order as one flat window, feasible only "
+        "because the oracle corpus is small; the equivalence IS the "
+        "scale claim.",
+    ),
+}

@@ -220,3 +220,77 @@ def test_hot_bucket_cap_routes_spam_through_exact_stage(spark):
     assert len(kept_spam) >= 8
     # doc 1 is unaffected either way
     assert got0[1] == KEPT and got[1] == KEPT
+
+
+# ---- weighted sampling without replacement (Efraimidis-Spirakis) ----
+
+
+def test_weighted_sample_equals_naive_global_window(spark):
+    """The bin-prefix selection must equal the naive global top-k by
+    (e, doc_id) — binning is an execution detail, not a semantic."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from radares_spark.pipeline.corpus import _unit_hash, weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": range(300), "w": [(i % 17) + 1 for i in range(300)]})
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["sel_rank"]
+        for r in weighted_sample(docs, F.col("w"), 40).collect()
+    }
+    u = (_unit_hash(F.col("doc_id"), "ws") + F.lit(0.5)) / F.lit(1_000_000.0)
+    naive = (
+        docs.select("doc_id", F.col("w").cast("double").alias("w"))
+        .withColumn("e", -F.log(u) / F.col("w"))
+        .withColumn("rk", F.row_number().over(Window.orderBy("e", "doc_id")))
+        .filter(F.col("rk") <= 40)
+    )
+    want = {r["doc_id"]: r["rk"] for r in naive.collect()}
+    assert got == want
+
+
+def test_weighted_sample_favors_heavy_docs_and_excludes_zero_weight(spark):
+    """Across independent seeds, a doc with 50x the weight must be
+    selected far more often; zero/negative weights never win."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from radares_spark.pipeline.corpus import weighted_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            # docs 0-9 heavy (weight 50), 10-189 light (weight 1),
+            # 190-199 zero weight (must never appear)
+            "w": [50] * 10 + [1] * 180 + [0] * 10,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    heavy_hits = light_hits = 0
+    for seed in ("s0", "s1", "s2", "s3", "s4"):
+        ids = {
+            r["doc_id"]
+            for r in weighted_sample(docs, F.col("w"), 20, seed=seed).collect()
+        }
+        assert not ids & set(range(190, 200))
+        heavy_hits += len(ids & set(range(10)))
+        light_hits += len(ids & set(range(10, 190)))
+    # heavy docs are 10/190 of positive-weight docs but 500/680 of the
+    # mass; with k=20 x 5 seeds they must dominate their headcount share
+    assert heavy_hits >= 30, (heavy_hits, light_hits)
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from radares_spark.pipeline.corpus import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": range(500), "w": [(i % 7) + 1 for i in range(500)]})
+    a = spark.createDataFrame(pdf).repartition(1)
+    b = spark.createDataFrame(pdf).repartition(13, "doc_id")
+    ra = sorted(map(tuple, weighted_sample(a, F.col("w"), 50).collect()))
+    rb = sorted(map(tuple, weighted_sample(b, F.col("w"), 50).collect()))
+    assert ra == rb
