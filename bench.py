@@ -88,6 +88,8 @@ EXTRA = [
     "text_dup_spans",
     "corpus_dsir_select",
     "incremental_admission_audit",  # driver-registered r5
+    "text_dup_span_removal",  # r5: substring-dedup transform stage
+    "corpus_weighted_sample",  # r5: Efraimidis-Spirakis draw
 ]
 
 LIBRARY_PLANS = {
@@ -104,7 +106,13 @@ def _late_library_plans():
 
     return {
         name: ALL_LIBRARY_SPECS[name].fn
-        for name in ("dedup_semantic", "text_dup_spans", "corpus_dsir_select")
+        for name in (
+            "dedup_semantic",
+            "text_dup_spans",
+            "corpus_dsir_select",
+            "text_dup_span_removal",
+            "corpus_weighted_sample",
+        )
     }
 
 

@@ -37,8 +37,11 @@ keeper idiom: one shuffle on the canonical-URL hash, min doc_id keeps
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.registry import QuerySpec
 
 TRACKING_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
 _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
@@ -168,3 +171,110 @@ def canonical_url_sql(table: str, url_col: str = "url") -> str:
            {host} AS url_host
     FROM {table}
     """
+
+
+def domain_cap(
+    df: DataFrame,
+    k: int,
+    quality: Column,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota — the crawl-curation stage that stops a single
+    site from dominating the corpus (RefinedWeb/Dolma cap documents
+    per registrable domain): keep the top ``k`` docs per canonical
+    host by (``quality`` desc, id asc).
+
+    Returns (id, url_host, host_rank) for the kept docs; docs with a
+    NULL url have no domain identity and are always kept (rank 1 in
+    the NULL group would collide, so they are passed through with
+    host_rank 1 and url_host NULL — the same NULL-spine rule as
+    ``url_dedup_audit``).
+
+    Scale shape: ``row_number() <= k`` compiles to Spark's
+    WindowGroupLimit rewrite — each upstream partition forwards at
+    most k rows PER HOST into the single host shuffle, so a
+    100M-page domain contributes k x n_partitions rows to the wire,
+    not 100M (the same shape as ``corpus.stratified_sample``).
+    """
+    canon = with_canonical_url(df, url_col).select(
+        id_col, "url_host", quality.cast("double").alias("__q")
+    )
+    w = W.partitionBy("url_host").orderBy(F.desc("__q"), F.asc(id_col))
+    ranked = (
+        canon.filter(F.col("url_host").isNotNull() & (F.col("url_host") != ""))
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= k)
+        .select(id_col, "url_host", "host_rank")
+    )
+    passthrough = canon.filter(
+        F.col("url_host").isNull() | (F.col("url_host") == "")
+    ).select(id_col, F.lit(None).cast("string").alias("url_host"), F.lit(1).alias("host_rank"))
+    return ranked.unionByName(passthrough)
+
+
+def _synth_url() -> Column:
+    """Deterministic URL from testdata columns (documents ships no url
+    column — same derived-fixture precedent as the partsupp tests).
+    Deliberately messy: uppercase www/host, default port, trailing
+    slash, tracking param, unsorted params — so the cap exercises the
+    full canonicalization path, not just the grouping."""
+    return F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.com:443/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&b=2&a=1"),
+    )
+
+
+DOMAIN_CAP_K = 3
+
+_SYNTH_URL_SQL = (
+    "'https://WWW.' || source || (doc_id % 5)::VARCHAR"
+    " || '.Example.com:443/page/' || doc_id::VARCHAR"
+    " || '/?utm_source=x&b=2&a=1'"
+)
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return domain_cap(
+        docs.withColumn("url", _synth_url()), DOMAIN_CAP_K, F.col("n_chars")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+    WITH src AS (
+        SELECT doc_id, {_SYNTH_URL_SQL} AS url, n_chars
+        FROM documents
+    ),
+    canon AS ({{canon_sql}}),
+    ranked AS (
+        SELECT doc_id, url_host,
+               row_number() OVER (PARTITION BY url_host
+                                  ORDER BY n_chars DESC, doc_id) AS host_rank
+        FROM canon
+    )
+    SELECT doc_id, url_host, host_rank
+    FROM ranked WHERE host_rank <= {DOMAIN_CAP_K}
+"""
+
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_domain_cap": QuerySpec(
+        name="corpus_domain_cap",
+        fn=corpus_domain_cap,
+        oracle=DOMAIN_CAP_SQL.format(canon_sql=canonical_url_sql("src")),
+        survey="LLM-pipeline (per-domain quota cap, RefinedWeb/Dolma "
+        "crawl curation)",
+        doc=f"Top-{DOMAIN_CAP_K} docs per canonical host by (n_chars "
+        "desc, doc_id) over a deterministic synthesized URL column "
+        "(testdata ships none). rank<=k compiles to WindowGroupLimit: "
+        "a 100M-page domain contributes k x n_partitions rows to the "
+        "host shuffle, not 100M.",
+    ),
+}

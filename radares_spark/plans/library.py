@@ -17,13 +17,23 @@ through tests/test_tpch_full.py instead.
 
 from __future__ import annotations
 
-from radares_spark.operators import asof, dedup, dsir, incremental, quantize, semdedup, text_ext
+from radares_spark.operators import (
+    asof,
+    dedup,
+    dsir,
+    incremental,
+    quantize,
+    semdedup,
+    skew,
+    text_ext,
+    urls,
+)
 from radares_spark.pipeline import corpus
 from radares_spark.plans import radar, tpch_full
 from radares_spark.registry import QuerySpec
 
 ALL_LIBRARY_SPECS: dict[str, QuerySpec] = {}
-for _mod in (asof, dedup, dsir, incremental, quantize, semdedup, text_ext, radar, corpus):
+for _mod in (asof, dedup, dsir, incremental, quantize, semdedup, skew, text_ext, urls, radar, corpus):
     for _name, _spec in _mod.LIBRARY_SPECS.items():
         assert _name not in ALL_LIBRARY_SPECS, f"duplicate library spec {_name}"
         ALL_LIBRARY_SPECS[_name] = _spec

@@ -112,3 +112,61 @@ def test_aqe_splits_skewed_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---- heavy-hitter report ----
+
+
+def test_skew_report_planted_hot_key(spark):
+    import pandas as pd
+    from radares_spark.operators.skew import skew_report
+
+    pdf = pd.DataFrame({"k": ["hot"] * 800 + [f"cold{i}" for i in range(200)]})
+    rows = skew_report(spark.createDataFrame(pdf), ["k"], 5).collect()
+    by_rank = {r["key_rank"]: r for r in rows}
+    assert len(rows) == 5
+    assert by_rank[1]["k"] == "hot" and by_rank[1]["n_rows"] == 800
+    assert by_rank[1]["share"] == 0.8
+    # cold keys are all count-1: deterministic tie-break by key asc
+    assert by_rank[2]["k"] == "cold0" and by_rank[2]["n_rows"] == 1
+
+
+def test_skew_report_equals_naive_global_window(spark):
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from radares_spark.operators.skew import skew_report
+
+    pdf = pd.DataFrame({"k": [f"k{i % 37}" for i in range(1000)]})
+    docs = spark.createDataFrame(pdf)
+    got = sorted(map(tuple, skew_report(docs, ["k"], 10).collect()))
+    counts = docs.groupBy("k").agg(F.count(F.lit(1)).alias("n_rows"))
+    naive = (
+        counts.crossJoin(F.broadcast(counts.agg(F.sum("n_rows").alias("t"))))
+        .withColumn(
+            "key_rank", F.row_number().over(Window.orderBy(F.desc("n_rows"), "k"))
+        )
+        .filter(F.col("key_rank") <= 10)
+        .select(
+            "k",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("t").cast("double"), 6).alias("share"),
+            "key_rank",
+        )
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+
+
+def test_skew_report_uses_window_group_limit(spark):
+    import pandas as pd
+    from radares_spark.operators.skew import skew_report
+
+    pdf = pd.DataFrame({"k": [f"k{i % 37}" for i in range(1000)]})
+    plan = (
+        skew_report(spark.createDataFrame(pdf), ["k"], 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

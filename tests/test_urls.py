@@ -127,3 +127,62 @@ def test_canonicalization_is_idempotent(spark):
     assert len(rows) == len(frame)
     for r in rows:
         assert r["canonical_url"] == r["url"], r["doc_id"]
+
+
+# ---- per-domain quota cap ----
+
+
+def test_domain_cap_semantics_and_null_passthrough(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from radares_spark.operators.urls import domain_cap
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "url": [
+                "https://a.com/1",
+                "https://a.com/2",
+                "https://a.com/3",
+                "https://a.com/4",  # 4 docs on a.com, cap 2 keeps best 2
+                "https://b.com/1",
+                "http://WWW.B.com:80/2/",  # canonicalizes onto b.com
+                None,  # NULL url: always kept, NULL host
+                "https://c.com/1",
+            ],
+            "q": [10.0, 40.0, 30.0, 20.0, 5.0, 6.0, 1.0, 2.0],
+        }
+    )
+    got = {
+        r["doc_id"]: (r["url_host"], r["host_rank"])
+        for r in domain_cap(spark.createDataFrame(pdf), 2, F.col("q")).collect()
+    }
+    # a.com: top-2 by quality are docs 1 (40) and 2 (30)
+    assert got[1] == ("a.com", 1) and got[2] == ("a.com", 2)
+    assert 0 not in got and 3 not in got
+    # b.com: both survive (cap 2), rank by quality desc
+    assert got[5] == ("b.com", 1) and got[4] == ("b.com", 2)
+    # NULL url passes through
+    assert got[6] == (None, 1)
+    assert got[7] == ("c.com", 1)
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    """rank<=k must compile to WindowGroupLimit so each upstream
+    partition pre-filters to k rows per host before the shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from radares_spark.operators.urls import domain_cap
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "url": [f"https://host{i % 5}.com/p/{i}" for i in range(100)],
+            "q": [float(i) for i in range(100)],
+        }
+    )
+    df = domain_cap(spark.createDataFrame(pdf), 3, F.col("q"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
