@@ -543,23 +543,25 @@ def remove_dup_spans(
 
     - token and window streams are assembled above their Generates
       exactly as ``shingle_rows`` does (the CollapseProject trap);
-    - the shared-hash set comes from TWO stacked map-side-combined
-      aggregates — ``groupBy(doc, h)`` then ``groupBy(h)`` — so a
-      universal boilerplate hash sees <= n_partitions rows at the
-      second reduce, never one row per occurrence;
+    - the window-hash stream is EVALUATED ONCE: window start
+      positions ride the ``groupBy(doc, h)`` rollup as a
+      ``collect_list``, and the cross-doc flag is the same
+      count-over-hash window as ``dup_span_stats`` — no semi-join
+      back onto a second evaluation of the shingle+md5 pipeline (the
+      first formulation did exactly that and measured 1.5x slower at sf0.1);
     - covered positions = dup windows x ``w`` offsets, deduplicated
       per (doc, pos): proportional to actually-duplicated text, not
       the corpus;
+    - per-doc token totals come from a PROJECTION (array length), not
+      a token-row regroup;
     - reassembly is ONE doc_id regroup via
       ``array_sort(collect_list(struct(pos, word)))`` — the same
       order-preserving idiom as ``strip_boilerplate``.
 
-    Skew note: the wins->dup-hash semi-join equi-keys on ``h``; when
-    the dup set outgrows the broadcast threshold AND one span is
-    universal, that shuffle inherits the span skew. AQE's skew-join
-    split handles it (enabled in session.py); at crawl scale, route
-    hashes from ``dup_span_stats_capped``'s ``hot_spans`` report
-    through a broadcast branch first.
+    Skew note: the count-over-hash window puts one row per containing
+    doc in a hash's partition — linear and spillable; at crawl scale
+    a universal boilerplate span wants the salted-window cap of
+    ``dup_span_stats_capped`` (hot hashes are dup by definition).
     """
     toks = docs.select(
         "doc_id", F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " ").alias("w")
@@ -578,15 +580,13 @@ def remove_dup_spans(
         F.col("shingle_pos").alias("i"),
         F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h"),
     )
-    doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
-    dup = (
-        doc_h.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
-    )
+    doc_h = wins.groupBy("doc_id", "h").agg(F.collect_list("i").alias("starts"))
+    # rows are unique per (doc, h), so count-over-hash == distinct docs
+    nd = F.count(F.lit(1)).over(W.partitionBy("h"))
     covered = (
-        wins.join(dup, "h", "left_semi")
+        doc_h.withColumn("nd", nd)
+        .filter(F.col("nd") >= min_docs)
+        .select("doc_id", F.explode("starts").alias("i"))
         .select(
             "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (w - 1))).alias("pos")
         )
@@ -603,7 +603,14 @@ def remove_dup_spans(
             ),
         ).alias("clean_text"),
     )
-    totals = tok_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    totals = docs.select(
+        "doc_id",
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
     n_tokens = F.coalesce("n_tokens", F.lit(0))
     n_removed = (n_tokens - F.coalesce("n_kept", F.lit(0))).alias("n_removed")
     return (
