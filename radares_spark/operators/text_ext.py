@@ -526,6 +526,34 @@ DUP_SPANS_SQL = f"""
 """
 
 
+def _covered_positions(
+    docs: DataFrame, w: int = DUP_SPAN_W, min_docs: int = 2
+) -> DataFrame:
+    """(doc_id, pos) token positions covered by any rolling ``w``-word
+    window shared across >= ``min_docs`` distinct docs — the coverage
+    set both the removal and the profile operators consume. The
+    shingle+md5 stream is evaluated once: window start positions ride
+    the (doc, h) rollup as a collect_list and the cross-doc flag is
+    the count-over-hash window (``dup_span_stats``'s shape)."""
+    wins = shingle_rows(docs, n=w, with_pos=True).select(
+        "doc_id",
+        F.col("shingle_pos").alias("i"),
+        F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h"),
+    )
+    doc_h = wins.groupBy("doc_id", "h").agg(F.collect_list("i").alias("starts"))
+    # rows are unique per (doc, h), so count-over-hash == distinct docs
+    nd = F.count(F.lit(1)).over(W.partitionBy("h"))
+    return (
+        doc_h.withColumn("nd", nd)
+        .filter(F.col("nd") >= min_docs)
+        .select("doc_id", F.explode("starts").alias("i"))
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (w - 1))).alias("pos")
+        )
+        .distinct()
+    )
+
+
 def remove_dup_spans(
     docs: DataFrame, w: int = DUP_SPAN_W, min_docs: int = 2
 ) -> DataFrame:
@@ -575,23 +603,7 @@ def remove_dup_spans(
         .select("doc_id", "pos", F.get("w", F.col("pos") - 1).alias("word"))
         .filter(F.col("word") != "")
     )
-    wins = shingle_rows(docs, n=w, with_pos=True).select(
-        "doc_id",
-        F.col("shingle_pos").alias("i"),
-        F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h"),
-    )
-    doc_h = wins.groupBy("doc_id", "h").agg(F.collect_list("i").alias("starts"))
-    # rows are unique per (doc, h), so count-over-hash == distinct docs
-    nd = F.count(F.lit(1)).over(W.partitionBy("h"))
-    covered = (
-        doc_h.withColumn("nd", nd)
-        .filter(F.col("nd") >= min_docs)
-        .select("doc_id", F.explode("starts").alias("i"))
-        .select(
-            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (w - 1))).alias("pos")
-        )
-        .distinct()
-    )
+    covered = _covered_positions(docs, w, min_docs)
     kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
     per_doc = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -636,6 +648,85 @@ def remove_dup_spans(
 def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_dup_spans(docs)
+
+
+def longest_dup_span(
+    docs: DataFrame, w: int = DUP_SPAN_W, min_docs: int = 2
+) -> DataFrame:
+    """Per-doc length (in tokens) of the LONGEST contiguous duplicated
+    region — the signal Lee et al. 2021 threshold on (their removal
+    targets substrings over ~50 tokens; ``dup_frac`` alone can't tell
+    one 400-token boilerplate block from 50 scattered 8-token hits).
+
+    Returns (doc_id, max_dup_run) for every doc (0 when nothing is
+    shared).
+
+    Scale shape: covered positions (bounded by duplicated-text volume)
+    -> the classic gaps-and-islands rewrite: ``pos - row_number()``
+    is constant within a contiguous run, so one per-doc window + one
+    count-per-island aggregate + one max-per-doc aggregate. All three
+    partition by doc (and island), so per-task work is bounded by a
+    single document's covered tokens.
+    """
+    covered = _covered_positions(docs, w, min_docs)
+    island = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    ).alias("grp")
+    runs = (
+        covered.select("doc_id", "pos", island)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(F.max("run_len").alias("max_dup_run"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run")
+        )
+    )
+
+
+def text_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return longest_dup_span(docs)
+
+
+LONGEST_SPAN_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               md5(array_to_string(w[i:i + {DUP_SPAN_W - 1}], ' ')) AS h
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - {DUP_SPAN_W - 1})) AS t(i)
+        WHERE len(w) >= {DUP_SPAN_W}
+    ),
+    dup AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+        GROUP BY h HAVING count(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, i + off AS pos
+        FROM wins, LATERAL unnest(generate_series(0, {DUP_SPAN_W - 1})) AS o(off)
+        WHERE h IN (SELECT h FROM dup)
+    ),
+    islands AS (
+        SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM covered
+    ),
+    runs AS (
+        SELECT doc_id, count(*) AS run_len FROM islands GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+        SELECT doc_id, max(run_len) AS max_dup_run FROM runs GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(p.max_dup_run, 0) AS max_dup_run
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 
 DUP_REMOVAL_SQL = f"""
@@ -706,6 +797,16 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         ">=2 distinct docs are shared spans; per-doc share-of-windows "
         "score. Linear in corpus tokens, two map-side-combined hash "
         "shuffles, no quadratic stage.",
+    ),
+    "text_longest_dup_span": QuerySpec(
+        name="text_longest_dup_span",
+        fn=text_longest_dup_span,
+        oracle=LONGEST_SPAN_SQL,
+        survey="LLM-pipeline (longest contiguous duplicated region per "
+        "doc — the span-length threshold signal of Lee et al. 2021)",
+        doc="Gaps-and-islands over the covered-position set: pos - "
+        "row_number is constant within a contiguous run; per-doc "
+        "windows only, work bounded by duplicated-text volume.",
     ),
     "text_dup_span_removal": QuerySpec(
         name="text_dup_span_removal",

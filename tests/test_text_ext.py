@@ -305,3 +305,30 @@ def test_dup_span_removal_overlapping_spans(spark):
     assert rows[10]["n_removed"] == 9
     assert rows[10]["clean_text"] == "unique1 tail1"
     assert rows[11]["clean_text"] == "other tail2"
+
+
+def test_longest_dup_span_planted(spark):
+    """Two overlapping shared windows merge into ONE 9-token run; a
+    second disjoint shared 8-token span in the same doc stays its own
+    island — max picks the 9."""
+    from radares_spark.operators.text_ext import longest_dup_span
+
+    nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    other = "x1 x2 x3 x4 x5 x6 x7 x8"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"u0 {nine} mid1 mid2 mid3 {other} tail0",
+                f"v0 {nine} vtail",
+                f"z0 {other} ztail",
+            ],
+        }
+    )
+    rows = {
+        r["doc_id"]: r["max_dup_run"]
+        for r in longest_dup_span(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows[0] == 9  # the merged 9-run beats the disjoint 8-run
+    assert rows[1] == 9
+    assert rows[2] == 8
