@@ -596,6 +596,147 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, STRAT_K)
 
 
+def emit_sequences(docs: DataFrame, ctx_len: int) -> DataFrame:
+    """Materialize the fixed-length training sequences that
+    :func:`pack_sequences` only describes: lay every doc's tokens end
+    to end in the deterministic (hash-bucket, doc_id) corpus order and
+    emit one row per ``ctx_len`` window — (seq_id, n_docs,
+    n_seq_tokens, seq_text). Every sequence is exactly ``ctx_len``
+    tokens except the final partial one; docs straddle boundaries
+    (zero padding waste).
+
+    Scale shape: the global token offset is the same two-phase prefix
+    sum as :func:`pack_sequences`; each doc then EXPLODES into only
+    the sequences it touches (1 + n_tokens/ctx_len rows — linear) and
+    contributes its slice via one ``F.slice`` on the already-split
+    token array. Reassembly is one shuffle on seq_id with the
+    order-preserving ``array_sort(collect_list(struct(offset,
+    slice)))`` idiom; per-task work is bounded by ctx_len tokens x
+    docs-per-sequence (a sequence holds at most ctx_len docs).
+    """
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    bucketed = (
+        docs.select("doc_id", F.split(norm, " ").alias("w"))
+        .withColumn(
+            "__bucket",
+            F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % N_BUDGET_BUCKETS,
+        )
+        .withColumn(
+            "n",
+            F.when(F.array_join("w", " ") == "", F.lit(0))
+            .otherwise(F.size("w"))
+            .cast("long"),
+        )
+    )
+    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("n").alias("__btok"))
+    off_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = per_bucket.select(
+        "__bucket", (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset")
+    )
+    in_w = (
+        W.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn("off", F.col("__offset") + F.sum("n").over(in_w) - F.col("n"))
+        .filter(F.col("n") > 0)
+    )
+    # the sequences this doc touches; slice bounds are 1-based in the
+    # doc's local token array
+    spans = placed.select(
+        "doc_id",
+        "w",
+        "off",
+        "n",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / ctx_len),
+                F.floor((F.col("off") + F.col("n") - 1) / ctx_len),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * ctx_len - F.col("off"), F.lit(0))
+    hi = F.least((F.col("seq_id") + 1) * ctx_len - F.col("off"), F.col("n"))
+    sliced = spans.select(
+        "seq_id",
+        "off",
+        F.slice(F.col("w"), (lo + 1).cast("int"), (hi - lo).cast("int")).alias(
+            "piece"
+        ),
+    )
+    return (
+        sliced.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("off", "piece"))),
+                    lambda s: s["piece"],
+                )
+            ).alias("__toks"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            F.size("__toks").cast("long").alias("n_seq_tokens"),
+            F.array_join("__toks", " ").alias("seq_text"),
+        )
+    )
+
+
+PACK_CTX = 256
+
+EMIT_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {N_BUDGET_BUCKETS} AS bucket
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w, bucket,
+               CASE WHEN array_to_string(w, ' ') = '' THEN 0 ELSE len(w) END AS n
+        FROM toks
+    ),
+    placed AS (
+        SELECT doc_id, w, n,
+               (sum(n) OVER (ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n)::BIGINT AS off
+        FROM sized
+    ),
+    spans AS (
+        SELECT doc_id, w, off, n, s AS seq_id
+        FROM placed,
+             LATERAL unnest(generate_series(off // {PACK_CTX},
+                                            (off + n - 1) // {PACK_CTX})) AS t(s)
+        WHERE n > 0
+    ),
+    sliced AS (
+        SELECT seq_id, off,
+               w[greatest(seq_id * {PACK_CTX} - off, 0) + 1 :
+                 least((seq_id + 1) * {PACK_CTX} - off, n)] AS piece
+        FROM spans
+    )
+    SELECT seq_id,
+           count(*) AS n_docs,
+           len(flatten(list(piece ORDER BY off))) AS n_seq_tokens,
+           array_to_string(flatten(list(piece ORDER BY off)), ' ') AS seq_text
+    FROM sliced
+    GROUP BY seq_id
+"""
+
+
+def corpus_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return emit_sequences(docs, PACK_CTX)
+
+
 WS_BIN_SCALE = 64  # bins per unit of exponential key
 WS_BIN_CLAMP = 1024  # e >= 0 always -> <= 1025 occupied bins
 
@@ -681,6 +822,18 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_pack_emit": QuerySpec(
+        name="corpus_pack_emit",
+        fn=corpus_pack_emit,
+        oracle=EMIT_SQL,
+        survey="LLM-pipeline (packed-sequence materialization — the "
+        "reader side of pack_sequences' manifest)",
+        doc=f"One row per {PACK_CTX}-token training sequence: docs laid "
+        "end to end in (hash-bucket, doc_id) order, sliced at sequence "
+        "boundaries, reassembled per seq_id. Each doc explodes into "
+        "only the sequences it touches; per-task work bounded by "
+        "ctx_len x docs-per-sequence.",
+    ),
     "corpus_weighted_sample": QuerySpec(
         name="corpus_weighted_sample",
         fn=corpus_weighted_sample,

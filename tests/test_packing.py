@@ -69,3 +69,80 @@ def test_packing_invariants(spark):
     for r in rows:
         covered.update(range(r["first_seq"], r["last_seq"] + 1))
     assert covered == set(range(n_seqs))
+
+
+# ---- sequence EMISSION (materialized training windows) ----
+
+
+def test_emit_sequences_invariants(spark):
+    """Every sequence but the last is exactly ctx tokens, and the
+    concatenation of all sequences in seq_id order reconstructs the
+    corpus in its deterministic (hash-bucket, doc_id) order — nothing
+    lost, nothing duplicated, nothing reordered."""
+    from pyspark.sql import functions as F
+
+    from radares_spark.operators.dedup import normalize_text
+    from radares_spark.pipeline.corpus import emit_sequences
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    ctx = 64
+    seqs = sorted(
+        (r["seq_id"], r["n_seq_tokens"], r["seq_text"])
+        for r in emit_sequences(docs, ctx).collect()
+    )
+    last = max(s for s, _, _ in seqs)
+    assert all(n == ctx for s, n, _ in seqs if s != last)
+    assert 0 < dict((s, n) for s, n, _ in seqs)[last] <= ctx
+    # gapless sequence ids
+    assert [s for s, _, _ in seqs] == list(range(last + 1))
+
+    # corpus order reconstruction
+    order = (
+        docs.select(
+            "doc_id",
+            normalize_text(F.coalesce(F.col("text"), F.lit(""))).alias("t"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % 1024
+            ).alias("b"),
+        )
+        .filter(F.col("t") != "")
+        .orderBy("b", "doc_id")
+        .collect()
+    )
+    want = " ".join(r["t"] for r in order)
+    got = " ".join(t for _, _, t in seqs)
+    assert got == want
+
+
+def test_emit_sequences_matches_manifest(spark):
+    """The emitted per-sequence doc counts agree with pack_sequences'
+    manifest: a doc appears in exactly the sequences [first_seq,
+    last_seq] the manifest assigns it."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from radares_spark.pipeline.corpus import emit_sequences, pack_sequences
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    ctx = 64
+    manifest = pack_sequences(docs, ctx).filter(F.col("n_tokens") > 0).collect()
+    expect = Counter()
+    for r in manifest:
+        for s in range(r["first_seq"], r["last_seq"] + 1):
+            expect[s] += 1
+    got = {
+        r["seq_id"]: r["n_docs"] for r in emit_sequences(docs, ctx).collect()
+    }
+    assert got == dict(expect)
