@@ -848,7 +848,86 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loses nothing, not merely that both sides run the same code.
 from radares_spark.registry import QuerySpec  # noqa: E402
 
+def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
+    """Char-3-gram CONTAINMENT for candidate pairs — the asymmetric
+    twin of ``dedup_ngram_jaccard``: containment = |A ∩ B| / min(|A|,
+    |B|) flags a short doc quoted wholesale inside a long one, which
+    Jaccard misses (a 100-gram quote in a 10,000-gram page has
+    Jaccard <= 0.01 but containment 1.0 — the Lee et al. motivation
+    for substring-level dedup, here at doc granularity).
+
+    Same physical shape as the Jaccard verifier (one partial-
+    aggregated collect_set shuffle, candidate pairs join the
+    1-row-per-doc set table, arrays intersect in place); deterministic
+    adjacent-id pairs here so the oracle can check the arithmetic — in
+    production the pairs come from ``dedup_minhash_pairs``.
+    """
+    t = normalize_text(F.col("text"))
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1)))).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
+        .filter(F.length("g") == 3)
+    )
+    gsets = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
+    a = gsets.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"), F.col("gs").alias("ga")
+    )
+    b = gsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
+    i = F.size(F.array_intersect("ga", "gb"))
+    return a.join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            i / F.least(F.size("ga"), F.size("gb")).cast("double"), 6
+        ).alias("containment"),
+    )
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(_docs(spark, sf_dir))
+
+
+CONTAINMENT_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, {NORM_SQL.format(c='text')} AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> substr(t, i, 3))) AS g
+            FROM norm
+        ) WHERE length(g) = 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i / least(sa.n, sb.n)::DOUBLE, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "dedup_ngram_containment": QuerySpec(
+        name="dedup_ngram_containment",
+        fn=dedup_ngram_containment,
+        oracle=CONTAINMENT_SQL,
+        survey="D-fuzzy (asymmetric containment verification — "
+        "quote-inclusion cases Jaccard misses)",
+        doc="Exact char-3-gram containment |A∩B|/min(|A|,|B|) for "
+        "candidate pairs; same two-shuffle collect_set shape as the "
+        "Jaccard verifier.",
+    ),
     "dedup_minhash_signatures": QuerySpec(
         name="dedup_minhash_signatures",
         fn=dedup_minhash_signatures,

@@ -777,7 +777,65 @@ DUP_REMOVAL_SQL = f"""
 """
 
 
+VOCAB_N = 2  # word bigrams
+VOCAB_TOP_K = 50
+
+
+def vocab_top_ngrams(
+    docs: DataFrame, n: int = VOCAB_N, top_k: int = VOCAB_TOP_K
+) -> DataFrame:
+    """Vocabulary induction: the ``top_k`` most frequent word
+    ``n``-grams with their corpus share — the counting pass a
+    tokenizer-training or stopword-derivation step runs first (the
+    corpus-wide twin of ``repetition_signals``' per-doc top-gram).
+
+    Pure composition: the evaluation-safe gram stream
+    (``dedup.shingle_rows``) into the heavy-hitter report
+    (``skew.skew_report``) — one map-side-combined count aggregate,
+    then top-k via log2-count bins + WindowGroupLimit, never a global
+    sort. Output (shingle, n_rows, share, key_rank).
+    """
+    from radares_spark.operators.skew import skew_report
+
+    return skew_report(shingle_rows(docs, n=n), ["shingle"], top_k)
+
+
+def text_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_top_ngrams(docs)
+
+
+VOCAB_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT array_to_string(w[i:i + {VOCAB_N - 1}], ' ') AS shingle
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - {VOCAB_N - 1})) AS t(i)
+        WHERE len(w) >= {VOCAB_N} AND array_to_string(w, ' ') <> ''
+    ),
+    c AS (SELECT shingle, count(*) AS n_rows FROM grams GROUP BY 1),
+    t AS (SELECT sum(n_rows) AS total FROM c)
+    SELECT shingle, n_rows,
+           round(n_rows / total::DOUBLE, 6) AS share,
+           row_number() OVER (ORDER BY n_rows DESC, shingle) AS key_rank
+    FROM c, t
+    QUALIFY key_rank <= {VOCAB_TOP_K}
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "text_vocab_top_ngrams": QuerySpec(
+        name="text_vocab_top_ngrams",
+        fn=text_vocab_top_ngrams,
+        oracle=VOCAB_SQL,
+        survey="LLM-pipeline (vocabulary induction: corpus-wide top-k "
+        "frequent n-grams)",
+        doc=f"Top-{VOCAB_TOP_K} word {VOCAB_N}-grams by occurrence with "
+        "corpus share; gram stream into the heavy-hitter report — "
+        "map-side-combined count, bin-prefix top-k, no global sort.",
+    ),
     "text_repetition_signals": QuerySpec(
         name="text_repetition_signals",
         fn=text_repetition_signals,
