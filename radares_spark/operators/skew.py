@@ -91,8 +91,11 @@ def skew_report(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
     offsets = per_bin.select(
         "__bin", (F.sum("__n").over(off_w) - F.col("__n")).alias("__offset")
     )
+    # asc_nulls_last on the key tie-break: Spark's asc floats a NULL
+    # group key first, DuckDB's ASC sinks it — pin the DuckDB rule
+    # (counts are never NULL, only group keys can be)
     in_w = W.partitionBy("__bin").orderBy(
-        F.desc("n_rows"), *[F.asc(k) for k in keys]
+        F.desc("n_rows"), *[F.asc_nulls_last(k) for k in keys]
     )
     return (
         binned.join(F.broadcast(offsets), "__bin")

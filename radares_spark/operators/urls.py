@@ -200,7 +200,11 @@ def domain_cap(
     canon = with_canonical_url(df, url_col).select(
         id_col, "url_host", quality.cast("double").alias("__q")
     )
-    w = W.partitionBy("url_host").orderBy(F.desc("__q"), F.asc(id_col))
+    # desc_nulls_last: Spark's desc already sinks NULL quality, but
+    # DuckDB's DESC floats it — pin the same rule on both sides (the
+    # oracle orders NULLS LAST) so a NULL-quality doc never outranks
+    # real scores
+    w = W.partitionBy("url_host").orderBy(F.desc_nulls_last("__q"), F.asc(id_col))
     ranked = (
         canon.filter(F.col("url_host").isNotNull() & (F.col("url_host") != ""))
         .withColumn("host_rank", F.row_number().over(w))
@@ -256,7 +260,7 @@ DOMAIN_CAP_SQL = f"""
     ranked AS (
         SELECT doc_id, url_host,
                row_number() OVER (PARTITION BY url_host
-                                  ORDER BY n_chars DESC, doc_id) AS host_rank
+                                  ORDER BY n_chars DESC NULLS LAST, doc_id) AS host_rank
         FROM canon
     )
     SELECT doc_id, url_host, host_rank

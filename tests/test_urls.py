@@ -186,3 +186,23 @@ def test_domain_cap_uses_window_group_limit(spark):
     df = domain_cap(spark.createDataFrame(pdf), 3, F.col("q"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_domain_cap_null_quality_ranks_last(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from radares_spark.operators.urls import domain_cap
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "url": ["https://d.com/1", "https://d.com/2", "https://d.com/3"],
+            "q": [None, 5.0, 1.0],
+        }
+    )
+    got = {
+        r["doc_id"]: r["host_rank"]
+        for r in domain_cap(spark.createDataFrame(pdf), 3, F.col("q")).collect()
+    }
+    assert got == {1: 1, 2: 2, 0: 3}  # NULL quality never outranks real scores
