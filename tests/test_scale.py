@@ -201,3 +201,28 @@ def test_semdedup_per_cluster_work_constant_when_k_scales(spark):
     m1 = max_cell(emb, 8)
     m4 = max_cell(big, 8 * INFLATE)
     assert m4 <= 3 * m1, f"worst task grew with the corpus: {m1} -> {m4}"
+
+
+def test_span_removal_exactly_linear_under_dissimilar_inflation(spark):
+    """Span REMOVAL inherits detection's linearity: per-copy-suffixed
+    inflation keeps window vocabularies disjoint across copies, so the
+    removed-token total must grow exactly 4x and removal must excise
+    the same text in every copy (no cross-copy coverage pollution)."""
+    from radares_spark.operators.text_ext import remove_dup_spans
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    big = _inflate_docs(docs, INFLATE)
+
+    def totals(frame):
+        r = (
+            remove_dup_spans(frame)
+            .agg(F.sum("n_tokens").alias("t"), F.sum("n_removed").alias("rm"))
+            .collect()[0]
+        )
+        return r["t"], r["rm"]
+
+    t1, r1 = totals(docs)
+    t4, r4 = totals(big)
+    assert r1 > 0
+    assert t4 == INFLATE * t1
+    assert r4 == INFLATE * r1
