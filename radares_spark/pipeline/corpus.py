@@ -737,6 +737,94 @@ def corpus_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emit_sequences(docs, PACK_CTX)
 
 
+def temperature_rates(
+    docs: DataFrame,
+    temperature: float,
+    budget_tokens: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source allocation — the multilingual /
+    multi-domain rebalancing rule (mT5 / UniMax lineage): sampling
+    mass p_s ∝ c_s^(1/T) over per-source token counts c_s, so T=1
+    reproduces natural proportions and T→∞ approaches uniform,
+    boosting small sources without letting any source exceed its own
+    data (rate capped at 1 — the UniMax constraint).
+
+    Returns one row per source: (source, n_tokens, rate_ppm) where
+    rate_ppm/1e6 is the keep-probability :func:`temperature_mix`
+    applies. Everything downstream of the per-source count aggregate
+    operates on a frame with ONE ROW PER SOURCE — kilobytes forever —
+    so the single-partition window over it is bounded by the source
+    vocabulary, same sanction as the DSIR bin window.
+    """
+    toks = F.size(F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " "))
+    sizes = docs.groupBy(source_col).agg(
+        F.sum(toks.cast("long")).alias("n_tokens")
+    )
+    mass = F.pow(F.col("n_tokens").cast("double"), 1.0 / temperature)
+    total_w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    rated = sizes.withColumn("__mass", mass).withColumn(
+        "__target",
+        F.col("__mass") / F.sum("__mass").over(total_w) * F.lit(float(budget_tokens)),
+    )
+    return rated.select(
+        source_col,
+        "n_tokens",
+        F.floor(
+            F.least(F.lit(1.0), F.col("__target") / F.col("n_tokens")) * 1_000_000
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    temperature: float,
+    budget_tokens: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """Apply :func:`temperature_rates`: keep each doc with its
+    source's probability, deterministically (md5 unit hash on doc_id —
+    same partitioning-independent idiom as :func:`mix_corpus`). The
+    rates frame is one row per source, broadcast onto the scan."""
+    rates = temperature_rates(docs, temperature, budget_tokens, source_col)
+    u = _unit_hash(F.col("doc_id"), "tmix")
+    return (
+        docs.join(F.broadcast(rates.select(source_col, "rate_ppm")), source_col)
+        .filter(u < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+
+
+TEMP_T = 3.0
+TEMP_BUDGET = 20_000
+
+TEMP_RATES_SQL = f"""
+    WITH sizes AS (
+        SELECT source,
+               sum(len(string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ')))::BIGINT
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    rated AS (
+        SELECT source, n_tokens,
+               pow(n_tokens::DOUBLE, 1.0 / {TEMP_T})
+                   / sum(pow(n_tokens::DOUBLE, 1.0 / {TEMP_T})) OVER ()
+                   * {TEMP_BUDGET}.0 AS target
+        FROM sizes
+    )
+    SELECT source, n_tokens,
+           floor(least(1.0, target / n_tokens) * 1000000)::BIGINT AS rate_ppm
+    FROM rated
+"""
+
+
+def corpus_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return temperature_rates(docs, TEMP_T, TEMP_BUDGET)
+
+
 WS_BIN_SCALE = 64  # bins per unit of exponential key
 WS_BIN_CLAMP = 1024  # e >= 0 always -> <= 1025 occupied bins
 
@@ -833,6 +921,17 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "boundaries, reassembled per seq_id. Each doc explodes into "
         "only the sequences it touches; per-task work bounded by "
         "ctx_len x docs-per-sequence.",
+    ),
+    "corpus_temperature_rates": QuerySpec(
+        name="corpus_temperature_rates",
+        fn=corpus_temperature_rates,
+        oracle=TEMP_RATES_SQL,
+        survey="LLM-pipeline (temperature-scaled source mixing, "
+        "mT5/UniMax lineage)",
+        doc=f"Per-source keep-rates for T={TEMP_T}, budget {TEMP_BUDGET} "
+        "tokens: mass ∝ tokens^(1/T), rate capped at 1 (UniMax). One "
+        "count aggregate, then a one-row-per-source frame — the only "
+        "window runs over the source vocabulary.",
     ),
     "corpus_weighted_sample": QuerySpec(
         name="corpus_weighted_sample",
