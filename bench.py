@@ -90,6 +90,7 @@ EXTRA = [
     "incremental_admission_audit",  # driver-registered r5
     "text_dup_span_removal",  # r5: substring-dedup transform stage
     "corpus_weighted_sample",  # r5: Efraimidis-Spirakis draw
+    "corpus_pack_emit",  # r5: packed-sequence materialization
 ]
 
 LIBRARY_PLANS = {

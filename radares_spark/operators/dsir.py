@@ -458,7 +458,109 @@ CCNET_SQL = f"""
     FROM r
 """
 
+def bigram_logprob(
+    docs: DataFrame, alpha: float = ALPHA, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_neg_logprob) — the CONDITIONAL upgrade
+    of :func:`unigram_logprob`: average -log p(w | prev) under a
+    hashed-bigram model trained on the corpus itself, add-alpha
+    smoothed per context. Word order now matters ("the cat sat" vs
+    "sat the cat" score identically under the unigram model and
+    differently here), which is what separates fluent text from
+    shuffled-token spam. Empty/one-token docs score 0.0.
+
+    Model = pair-bucket counts keyed by (context bucket, bigram
+    bucket), <= min(distinct bigrams, n_buckets^2) rows — broadcast-
+    sized by construction. Context totals derive from the ALREADY
+    AGGREGATED pair counts (a tiny rollup), so the gram stream is
+    evaluated exactly twice (one counting aggregate, one scoring
+    join) — the same budget as the unigram scorer; KenLM's Kneser-Ney
+    backoff is an external model, not shipped (same waiver as the
+    unigram stand-in).
+    """
+    rows = shingle_rows(docs.select("doc_id", "text"), n=2).select(
+        "doc_id",
+        _bucket(F.substring_index(F.col("shingle"), " ", 1)).alias("b1"),
+        _bucket(F.col("shingle")).alias("b2"),
+    )
+    c2 = rows.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("b1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, "b1").select(
+        "b1",
+        "b2",
+        (
+            -F.log(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha * n_buckets))
+            )
+        ).alias("nlp"),
+    )
+    scored = (
+        rows.join(F.broadcast(model), ["b1", "b2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs)
+
+
+BIGRAM_SQL = f"""
+    WITH rows AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w[i]), 1, 8))::BIGINT % {N_BUCKETS} AS b1,
+               ('0x' || substr(md5(array_to_string(w[i:i + 1], ' ')), 1, 8))::BIGINT
+                   % {N_BUCKETS} AS b2
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+              FROM documents WHERE len({_NORM}) > 0),
+             LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT b1, b2, count(*) AS c2 FROM rows GROUP BY 1, 2),
+    c1 AS (SELECT b1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    model AS (
+        SELECT b1, b2,
+               -ln((c2 + {ALPHA}) / (c1 + {ALPHA * N_BUCKETS})) AS nlp
+        FROM c2 JOIN c1 USING (b1)
+    ),
+    scored AS (
+        SELECT r.doc_id, count(*) AS n_bigrams,
+               round(avg(m.nlp), 6) AS avg_neg_logprob
+        FROM rows r JOIN model m USING (b1, b2) GROUP BY r.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.avg_neg_logprob, 0.0) AS avg_neg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_bigram_logprob": QuerySpec(
+        name="corpus_bigram_logprob",
+        fn=corpus_bigram_logprob,
+        oracle=BIGRAM_SQL,
+        survey="LLM-pipeline (conditional LM filter score — hashed "
+        "bigram model, the word-order-aware CCNet stand-in)",
+        doc="avg -log p(w|prev) per doc under corpus-trained hashed "
+        "bigram counts, add-alpha smoothed per context; model "
+        "broadcast-sized by construction, gram stream evaluated "
+        "exactly twice.",
+    ),
     "corpus_ccnet_buckets": QuerySpec(
         name="corpus_ccnet_buckets",
         fn=corpus_ccnet_buckets,

@@ -253,3 +253,43 @@ def test_ccnet_buckets_keep_null_lang_docs(spark):
     con.register("documents", pdf)
     oracle = {r[0]: (r[1], r[4]) for r in con.execute(CCNET_SQL).fetchall()}
     assert got == oracle
+
+
+# ---- conditional (bigram) LM score ----
+
+
+def test_bigram_logprob_penalizes_shuffled_word_order(spark):
+    """The discriminating property the unigram scorer CANNOT have:
+    identical token multiset, different order => different score, with
+    fluent (corpus-typical) order scoring lower perplexity. Train on
+    many copies of a fluent sentence plus one shuffled outlier."""
+    import pandas as pd
+    from radares_spark.operators.dsir import bigram_logprob, unigram_logprob
+
+    fluent = "the cat sat on the mat and the dog ran off"
+    shuffled = "mat the on dog cat the ran sat off and the"  # same words
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(21),
+            "text": [fluent] * 20 + [shuffled],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    bi = {r["doc_id"]: r["avg_neg_logprob"] for r in bigram_logprob(docs).collect()}
+    uni = {
+        r["doc_id"]: r["avg_neg_logprob"] for r in unigram_logprob(docs).collect()
+    }
+    # unigram: blind to order (same multiset => same score)
+    assert abs(uni[0] - uni[20]) < 1e-9
+    # bigram: the shuffled doc is strictly more surprising
+    assert bi[20] > bi[0] + 1.0
+
+
+def test_bigram_logprob_short_docs_keep_rows(spark):
+    import pandas as pd
+    from radares_spark.operators.dsir import bigram_logprob
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["one", "", None]})
+    rows = {r["doc_id"]: r for r in bigram_logprob(spark.createDataFrame(pdf)).collect()}
+    for d in (0, 1, 2):
+        assert rows[d]["n_bigrams"] == 0 and rows[d]["avg_neg_logprob"] == 0.0
