@@ -625,7 +625,9 @@ def emit_sequences(docs: DataFrame, ctx_len: int) -> DataFrame:
         )
         .withColumn(
             "n",
-            F.when(F.array_join("w", " ") == "", F.lit(0))
+            # split('') is ['']: empty iff exactly one empty element —
+            # O(1) per doc, not an O(len) array_join just to test it
+            F.when((F.size("w") == 1) & (F.get("w", 0) == ""), F.lit(0))
             .otherwise(F.size("w"))
             .cast("long"),
         )
