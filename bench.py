@@ -102,18 +102,15 @@ LIBRARY_PLANS = {
 
 
 def _late_library_plans():
-    # r4 library-tier heavies (not in REGISTRY; specs in plans/library.py)
+    # library-tier heavies (not in REGISTRY; specs in plans/library.py):
+    # resolve EVERY timed name that isn't driver-registered, so adding
+    # a query to EXTRA can never KeyError the run again
     from radares_spark.plans.library import ALL_LIBRARY_SPECS
 
     return {
         name: ALL_LIBRARY_SPECS[name].fn
-        for name in (
-            "dedup_semantic",
-            "text_dup_spans",
-            "corpus_dsir_select",
-            "text_dup_span_removal",
-            "corpus_weighted_sample",
-        )
+        for name in HEADLINE + EXTRA
+        if name not in REGISTRY and name in ALL_LIBRARY_SPECS
     }
 
 

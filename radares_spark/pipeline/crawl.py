@@ -1,0 +1,105 @@
+"""End-to-end crawl curation — the stage composition a user of this
+engine actually runs over raw crawl output, in the published order
+(CCNet/RefinedWeb/Dolma lineage), as ONE lazy plan:
+
+1. URL canonicalization + URL-level dedup (``operators/urls.py``) —
+   the cheapest identity, applied before any content byte is touched;
+2. HTML → text extraction (``operators/text_ext.py``) — markup
+   stripped, tag/link density kept as quality signals;
+3. PII scrubbing (``scrub_pii``) — redaction before anything
+   downstream persists text;
+4. per-domain quota (``domain_cap``, optional) — no site dominates;
+5. content curation (``pipeline/corpus.curate``) — quality gate,
+   language gate, exact dedup, verified near-dup dedup.
+
+Each stage only feeds SURVIVORS to the next (a URL-dup's HTML is
+never parsed, a quality-dropped page never reaches the LSH shuffle),
+and every input doc gets exactly one (doc_id, outcome) audit row
+naming the first stage that dropped it — the same audit-spine
+contract as ``curate`` and ``url_dedup_audit``.
+
+Scale notes: stages 1–3 are projections plus one canonical-URL
+shuffle; stage 4 is the WindowGroupLimit host shuffle; stage 5 is the
+curate() plan whose shapes are documented on their operators. Nothing
+here adds a new shuffle beyond its constituents — composition is
+plan-level, not materialize-and-reload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from radares_spark.operators.text_ext import extract_html_text, scrub_pii
+from radares_spark.operators.urls import domain_cap, url_dedup_audit
+from radares_spark.pipeline.corpus import curate
+
+OUT_KEPT = "kept"
+OUT_URL_DUP = "url_dup"
+OUT_DOMAIN_CAP = "domain_capped"
+
+
+def curate_crawl(
+    pages: DataFrame,
+    keep_langs: tuple[str, ...] = ("en",),
+    max_per_domain: int | None = None,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``pages`` = (doc_id, url, html). Returns ``(kept, audit)``:
+    kept = (doc_id, url, text) surviving docs with extracted, scrubbed
+    text; audit = (doc_id, outcome) for EVERY input page, outcome =
+    ``kept`` or the first stage that dropped it (``url_dup``,
+    ``domain_capped``, or a ``curate`` stage name)."""
+    url_audit = url_dedup_audit(pages, url_col="url")
+    url_kept = pages.join(
+        url_audit.filter(F.col("outcome") == OUT_KEPT).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    extracted = extract_html_text(url_kept, html_col="html").select(
+        "doc_id", "url", F.col("plain_text").alias("text"), "n_tags", "n_links"
+    )
+    scrubbed = scrub_pii(extracted, text_col="text").select(
+        "doc_id", "url", F.col("clean_text").alias("text")
+    )
+
+    if max_per_domain is not None:
+        capped_ids = domain_cap(
+            scrubbed,
+            max_per_domain,
+            quality=F.length("text"),
+            url_col="url",
+        ).select("doc_id")
+        domain_kept = scrubbed.join(capped_ids, "doc_id", "left_semi")
+    else:
+        domain_kept = scrubbed
+
+    curated, content_audit, _hot = curate(
+        domain_kept.select("doc_id", "text"),
+        keep_langs=keep_langs,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+    kept = domain_kept.join(
+        content_audit.filter(F.col("outcome") == OUT_KEPT).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # audit spine: first-dropping stage wins; every input page appears
+    dropped_url = url_audit.filter(F.col("outcome") != OUT_KEPT).select(
+        "doc_id", "outcome"
+    )
+    if max_per_domain is not None:
+        dropped_domain = (
+            scrubbed.join(capped_ids, "doc_id", "left_anti")
+            .select("doc_id", F.lit(OUT_DOMAIN_CAP).alias("outcome"))
+        )
+    else:
+        dropped_domain = None
+    audit = dropped_url.unionByName(content_audit)
+    if dropped_domain is not None:
+        audit = audit.unionByName(dropped_domain)
+    return kept, audit
