@@ -436,6 +436,48 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return counts.select("doc_id", simhash.alias("simhash"))
 
 
+def _adjacent_pair_sets(gsets: DataFrame) -> DataFrame:
+    """(pair, L, R) rows for adjacent-id doc pairs, L/R = struct(did,
+    g) with each side's gram set — pair formation WITHOUT a self-join
+    (r5): the join form shuffled gsets on doc_id+1 vs doc_id —
+    different keys, so zero ReusedExchange and the whole
+    gram+collect_set pipeline executed TWICE (plan showed 2 scans).
+    Collect-and-explode instead (the bucket_pairs trick): each doc's
+    set rides into pair doc_id as the left member and pair doc_id-1
+    as the right member, one aggregate picks both sides. Gram pipeline
+    evaluated ONCE; same bytes on the wire (the join also shuffled
+    both copies); measured 1.25x faster end-to-end at sf0.1,
+    bit-identical output."""
+    sides = gsets.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("pair"),
+                    F.lit(0).alias("side"),
+                    F.col("doc_id").alias("did"),
+                    F.col("gs").alias("g"),
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("pair"),
+                    F.lit(1).alias("side"),
+                    F.col("doc_id").alias("did"),
+                    F.col("gs").alias("g"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return (
+        sides.groupBy("pair")
+        .agg(
+            # exactly one row per (pair, side): max-of-struct just picks
+            # it (max skips the other side's NULLs)
+            F.max(F.when(F.col("side") == 0, F.struct(F.col("did"), F.col("g")))).alias("L"),
+            F.max(F.when(F.col("side") == 1, F.struct(F.col("did"), F.col("g")))).alias("R"),
+        )
+        .filter(F.col("L").isNotNull() & F.col("R").isNotNull())
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -469,14 +511,15 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     "Physical shape: per-doc gram SETS are built in ONE partial-"
     "aggregated shuffle (collect_set combines map-side, so the "
     "exchange carries per-doc partial sets, not the ~300x larger gram "
-    "rows), then candidate pairs join the 1-row-per-doc set table and "
-    "intersect arrays in place — two shuffles total vs five for the "
-    "gram-row equi-join form (distinct + join + count + two size "
-    "joins), measured 20% faster end-to-end. Right whenever a doc's "
-    "gram set fits a row (3-grams of normalized text: ~1 array element "
-    "per char); for pathological multi-MB docs fall back to the "
-    "(gram, partner)-keyed row join, which bounds per-key work "
-    "without a per-doc row-size requirement.",
+    "rows); pair formation is collect-and-explode (each set rides into "
+    "its two pairs, one aggregate picks both sides) rather than a "
+    "self-join, so the gram pipeline executes ONCE — the join form "
+    "shuffled on doc_id+1 vs doc_id, got zero ReusedExchange, and ran "
+    "the pipeline twice (r5 rewrite, 1.25x faster, bit-identical). "
+    "Right whenever a doc's gram set fits a row (3-grams of "
+    "normalized text: ~1 array element per char); for pathological "
+    "multi-MB docs fall back to the (gram, partner)-keyed row join, "
+    "which bounds per-key work without a per-doc row-size requirement.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -497,15 +540,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no .distinct(): collect_set dedups, and as an aggregate it
     # partial-combines before the one shuffle
     gsets = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
-    a = gsets.select(
-        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"), F.col("gs").alias("ga")
-    )
-    b = gsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
-    i = F.size(F.array_intersect("ga", "gb"))
-    return a.join(b, "doc_b").select(
-        "doc_a",
-        "doc_b",
-        F.round(i / (F.size("ga") + F.size("gb") - i).cast("double"), 6).alias("jaccard"),
+    pairs = _adjacent_pair_sets(gsets)
+    i = F.size(F.array_intersect(F.col("L.g"), F.col("R.g")))
+    return pairs.select(
+        F.col("L.did").alias("doc_a"),
+        F.col("R.did").alias("doc_b"),
+        F.round(
+            i / (F.size(F.col("L.g")) + F.size(F.col("R.g")) - i).cast("double"), 6
+        ).alias("jaccard"),
     )
 
 
@@ -874,16 +916,13 @@ def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.length("g") == 3)
     )
     gsets = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
-    a = gsets.select(
-        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"), F.col("gs").alias("ga")
-    )
-    b = gsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"))
-    i = F.size(F.array_intersect("ga", "gb"))
-    return a.join(b, "doc_b").select(
-        "doc_a",
-        "doc_b",
+    pairs = _adjacent_pair_sets(gsets)
+    i = F.size(F.array_intersect(F.col("L.g"), F.col("R.g")))
+    return pairs.select(
+        F.col("L.did").alias("doc_a"),
+        F.col("R.did").alias("doc_b"),
         F.round(
-            i / F.least(F.size("ga"), F.size("gb")).cast("double"), 6
+            i / F.least(F.size(F.col("L.g")), F.size(F.col("R.g"))).cast("double"), 6
         ).alias("containment"),
     )
 
