@@ -1,0 +1,109 @@
+"""Product quantization (operators/pq.py): codebook/code invariants,
+self-retrieval, above-chance recall on the (near-orthogonal) testdata
+embeddings, planted-near-dup retrieval, and determinism. Iterative
+k-means is not SQL-expressible, so like the IVF trainer the quality
+gate is recall, not a DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from radares_spark.functions.vectors import pair_dot
+from radares_spark.io.tables import load_table
+from radares_spark.operators.pq import PQ_K, PQ_M, SUB_DIM, encode_pq, pq_topk, train_pq
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def pq(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    cb = train_pq(emb, iters=3)
+    codes = encode_pq(emb, cb)
+    return emb, cb, codes
+
+
+def test_codebook_and_code_invariants(pq):
+    emb, cb, codes = pq
+    rows = cb.collect()
+    assert len(rows) == PQ_M * PQ_K  # empty cells must not vanish
+    assert all(len(r["cv"]) == SUB_DIM for r in rows)
+    c = codes.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("m").alias("m_lo"),
+        F.max("m").alias("m_hi"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    ).collect()[0]
+    assert c["n"] == emb.count()
+    assert c["m_lo"] == c["m_hi"] == PQ_M
+    assert 0 <= c["lo"] and c["hi"] < PQ_K
+
+
+def test_adc_self_retrieval_and_above_chance_recall(spark, pq):
+    emb, cb, codes = pq
+    queries = emb.filter(F.col("vec_id") < 8)
+    top = pq_topk(codes, cb, queries, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # a stored vector queried against the store must find itself
+    assert all(q in ns for q, ns in by_q.items())
+
+    v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    q = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("d"), F.asc("neighbor_id"))
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), pair_dot("v", "qv").alias("d"))
+        .withColumn("rn", F.row_number().over(rw))
+        .filter("rn <= 5")
+        .collect()
+    )
+    et = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    pt = {(r["query_id"], r["neighbor_id"]) for r in top}
+    recall = len(et & pt) / len(et)
+    # near-orthogonal random vectors are PQ's worst case; chance is
+    # 5/500 = 1%. Measured 25% with (M=4, K=16); floor set well below.
+    assert recall >= 0.15, recall
+
+
+def test_planted_near_dup_is_retrieved(spark, pq):
+    """A query that is a stored vector with small per-dim noise must
+    retrieve its source — the clustered-data case PQ exists for."""
+    emb, cb, codes = pq
+    noisy = emb.filter(F.col("vec_id").isin(3, 7, 11)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * 1.02 + 0.001,
+        ).alias("embedding"),
+    )
+    top = pq_topk(codes, cb, noisy, k=3).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"] - 10_000, set()).add(r["neighbor_id"])
+    assert all(src in ns for src, ns in by_q.items())
+
+
+def test_training_and_encoding_deterministic(spark, pq):
+    emb, cb, codes = pq
+    cb2 = train_pq(emb.repartition(7, "vec_id"), iters=3)
+    # centroid means are float aggregates: partial-agg order may differ
+    # across partitionings, so compare to 1e-9, not bit-for-bit
+    a = sorted((r["sub"], r["code"], tuple(r["cv"])) for r in cb.collect())
+    b = sorted((r["sub"], r["code"], tuple(r["cv"])) for r in cb2.collect())
+    assert [(s, c) for s, c, _ in a] == [(s, c) for s, c, _ in b]
+    for (_, _, va), (_, _, vb) in zip(a, b):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(va, vb))
+    codes2 = encode_pq(emb.repartition(5), cb2)
+    ca = sorted((r["vec_id"], tuple(r["codes"])) for r in codes.collect())
+    cb_ = sorted((r["vec_id"], tuple(r["codes"])) for r in codes2.collect())
+    assert ca == cb_
