@@ -186,3 +186,114 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_score")
     )
+
+
+def write_ivfpq_layout(
+    emb: DataFrame,
+    assignment: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    m: int = PQ_M,
+    max_records_per_file: int = 4_000_000,
+) -> None:
+    """IVF-PQ serving store: PQ codes partitioned by trained IVF cell
+    — the composition both families were built for. A row is
+    (vec_id, codes array<int>) under ``cell=<id>`` partitions, so a
+    probe (a) PARTITION-PRUNES to n_probe/n_cells of the files, like
+    the float IVF store, and (b) reads M-byte codes instead of 4·D
+    float bytes inside them — the two compressions multiply."""
+    from radares_spark.io.layout import write_layout
+
+    codes = encode_pq(emb, codebook, m)
+    write_layout(
+        codes.join(assignment, "vec_id"),
+        path,
+        partition_col="cell",
+        sort_col="vec_id",
+        max_records_per_file=max_records_per_file,
+    )
+
+
+def probe_ivfpq_topk(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 2,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """ADC top-k against a :func:`write_ivfpq_layout` store: queries
+    route to their n_probe nearest IVF cells (broadcast centroids),
+    the store scan partition-prunes to those cells, and scoring is the
+    same M-lookup codegen'd ADC as :func:`pq_topk` — per-probe I/O is
+    (n_probe/n_cells) x (M bytes per vector).
+
+    ``queries`` here carries (vec_id, embedding, v, nrm) as produced
+    by the similarity loaders; ``centroids`` is build_ivf_index's
+    (cell, cv, cn)."""
+    from radares_spark.functions.vectors import dot
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qcos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", qcos.alias("qc"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    # per-(query, cell) ADC tables — same fold as pq_topk, built from
+    # the probe rows' query subvectors
+    qsub = probes.select(
+        "query_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("qv"),
+    ).select(
+        "query_id",
+        "cell",
+        "sub",
+        F.slice(F.col("qv"), F.col("sub") * SUB_DIM + 1, F.lit(SUB_DIM)).alias("sv"),
+    )
+    qdot = sum(
+        F.element_at(F.col("sv"), i + 1) * F.element_at(F.col("cv"), i + 1)
+        for i in range(SUB_DIM)
+    )
+    table = (
+        qsub.join(F.broadcast(codebook), "sub")
+        .select("query_id", "cell", "sub", "code", qdot.alias("t"))
+        .groupBy("query_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "t"))),
+                lambda s: s.t,
+            ).alias("tarr")
+        )
+    )
+    stored = spark.read.parquet(path)
+    score = sum(
+        F.element_at(
+            F.col("tarr"),
+            (F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        )
+        for s in range(m)
+    )
+    scored = stored.join(F.broadcast(table), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(score, 6).alias("adc_score"),
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_score")
+    )

@@ -107,3 +107,33 @@ def test_training_and_encoding_deterministic(spark, pq):
     ca = sorted((r["vec_id"], tuple(r["codes"])) for r in codes.collect())
     cb_ = sorted((r["vec_id"], tuple(r["codes"])) for r in codes2.collect())
     assert ca == cb_
+
+
+def test_ivfpq_store_probe_prunes_partitions_and_retrieves_self(spark, pq, tmp_path):
+    from radares_spark.operators.pq import probe_ivfpq_topk, write_ivfpq_layout
+    from radares_spark.operators.similarity import _normed, build_ivf_index
+
+    emb, cb, codes = pq
+    normed = _normed(spark, SF_ORACLE)
+    assignment, centroids = build_ivf_index(normed)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_layout(
+        normed.select("vec_id", F.col("v").alias("embedding")), assignment, cb, path
+    )
+    queries = normed.filter(F.col("vec_id") < 8)
+    top = probe_ivfpq_topk(spark, path, centroids, cb, queries)
+    rows = top.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # a stored vector routes to its own cell and finds itself there
+    assert all(q in ns for q, ns in by_q.items())
+    # the probe's cell keys must reach the scan as dynamic PARTITION
+    # pruning — unprobed cells' files are never read
+    plan = (
+        probe_ivfpq_topk(spark, path, centroids, cb, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan
