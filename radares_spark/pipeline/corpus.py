@@ -739,6 +739,77 @@ def corpus_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emit_sequences(docs, PACK_CTX)
 
 
+def corpus_health_report(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source operational health — the one-query audit an operator
+    runs before/after every intake (the corpus twin of the reference's
+    verify_dates completeness audit): doc and token volumes, NULL-text
+    count, within-source exact-duplicate surplus, quality-gate pass
+    rate, and English share.
+
+    Shape: the per-doc features reuse the curation stages' own
+    expressions (same gate semantics as ``curate``), joined on the doc
+    spine, then ONE aggregate on the source key. The dup surplus is
+    ``count(*) - count(distinct content-hash)`` — no self-join.
+    """
+    quality = _quality_pass(docs)
+    lang = lang_id_per_doc(docs)
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    base = docs.select(
+        "doc_id",
+        source_col,
+        F.when(F.col("text").isNull(), 1).otherwise(0).alias("is_null"),
+        F.size(F.split(norm, " ")).cast("long").alias("ntok"),
+        _md5(norm).alias("th"),
+    )
+    perdoc = base.join(quality, "doc_id").join(lang, "doc_id")
+    return perdoc.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.sum("is_null").alias("n_null_text"),
+        (F.count(F.lit(1)) - F.count_distinct("th")).alias("n_exact_dup_extra"),
+        F.round(F.avg(F.col("quality_pass").cast("int")), 6).alias("quality_rate"),
+        F.round(F.avg((F.col("pred_lang") == "en").cast("int")), 6).alias("en_rate"),
+    )
+
+
+HEALTH_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source, text, {_NORM_COALESCED} AS t FROM documents
+    ),
+    quality AS (
+        SELECT doc_id,
+               (len(string_split(t, ' ')) >= 20
+                AND len(list_filter(string_split(t, ' '),
+                                    x -> list_contains({{stop}}, x)))
+                    / len(string_split(t, ' '))::DOUBLE BETWEEN 0.01 AND 0.6
+                AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                    / length(text)::DOUBLE < 0.1) AS quality_pass
+        FROM base
+    ),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM base),
+    lhits AS (
+        SELECT doc_id,
+{{lang_hits}}
+        FROM tok
+    ),
+    lang AS (SELECT doc_id, {{lang_pick}} AS pred_lang FROM lhits)
+    SELECT b.source,
+           count(*) AS n_docs,
+           sum(len(string_split(b.t, ' ')))::BIGINT AS n_tokens,
+           sum(CASE WHEN b.text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,
+           (count(*) - count(DISTINCT md5(b.t)))::BIGINT AS n_exact_dup_extra,
+           round(avg(CASE WHEN q.quality_pass THEN 1 ELSE 0 END), 6) AS quality_rate,
+           round(avg(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END), 6) AS en_rate
+    FROM base b JOIN quality q USING (doc_id) JOIN lang l USING (doc_id)
+    GROUP BY b.source
+"""
+
+
+def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return corpus_health_report(docs)
+
+
 def temperature_rates(
     docs: DataFrame,
     temperature: float,
@@ -923,6 +994,20 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "boundaries, reassembled per seq_id. Each doc explodes into "
         "only the sequences it touches; per-task work bounded by "
         "ctx_len x docs-per-sequence.",
+    ),
+    "corpus_health_report": QuerySpec(
+        name="corpus_health_report",
+        fn=corpus_health,
+        oracle=HEALTH_SQL.format(
+            stop=repr(text_ops.EN_STOPWORDS),
+            lang_hits=_LANG_SQL_HITS,
+            lang_pick=_LANG_SQL_PICK,
+        ),
+        survey="ops diagnostic (per-source corpus health: volumes, "
+        "NULL-text, dup surplus, quality/lang rates)",
+        doc="One aggregate on the source key over per-doc features "
+        "reusing the curation gates' own expressions; dup surplus is "
+        "count minus distinct content hashes — no self-join.",
     ),
     "corpus_temperature_rates": QuerySpec(
         name="corpus_temperature_rates",

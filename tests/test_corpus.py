@@ -294,3 +294,34 @@ def test_weighted_sample_deterministic_across_partitionings(spark):
     ra = sorted(map(tuple, weighted_sample(a, F.col("w"), 50).collect()))
     rb = sorted(map(tuple, weighted_sample(b, F.col("w"), 50).collect()))
     assert ra == rb
+
+
+def test_corpus_health_report_planted(spark):
+    """Dup surplus, NULL-text count, and rates over a planted frame
+    (DuckDB parity runs in the library sweep)."""
+    import pandas as pd
+    from radares_spark.pipeline.corpus import corpus_health_report
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain every single day indeed"
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "source": ["a", "a", "a", "a", "b", "b"],
+            "text": [good, good, good + " extra", "short one", None, good],
+        }
+    )
+    rows = {
+        r["source"]: r
+        for r in corpus_health_report(spark.createDataFrame(pdf)).collect()
+    }
+    a, b = rows["a"], rows["b"]
+    assert a["n_docs"] == 4
+    # docs 0 and 1 are identical content: one surplus duplicate
+    assert a["n_exact_dup_extra"] == 1
+    assert a["n_null_text"] == 0 and b["n_null_text"] == 1
+    # 3 of 4 'a' docs pass the quality gate (the short one fails)
+    assert a["quality_rate"] == 0.75
+    assert b["n_docs"] == 2 and b["n_exact_dup_extra"] == 0
