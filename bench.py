@@ -91,6 +91,8 @@ EXTRA = [
     "text_dup_span_removal",  # r5: substring-dedup transform stage
     "corpus_weighted_sample",  # r5: Efraimidis-Spirakis draw
     "corpus_pack_emit",  # r5: packed-sequence materialization
+    "corpus_bigram_logprob",  # r5: conditional LM score
+    "text_longest_dup_span",  # r5: span-length threshold signal
 ]
 
 LIBRARY_PLANS = {

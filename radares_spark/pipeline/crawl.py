@@ -103,3 +103,111 @@ def curate_crawl(
     if dropped_domain is not None:
         audit = audit.unionByName(dropped_domain)
     return kept, audit
+
+
+# --- Oracle-checked end-to-end pipeline audit ------------------------------
+
+# the URL must be a pure function of the PAGE id (doc_id // 2), not of
+# any per-doc column — otherwise the paired docs' canonical URLs differ
+# and the URL stage never fires
+_SYNTH_PAGE_URL_SQL = (
+    "'https://WWW.s' || ((doc_id // 2) % 7)::VARCHAR"
+    " || '.Example.com:443/page/' || (doc_id // 2)::VARCHAR"
+    " || '/?utm_source=x&b=2&a=1'"
+)
+_HTML_PRE = "<html><head><style>p{color:red}</style></head><body><p>"
+_HTML_POST = "</p> <a href=x>x</a></body></html>"
+
+
+def crawl_pipeline_audit(spark, sf_dir: str) -> DataFrame:
+    """The whole crawl pipeline as ONE oracle-checked query: documents
+    wrapped into synthetic pages (markup + tracking-parameter URLs
+    where every id pair shares a canonical URL, so the URL stage
+    actually drops half the crawl), then ``curate_crawl`` end to end.
+    Output = (doc_id, outcome) for every page."""
+    from pyspark.sql import functions as F
+
+    from radares_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    page = F.floor(F.col("doc_id") / 2).cast("long")
+    url = F.concat(
+        F.lit("https://WWW.s"),
+        (page % 7).cast("string"),
+        F.lit(".Example.com:443/page/"),
+        page.cast("string"),
+        F.lit("/?utm_source=x&b=2&a=1"),
+    )
+    pages = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.concat(
+            F.lit(_HTML_PRE), F.coalesce(F.col("text"), F.lit("")), F.lit(_HTML_POST)
+        ).alias("html"),
+    )
+    _, audit = curate_crawl(pages)
+    return audit
+
+
+def _pipeline_audit_sql() -> str:
+    from radares_spark.operators.text_ext import html_extract_sql, pii_scrub_sql
+    from radares_spark.operators.urls import canonical_url_sql
+    from radares_spark.pipeline.corpus import CURATION_SQL
+
+    curation = CURATION_SQL.replace("FROM documents", "FROM pipeline_docs")
+    assert "pipeline_docs" in curation
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return f"""
+    WITH src AS (
+        SELECT doc_id,
+               {_SYNTH_PAGE_URL_SQL} AS url,
+               '{pre}' || coalesce(text, '') || '{post}' AS html
+        FROM documents
+    ),
+    canon AS ({canonical_url_sql("src")}),
+    url_keeper AS (
+        SELECT canonical_url, min(doc_id) AS keep_id
+        FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1
+    ),
+    url_kept AS (
+        SELECT c.doc_id, c.url, c.html
+        FROM canon c JOIN url_keeper k
+          ON c.canonical_url = k.canonical_url AND c.doc_id = k.keep_id
+        UNION ALL
+        SELECT doc_id, url, html FROM canon WHERE canonical_url IS NULL
+    ),
+    ext AS ({html_extract_sql("url_kept")}),
+    scrub AS ({pii_scrub_sql("ext", "plain_text")}),
+    pipeline_docs AS (SELECT doc_id, clean_text AS text FROM scrub),
+    content AS (SELECT * FROM ({curation}) t)
+    SELECT doc_id, outcome FROM content
+    UNION ALL
+    SELECT c.doc_id, 'url_dup' AS outcome
+    FROM canon c JOIN url_keeper k ON c.canonical_url = k.canonical_url
+    WHERE c.doc_id <> k.keep_id
+"""
+
+
+def _specs():
+    from radares_spark.registry import QuerySpec
+
+    return {
+        "crawl_pipeline_audit": QuerySpec(
+            name="crawl_pipeline_audit",
+            fn=crawl_pipeline_audit,
+            oracle=_pipeline_audit_sql(),
+            survey="LLM-pipeline (END-TO-END crawl curation, "
+            "oracle-checked: URL dedup -> HTML extract -> PII scrub "
+            "-> quality -> lang -> exact -> verified near-dup)",
+            doc="The full curate_crawl composition value-checked as one "
+            "query: synthetic pages with markup + tracking URLs where "
+            "every id pair shares a canonical URL (the URL stage drops "
+            "half the crawl before any byte of HTML is parsed); the "
+            "oracle replays canonicalization, extraction, scrubbing, "
+            "and the entire curation chain in SQL.",
+        )
+    }
+
+
+LIBRARY_SPECS = _specs()

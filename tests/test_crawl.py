@@ -95,3 +95,21 @@ def test_pii_scrubbed_and_markup_stripped_before_keeping(crawl_result):
         assert "<EMAIL>" in t and "a@b.co" not in t
     assert "<p>" not in kept[0]["text"] and "style" not in kept[0]["text"]
     assert kept[0]["text"].startswith("the quick brown fox")
+
+
+def test_pipeline_audit_outcome_distribution(spark):
+    """The e2e spec must exercise every stage: the paired synthetic
+    URLs drop exactly half the crawl as url_dup, and the content
+    stages classify the survivors (DuckDB parity runs in the library
+    sweep)."""
+    from collections import Counter
+
+    from radares_spark.pipeline.crawl import crawl_pipeline_audit
+    from tests.conftest import SF_ORACLE
+
+    audit = crawl_pipeline_audit(spark, SF_ORACLE).collect()
+    c = Counter(r["outcome"] for r in audit)
+    assert sum(c.values()) == 500
+    assert c["url_dup"] == 250  # every id pair shares a canonical URL
+    assert c["kept"] > 0
+    assert set(c) <= {"url_dup", "kept", "quality", "lang", "exact_dup", "near_dup"}
