@@ -133,3 +133,81 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "pure projection, 4x smaller serving layout.",
     ),
 }
+
+
+def embedding_store_health(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row health audit of an embedding store — the vector twin of
+    ``corpus_health_report``, run before building/serving any index:
+    row count, dimension violations, NULL vectors, zero-norm vectors
+    (cosine is undefined on them — they poison every scorer), and the
+    norm distribution (min/avg/max rounded). One aggregate, zero
+    shuffles beyond it."""
+    v = F.col(vec_col)
+    nrm2 = None
+    for i in range(DIM):
+        t = F.coalesce(F.element_at(v, i + 1).cast("double"), F.lit(0.0)) ** 2
+        nrm2 = t if nrm2 is None else nrm2 + t
+    nrm = F.sqrt(nrm2)
+    feat = emb.select(
+        F.when(v.isNull(), 1).otherwise(0).alias("is_null"),
+        F.when(v.isNotNull() & (F.size(v) != DIM), 1).otherwise(0).alias("bad_dim"),
+        F.when(v.isNotNull() & (F.size(v) == DIM) & (nrm == 0.0), 1)
+        .otherwise(0)
+        .alias("is_zero"),
+        F.when(v.isNotNull() & (F.size(v) == DIM), nrm).alias("nrm"),
+    )
+    return feat.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("is_null").alias("n_null"),
+        F.sum("bad_dim").alias("n_bad_dim"),
+        F.sum("is_zero").alias("n_zero_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+_NRM_SQL = (
+    "sqrt(list_reduce(list_transform(embedding, x -> coalesce(x::DOUBLE, 0) "
+    "* coalesce(x::DOUBLE, 0)), (a, b) -> a + b))"
+)
+
+EMB_HEALTH_SQL = f"""
+    WITH feat AS (
+        SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+               CASE WHEN embedding IS NOT NULL AND len(embedding) <> {DIM}
+                    THEN 1 ELSE 0 END AS bad_dim,
+               CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                         AND {_NRM_SQL} = 0 THEN 1 ELSE 0 END AS is_zero,
+               CASE WHEN embedding IS NOT NULL AND len(embedding) = {DIM}
+                    THEN {_NRM_SQL} END AS nrm
+        FROM embeddings
+    )
+    SELECT count(*) AS n_vectors,
+           sum(is_null)::BIGINT AS n_null,
+           sum(bad_dim)::BIGINT AS n_bad_dim,
+           sum(is_zero)::BIGINT AS n_zero_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(avg(nrm), 6) AS avg_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM feat
+"""
+
+
+def _emb_health_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radares_spark.io.tables import load_table
+
+    return embedding_store_health(
+        load_table(spark, sf_dir, "embeddings").select("embedding")
+    )
+
+
+LIBRARY_SPECS["embedding_store_health"] = QuerySpec(
+    name="embedding_store_health",
+    fn=_emb_health_query,
+    oracle=EMB_HEALTH_SQL,
+    survey="ops diagnostic (embedding store health: NULL/dim/"
+    "zero-norm violations + norm distribution)",
+    doc="One-row audit before building/serving any index; one "
+    "aggregate, codegen'd norm terms.",
+)

@@ -70,3 +70,25 @@ def test_amax_alias_stays_staged(spark):
     # pure projection: no hash shuffle (spread()'s round-robin
     # repartition for scan fan-out is the only exchange)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_embedding_store_health_flags_planted_pathologies(spark):
+    """NULL vector, wrong dimension, and zero-norm vector each counted
+    once; healthy vectors set the norm stats (DuckDB parity runs in
+    the library sweep)."""
+    from radares_spark.functions.vectors import DIM
+    from radares_spark.operators.quantize import embedding_store_health
+
+    rows = [
+        (0, [1.0] * DIM),
+        (1, [2.0] * DIM),
+        (2, None),
+        (3, [1.0] * (DIM - 1)),
+        (4, [0.0] * DIM),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_store_health(emb).collect()[0]
+    assert r["n_vectors"] == 5
+    assert r["n_null"] == 1 and r["n_bad_dim"] == 1 and r["n_zero_norm"] == 1
+    assert r["min_norm"] == 0.0  # the zero vector
+    assert r["max_norm"] == round((4.0 * DIM) ** 0.5, 6)
