@@ -82,3 +82,66 @@ def canonical_near_dup_drops(pairs: DataFrame) -> DataFrame:
     return cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 15,
+    damping: float = 0.85,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = "n_links",
+) -> DataFrame:
+    """(node, rank) — weighted PageRank over an edge table (e.g. the
+    host link graph from ``urls.outlink_host_graph``), the standard
+    crawl-prioritization signal.
+
+    Power iteration as DataFrame ops: per round, one equi-join of the
+    edge list against the rank table (contribution = rank x
+    weight/out-weight), one sum-per-destination aggregate, plus the
+    damping/teleport terms. Dangling nodes' mass is redistributed
+    uniformly each round (the standard stochastic-matrix fix) — its
+    total is the ONE scalar collected per round, same budget as
+    ``connected_components``' convergence counter. localCheckpoint per
+    round truncates the iterative lineage.
+
+    Ranks sum to 1 (up to float error) every round by construction.
+    """
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+    )
+    n = nodes.count()
+    out_w = e.groupBy("u").agg(F.sum("w").alias("ow"))
+    ranks = nodes.select("u", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        # mass sitting on nodes with no out-edges
+        dangling = (
+            ranks.join(out_w, "u", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(out_w, "u")
+            .join(ranks, "u")
+            .select("v", (F.col("rank") * F.col("w") / F.col("ow")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("v", "u"), "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("node"), F.round("rank", 9).alias("rank"))

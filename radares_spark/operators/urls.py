@@ -282,3 +282,44 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "host shuffle, not 100M.",
     ),
 }
+
+
+LINK_RE = '(?i)<a [^>]*href="([^"]*)"'
+
+
+def extract_links(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, link) — one row per double-quoted <a href> in the
+    page, document order preserved by the generator. The crawl
+    frontier's raw edge stream; pure projection + explode, no
+    shuffle."""
+    return df.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(LINK_RE), 1)).alias(
+            "link"
+        ),
+    )
+
+
+def outlink_host_graph(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level link graph a
+    crawl frontier / PageRank pass consumes: links extracted, both
+    endpoints canonicalized with the SAME rules as URL dedup, one
+    count aggregate on the edge key. Self-loops kept (they carry
+    real rank mass); links whose host doesn't parse are dropped."""
+    links = extract_links(df.select("doc_id", "url", html_col), html_col)
+    src = with_canonical_url(
+        links.join(df.select("doc_id", "url"), "doc_id"), "url"
+    ).select("doc_id", F.col("url_host").alias("src_host"), "link")
+    dst = with_canonical_url(src, "link", out_col="__c").select(
+        "src_host", F.col("url_host").alias("dst_host")
+    )
+    return (
+        dst.filter(
+            F.col("src_host").isNotNull()
+            & (F.col("src_host") != "")
+            & F.col("dst_host").isNotNull()
+            & (F.col("dst_host") != "")
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
