@@ -472,16 +472,23 @@ def bigram_logprob(
     Model = pair-bucket counts keyed by (context bucket, bigram
     bucket), <= min(distinct bigrams, n_buckets^2) rows — broadcast-
     sized by construction. Context totals derive from the ALREADY
-    AGGREGATED pair counts (a tiny rollup), so the gram stream is
-    evaluated exactly twice (one counting aggregate, one scoring
-    join) — the same budget as the unigram scorer; KenLM's Kneser-Ney
-    backoff is an external model, not shipped (same waiver as the
-    unigram stand-in).
+    AGGREGATED pair counts (a tiny rollup). The hashed gram stream has
+    two inherently sequential consumers (counts must complete before
+    scoring can read the model), so it is PINNED once
+    (localCheckpoint, the admission-audit precedent) rather than
+    re-running the tokenize+md5 pipeline per consumer — the pin is
+    (doc_id, b1, b2) longs, far smaller than the text it replaces;
+    KenLM's Kneser-Ney backoff is an external model, not shipped
+    (same waiver as the unigram stand-in).
     """
-    rows = shingle_rows(docs.select("doc_id", "text"), n=2).select(
-        "doc_id",
-        _bucket(F.substring_index(F.col("shingle"), " ", 1)).alias("b1"),
-        _bucket(F.col("shingle")).alias("b2"),
+    rows = (
+        shingle_rows(docs.select("doc_id", "text"), n=2)
+        .select(
+            "doc_id",
+            _bucket(F.substring_index(F.col("shingle"), " ", 1)).alias("b1"),
+            _bucket(F.col("shingle")).alias("b2"),
+        )
+        .localCheckpoint(eager=True)
     )
     c2 = rows.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("b1").agg(F.sum("c2").alias("c1"))
