@@ -739,6 +739,99 @@ def corpus_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emit_sequences(docs, PACK_CTX)
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int, overlap: int = 0
+) -> DataFrame:
+    """Overlapping fixed-size chunking — the retrieval-side sibling of
+    :func:`pack_sequences` (training packs docs ACROSS boundaries; a
+    RAG/embedding index chunks WITHIN each doc, with overlap so no
+    answer span straddles a cut unseen).
+
+    Chunk k of a doc covers tokens [k*stride+1, k*stride+chunk_tokens]
+    with stride = chunk_tokens - overlap; the last chunk may be short;
+    empty docs yield no chunks. Returns (doc_id, chunk_id,
+    n_chunk_tokens, chunk_text).
+
+    Scale shape: per-doc arithmetic only — each doc explodes into its
+    own chunk count (1 + (n-overlap-1)//stride rows) and slices its
+    already-split token array; zero shuffles, no window, no join. The
+    inflation factor is chunk/(chunk-overlap), bounded by the overlap
+    policy, never quadratic.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    toks = docs.select(
+        "doc_id", F.split(norm, " ").alias("w")
+    ).withColumn(
+        "n",
+        F.when((F.size("w") == 1) & (F.get("w", 0) == ""), F.lit(0))
+        .otherwise(F.size("w"))
+        .cast("long"),
+    )
+    chunks = toks.filter(F.col("n") > 0).select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.greatest(F.col("n") - overlap, F.lit(1)) - 1) / stride),
+            )
+        ).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("w"),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        F.lit(chunk_tokens),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+CHUNK_TOKENS = 48
+CHUNK_OVERLAP = 8
+
+CHUNK_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS n
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, w, n, k AS chunk_id
+        FROM sized,
+             LATERAL unnest(generate_series(0,
+                 (greatest(n - {CHUNK_OVERLAP}, 1) - 1)
+                     // {CHUNK_TOKENS - CHUNK_OVERLAP})) AS t(k)
+        WHERE n > 0
+    )
+    SELECT doc_id, chunk_id,
+           len(w[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                 chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}])::BIGINT
+               AS n_chunk_tokens,
+           array_to_string(w[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                             chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}],
+                           ' ') AS chunk_text
+    FROM chunks
+"""
+
+
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
 def corpus_health_report(docs: DataFrame, source_col: str = "source") -> DataFrame:
     """Per-source operational health — the one-query audit an operator
     runs before/after every intake (the corpus twin of the reference's
@@ -994,6 +1087,16 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "boundaries, reassembled per seq_id. Each doc explodes into "
         "only the sequences it touches; per-task work bounded by "
         "ctx_len x docs-per-sequence.",
+    ),
+    "corpus_chunks": QuerySpec(
+        name="corpus_chunks",
+        fn=corpus_chunks,
+        oracle=CHUNK_SQL,
+        survey="LLM-pipeline (overlapping document chunking for "
+        "retrieval/embedding indexes)",
+        doc=f"{CHUNK_TOKENS}-token chunks with {CHUNK_OVERLAP}-token "
+        "overlap; per-doc arithmetic only — zero shuffles, inflation "
+        "bounded by chunk/(chunk-overlap).",
     ),
     "corpus_health_report": QuerySpec(
         name="corpus_health_report",

@@ -146,3 +146,42 @@ def test_emit_sequences_matches_manifest(spark):
         r["seq_id"]: r["n_docs"] for r in emit_sequences(docs, ctx).collect()
     }
     assert got == dict(expect)
+
+
+# ---- retrieval-side overlapping chunking ----
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """Chunks tile the doc with the configured overlap; last chunk may
+    be short; short docs yield one chunk; empty docs none (DuckDB
+    parity runs in the library sweep)."""
+    import pandas as pd
+    import pytest
+    from radares_spark.pipeline.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [words, "a b c", None]}
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(spark.createDataFrame(pdf), 10, 2).collect()
+    )
+    d0 = [r for r in rows if r[0] == 0]
+    # 25 tokens, chunk 10, stride 8 -> starts at 0,8,16 (start 24 < 25 would
+    # need (25-2-1)//8 = 2 -> chunk ids 0..2)
+    assert [r[1] for r in d0] == [0, 1, 2]
+    assert [r[2] for r in d0] == [10, 10, 9]
+    # overlap: chunk 1 begins with the last 2 tokens of chunk 0
+    assert d0[1][3].split()[:2] == d0[0][3].split()[-2:]
+    # reconstruction: stride-deduped concatenation equals the doc
+    recon = d0[0][3].split() + [
+        w for r in d0[1:] for w in r[3].split()[2:]
+    ]
+    assert recon == words.split()
+    d1 = [r for r in rows if r[0] == 1]
+    assert len(d1) == 1 and d1[0][2] == 3 and d1[0][3] == "a b c"
+    assert not [r for r in rows if r[0] == 2]
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark.createDataFrame(pdf), 10, 10)
