@@ -107,16 +107,35 @@ def pagerank(
 
     Ranks sum to 1 (up to float error) every round by construction.
     """
-    e = edges.select(
+    # zero/negative-weight edges carry no mass: dropping them up front
+    # makes a node whose out-edges all weigh 0 correctly DANGLING
+    # (keeping them left it in out_w with ow=0, whose rank*w/ow inflow
+    # was NULL and silently leaked its mass — review finding). Nodes
+    # stay in the node set either way via the pre-filter endpoints.
+    raw = edges.select(
         F.col(src).alias("u"),
         F.col(dst).alias("v"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
     )
+    # pin once: e/out_w/nodes are consumed 2x PER ITERATION (dangling
+    # scalar + rank rebuild); without the pin the entire upstream edge
+    # pipeline (e.g. link extraction + canonicalization) re-executes
+    # ~2*iters times (review finding)
     nodes = (
-        e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+        raw.select("u")
+        .unionByName(raw.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_w = e.groupBy("u").agg(F.sum("w").alias("ow"))
+    if n == 0:
+        # empty edge table (a crawl batch with no parseable outlinks):
+        # an empty result, not a ZeroDivisionError at plan build
+        return nodes.select(
+            F.col("u").alias("node"), F.lit(0.0).alias("rank")
+        )
+    e = raw.filter(F.col("w") > 0).localCheckpoint(eager=True)
+    out_w = e.groupBy("u").agg(F.sum("w").alias("ow")).localCheckpoint(eager=True)
     ranks = nodes.select("u", F.lit(1.0 / n).alias("rank")).localCheckpoint(
         eager=True
     )

@@ -436,6 +436,29 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return counts.select("doc_id", simhash.alias("simhash"))
 
 
+def _char3_gram_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, gs) per-doc char-3-gram SETS — the shared front end of
+    the Jaccard and containment pair verifiers (one partial-aggregated
+    collect_set shuffle; positions-only generator + substring above it,
+    the CollapseProject trap). Factored so a fix to the gram shape can
+    never silently diverge between the two verifiers (review finding).
+    """
+    t = normalize_text(F.col("text"))
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1)))).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
+        .filter(F.length("g") == 3)
+    )
+    # no .distinct(): collect_set dedups, and as an aggregate it
+    # partial-combines before the one shuffle
+    return grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
+
+
 def _adjacent_pair_sets(gsets: DataFrame) -> DataFrame:
     """(pair, L, R) rows for adjacent-id doc pairs, L/R = struct(did,
     g) with each side's gram set — pair formation WITHOUT a self-join
@@ -523,24 +546,7 @@ def _adjacent_pair_sets(gsets: DataFrame) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    t = normalize_text(F.col("text"))
-    # positions-only generator + slice above it (same CollapseProject
-    # trap as shingle_rows: a slice inside the transform re-evaluates
-    # the normalize chain per element)
-    grams = (
-        docs.select("doc_id", t.alias("t"))
-        .select(
-            "doc_id",
-            "t",
-            F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1)))).alias("i"),
-        )
-        .select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
-        .filter(F.length("g") == 3)
-    )
-    # no .distinct(): collect_set dedups, and as an aggregate it
-    # partial-combines before the one shuffle
-    gsets = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
-    pairs = _adjacent_pair_sets(gsets)
+    pairs = _adjacent_pair_sets(_char3_gram_sets(docs))
     i = F.size(F.array_intersect(F.col("L.g"), F.col("R.g")))
     return pairs.select(
         F.col("L.did").alias("doc_a"),
@@ -904,19 +910,7 @@ def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
     adjacent-id pairs here so the oracle can check the arithmetic — in
     production the pairs come from ``dedup_minhash_pairs``.
     """
-    t = normalize_text(F.col("text"))
-    grams = (
-        docs.select("doc_id", t.alias("t"))
-        .select(
-            "doc_id",
-            "t",
-            F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1)))).alias("i"),
-        )
-        .select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
-        .filter(F.length("g") == 3)
-    )
-    gsets = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
-    pairs = _adjacent_pair_sets(gsets)
+    pairs = _adjacent_pair_sets(_char3_gram_sets(docs))
     i = F.size(F.array_intersect(F.col("L.g"), F.col("R.g")))
     return pairs.select(
         F.col("L.did").alias("doc_a"),

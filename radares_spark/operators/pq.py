@@ -66,13 +66,15 @@ def _sub_rows(emb: DataFrame, m: int = PQ_M, vec_col: str = "embedding") -> Data
     )
 
 
-def _l2sq(a: str, b: str) -> F.Column:
-    """Squared L2 between two equal-length arrays, unrolled per
-    dimension (lambda HOFs are interpreted per element; unrolled terms
-    stay in whole-stage codegen)."""
+def _l2sq(a: str, b: str, d: int) -> F.Column:
+    """Squared L2 between two d-length arrays, unrolled per dimension
+    (lambda HOFs are interpreted per element; unrolled terms stay in
+    whole-stage codegen). d MUST match the caller's m (DIM // m) — a
+    hard-coded module constant here silently produced NULL distances
+    for any m != PQ_M (review finding)."""
     return sum(
         (F.element_at(F.col(a), i + 1) - F.element_at(F.col(b), i + 1)) ** 2
-        for i in range(SUB_DIM)
+        for i in range(d)
     )
 
 
@@ -80,6 +82,7 @@ def train_pq(
     emb: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = 3
 ) -> DataFrame:
     """Codebook (sub, code, cv array<double>) — M x K rows."""
+    d = DIM // m
     rows = _sub_rows(emb, m)
     seeds = (
         rows.withColumn("h", F.md5(F.concat_ws(":", "sub", "vec_id")))
@@ -93,7 +96,7 @@ def train_pq(
     for _ in range(iters):
         assigned = (
             rows.join(F.broadcast(codebook), "sub")
-            .select("vec_id", "sub", "sv", "code", _l2sq("sv", "cv").alias("d2"))
+            .select("vec_id", "sub", "sv", "code", _l2sq("sv", "cv", d).alias("d2"))
             .withColumn("rn", F.row_number().over(assign_w))
             .filter(F.col("rn") == 1)
         )
@@ -122,11 +125,12 @@ def train_pq(
 def encode_pq(emb: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
     """(vec_id, codes array<int>) — M codes per vector; ~M bytes vs
     4·D float bytes, the PQ compression itself."""
+    d = DIM // m
     rows = _sub_rows(emb, m)
     assign_w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     best = (
         rows.join(F.broadcast(codebook), "sub")
-        .select("vec_id", "sub", "code", _l2sq("sv", "cv").alias("d2"))
+        .select("vec_id", "sub", "code", _l2sq("sv", "cv", d).alias("d2"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
     )
@@ -152,10 +156,11 @@ def pq_topk(
     The per-query lookup table is folded into ONE array (index
     sub*K + code) and broadcast; scoring is M element_at lookups per
     corpus row — codegen'd, no Python, corpus scanned in place."""
+    d = DIM // m
     qrows = _sub_rows(queries, m).withColumnRenamed("vec_id", "query_id")
     qdot = sum(
         F.element_at(F.col("sv"), i + 1) * F.element_at(F.col("cv"), i + 1)
-        for i in range(SUB_DIM)
+        for i in range(d)
     )
     table = (
         qrows.join(F.broadcast(codebook), "sub")
@@ -236,6 +241,7 @@ def probe_ivfpq_topk(
     (cell, cv, cn)."""
     from radares_spark.functions.vectors import dot
 
+    d = DIM // m
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -261,11 +267,11 @@ def probe_ivfpq_topk(
         "query_id",
         "cell",
         "sub",
-        F.slice(F.col("qv"), F.col("sub") * SUB_DIM + 1, F.lit(SUB_DIM)).alias("sv"),
+        F.slice(F.col("qv"), F.col("sub") * d + 1, F.lit(d)).alias("sv"),
     )
     qdot = sum(
         F.element_at(F.col("sv"), i + 1) * F.element_at(F.col("cv"), i + 1)
-        for i in range(SUB_DIM)
+        for i in range(d)
     )
     table = (
         qsub.join(F.broadcast(codebook), "sub")

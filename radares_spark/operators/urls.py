@@ -305,8 +305,15 @@ def outlink_host_graph(df: DataFrame, html_col: str = "html") -> DataFrame:
     crawl frontier / PageRank pass consumes: links extracted, both
     endpoints canonicalized with the SAME rules as URL dedup, one
     count aggregate on the edge key. Self-loops kept (they carry
-    real rank mass); links whose host doesn't parse are dropped."""
-    links = extract_links(df.select("doc_id", "url", html_col), html_col)
+    real rank mass). Only absolute http(s) links form edges:
+    schemeless hrefs (relative paths, mailto:, javascript:) would
+    need base-URL resolution to name a host — without it the host
+    regex would capture the raw string ('about.html' as a node),
+    siphoning rank mass onto non-hosts — so they are dropped here,
+    explicitly."""
+    links = extract_links(df.select("doc_id", "url", html_col), html_col).filter(
+        F.col("link").rlike("(?i)^https?://")
+    )
     src = with_canonical_url(
         links.join(df.select("doc_id", "url"), "doc_id"), "url"
     ).select("doc_id", F.col("url_host").alias("src_host"), "link")

@@ -1053,7 +1053,9 @@ WS_K = 100
 WEIGHTED_SAMPLE_SQL = f"""
     WITH scored AS (
         SELECT doc_id,
-               len(string_split({NORM_SQL.format(c='text')}, ' '))::DOUBLE AS weight,
+               (CASE WHEN {NORM_SQL.format(c="coalesce(text, '')")} = '' THEN 0
+                     ELSE len(string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' '))
+                END)::DOUBLE AS weight,
                (('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT
                     % 1000000 + 0.5) / 1000000.0 AS u
         FROM documents
@@ -1071,7 +1073,12 @@ WEIGHTED_SAMPLE_SQL = f"""
 
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.size(F.split(normalize_text(F.col("text")), " "))
+    # split('') is [''], so a bare size() would hand empty-normalized
+    # docs weight 1 — a zero-token doc could win the draw, and the
+    # streaming reservoir twin (which zeroes them) would diverge from
+    # this registered variant (review finding)
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
     return weighted_sample(docs, toks, WS_K)
 
 

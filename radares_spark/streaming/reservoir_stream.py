@@ -114,10 +114,17 @@ def run_reservoir_stream(
         old = _load_snapshot(s, reservoir_dir, exclude_epoch=epoch_id)
         merged = fresh if old is None else old.unionByName(fresh)
         topk = (
-            # same doc re-landed has the same deterministic key: fold
-            # duplicates first so the reservoir never holds a doc twice
+            # same doc re-landed: fold duplicates so the reservoir
+            # never holds a doc twice. The winning (e, weight) PAIR is
+            # taken together via min-of-struct — independent
+            # min(weight)/min(e) could combine one landing's weight
+            # with the other's key when a doc re-lands with CHANGED
+            # text (review finding); best-key-wins keeps the row
+            # self-consistent (byte-identical re-landings are
+            # unaffected: both pairs are equal)
             merged.groupBy("doc_id")
-            .agg(F.min("weight").alias("weight"), F.min("e").alias("e"))
+            .agg(F.min(F.struct("e", "weight")).alias("b"))
+            .select("doc_id", F.col("b.weight").alias("weight"), F.col("b.e").alias("e"))
             .orderBy(F.asc("e"), F.asc("doc_id"))
             .limit(k)
         )

@@ -152,3 +152,27 @@ def test_pagerank_on_extracted_host_graph(spark):
         ).collect()
     }
     assert ranks["hub.com"] == max(ranks.values())
+
+
+def test_pagerank_empty_graph_and_zero_weight_dangling(spark):
+    """Review findings: an empty edge table yields an empty result
+    (not ZeroDivisionError at plan build), and a node whose out-edges
+    all weigh 0 is treated as DANGLING so ranks still sum to 1."""
+    import pandas as pd
+    from radares_spark.operators.components import pagerank
+
+    empty = spark.createDataFrame([], "src_host string, dst_host string, n_links double")
+    assert pagerank(empty, iters=2).count() == 0
+
+    edges = pd.DataFrame(
+        {
+            "src_host": ["a", "b"],
+            "dst_host": ["b", "a"],
+            "n_links": [1.0, 0.0],  # b's only out-edge carries no mass
+        }
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(spark.createDataFrame(edges), iters=10).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9

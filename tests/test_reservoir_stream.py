@@ -98,3 +98,37 @@ def test_prune_keeps_newest_snapshots(spark, dirs):
     eps = [d for d in os.listdir(dirs["reservoir"]) if d.startswith("epoch=")]
     assert len(eps) == 1
     assert _reservoir(spark, dirs) == before
+
+
+def test_changed_text_relanding_keeps_consistent_pair(spark, tmp_path):
+    """Review finding: a doc re-landed with CHANGED text must carry a
+    self-consistent (weight, e) pair — the best key's own weight, not
+    a min-of-each-column hybrid."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from radares_spark.streaming.reservoir_stream import (
+        current_reservoir,
+        run_reservoir_stream,
+    )
+
+    d = {
+        "landing": str(tmp_path / "landing"),
+        "res": str(tmp_path / "res"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    long_text = " ".join(f"w{i}" for i in range(100))
+    short_text = " ".join(f"w{i}" for i in range(10))
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": [long_text]})
+    ).coalesce(1).write.mode("append").parquet(d["landing"])
+    run_reservoir_stream(spark, d["landing"], d["res"], d["ckpt"], 5)
+    # re-land the same doc id with different (shorter) text
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": [short_text]})
+    ).coalesce(1).write.mode("append").parquet(d["landing"])
+    run_reservoir_stream(spark, d["landing"], d["res"], d["ckpt"], 5)
+    row = current_reservoir(spark, d["res"]).collect()[0]
+    # e depends on weight: the smaller key belongs to the HEAVIER
+    # landing (e = -ln(u)/w decreases in w), so weight must be 100
+    assert row["doc_id"] == 7 and row["weight"] == 100.0
