@@ -582,66 +582,51 @@ def remove_dup_spans(
       the corpus;
     - per-doc token totals come from a PROJECTION (array length), not
       a token-row regroup;
-    - reassembly is ONE doc_id regroup via
-      ``array_sort(collect_list(struct(pos, word)))`` — the same
-      order-preserving idiom as ``strip_boilerplate``.
+    - reassembly NEVER explodes the token stream: covered positions
+      regroup to one sorted array per doc (covered volume, not corpus
+      volume), and the kept text is ``array_except(sequence(1, n),
+      covered)`` mapped through O(1) element accesses — the earlier
+      token-row explode + (doc, pos) anti-join + collect_list regroup
+      formulation moved the whole corpus through two extra shuffles
+      and measured 1.35x slower at sf0.1 (bit-identical outputs). The
+      JOIN below is the CollapseProject barrier that keeps the token
+      array a materialized attribute under the per-element lambda.
 
     Skew note: the count-over-hash window puts one row per containing
     doc in a hash's partition — linear and spillable; at crawl scale
     a universal boilerplate span wants the salted-window cap of
     ``dup_span_stats_capped`` (hot hashes are dup by definition).
     """
-    toks = docs.select(
-        "doc_id", F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " ").alias("w")
-    )
-    tok_rows = (
-        toks.select(
-            "doc_id",
-            "w",
-            F.explode(F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)))).alias("pos"),
-        )
-        .select("doc_id", "pos", F.get("w", F.col("pos") - 1).alias("word"))
-        .filter(F.col("word") != "")
-    )
     covered = _covered_positions(docs, w, min_docs)
-    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("clean_text"),
+    cov_doc = covered.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set(F.col("pos").cast("long"))).alias("cov")
     )
     norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
-    totals = docs.select(
-        "doc_id",
-        F.when(norm == "", F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
-        .cast("long")
-        .alias("n_tokens"),
+    side = docs.select("doc_id", F.split(norm, " ").alias("w")).withColumn(
+        "n",
+        F.when((F.size("w") == 1) & (F.get("w", 0) == ""), F.lit(0))
+        .otherwise(F.size("w"))
+        .cast("long"),
     )
-    n_tokens = F.coalesce("n_tokens", F.lit(0))
-    n_removed = (n_tokens - F.coalesce("n_kept", F.lit(0))).alias("n_removed")
-    return (
-        docs.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_tokens.alias("n_tokens"),
-            n_removed,
-            F.when(n_tokens == 0, F.lit(0.0))
-            .otherwise(
-                F.round(
-                    (n_tokens - F.coalesce("n_kept", F.lit(0))) / n_tokens.cast("double"), 6
-                )
-            )
-            .alias("removed_frac"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    joined = side.join(cov_doc, "doc_id", "left")
+    kept_pos = F.when(F.col("n") == 0, F.array().cast("array<long>")).otherwise(
+        F.array_except(
+            F.sequence(F.lit(1).cast("long"), F.greatest("n", F.lit(1).cast("long"))),
+            F.coalesce("cov", F.array().cast("array<long>")),
         )
+    )
+    n_kept = F.size(kept_pos).cast("long")
+    clean = F.array_join(
+        F.transform(kept_pos, lambda p: F.element_at(F.col("w"), p.cast("int"))), " "
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("n") - n_kept).alias("n_removed"),
+        F.when(F.col("n") == 0, F.lit(0.0))
+        .otherwise(F.round((F.col("n") - n_kept) / F.col("n").cast("double"), 6))
+        .alias("removed_frac"),
+        clean.alias("clean_text"),
     )
 
 
