@@ -790,6 +790,11 @@ def text_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_top_ngrams(docs)
 
 
+def text_vocab_top_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_top_ngrams(docs, n=1)
+
+
 VOCAB_SQL = f"""
     WITH toks AS (
         SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
@@ -810,7 +815,37 @@ VOCAB_SQL = f"""
 """
 
 
+VOCAB1_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT w[i] AS shingle
+        FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+        WHERE array_to_string(w, ' ') <> ''
+    ),
+    c AS (SELECT shingle, count(*) AS n_rows FROM grams GROUP BY 1),
+    t AS (SELECT sum(n_rows) AS total FROM c)
+    SELECT shingle, n_rows,
+           round(n_rows / total::DOUBLE, 6) AS share,
+           row_number() OVER (ORDER BY n_rows DESC, shingle) AS key_rank
+    FROM c, t
+    QUALIFY key_rank <= {VOCAB_TOP_K}
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "text_vocab_top_unigrams": QuerySpec(
+        name="text_vocab_top_unigrams",
+        fn=text_vocab_top_unigrams,
+        oracle=VOCAB1_SQL,
+        survey="LLM-pipeline (stopword derivation: corpus-wide top-k "
+        "frequent words)",
+        doc=f"Top-{VOCAB_TOP_K} words by occurrence with corpus share "
+        "— the stopword-list induction pass; same heavy-hitter shape "
+        "as the bigram vocab.",
+    ),
     "text_vocab_top_ngrams": QuerySpec(
         name="text_vocab_top_ngrams",
         fn=text_vocab_top_ngrams,

@@ -226,3 +226,25 @@ def test_span_removal_exactly_linear_under_dissimilar_inflation(spark):
     assert r1 > 0
     assert t4 == INFLATE * t1
     assert r4 == INFLATE * r1
+
+
+def test_chunking_exactly_linear_under_inflation(spark):
+    """Chunking is per-doc arithmetic: 4x corpus => exactly 4x chunks
+    and 4x chunk tokens (suffixed inflation keeps per-doc token counts
+    identical across copies)."""
+    from radares_spark.pipeline.corpus import chunk_documents
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    big = _inflate_docs(docs, INFLATE)
+
+    def totals(frame):
+        r = (
+            chunk_documents(frame, 48, 8)
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chunk_tokens").alias("t"))
+            .collect()[0]
+        )
+        return r["c"], r["t"]
+
+    c1, t1 = totals(docs)
+    c4, t4 = totals(big)
+    assert c1 > 0 and c4 == INFLATE * c1 and t4 == INFLATE * t1
