@@ -109,6 +109,17 @@ def cmd_verify(spark: SparkSession, warehouse: str, expected: int = TOTAL_EQUIP)
     return completeness_audit(ledger, expected)
 
 
+def cmd_corpus_health(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Per-source corpus health over a parquet documents store — the
+    corpus twin of ``verify`` (pipeline/corpus.corpus_health_report),
+    exposed so an operator can audit an intake from the same CLI that
+    runs the radar-domain jobs."""
+    from radares_spark.pipeline.corpus import corpus_health_report
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text", "source")
+    return corpus_health_report(docs)
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -126,9 +137,19 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("-l", "--last-three-days", action="store_true")
     v = sub.add_parser("verify")
     v.add_argument("--expected", type=int, default=TOTAL_EQUIP)
+    ch = sub.add_parser("corpus-health")
+    ch.add_argument("--docs", required=True, help="parquet documents store")
     args = p.parse_args(argv)
 
     spark = get_spark("radares-spark-cli")
+    if args.cmd == "corpus-health":
+        for r in cmd_corpus_health(spark, args.docs).orderBy("source").collect():
+            print(
+                f"{r['source']}: docs={r['n_docs']} tokens={r['n_tokens']} "
+                f"null={r['n_null_text']} dup_extra={r['n_exact_dup_extra']} "
+                f"quality={r['quality_rate']} en={r['en_rate']}"
+            )
+        return 0
     if args.cmd == "verify":
         for r in cmd_verify(spark, args.warehouse, args.expected).collect():
             print(f"{r['pubdate']}: {r['n_equipments']}")

@@ -95,3 +95,28 @@ def test_scrape_pulls_one_day_and_logs(spark, tmp_path):
     # pubdate parsed from the report header, not the filename
     got_day = spark.read.parquet(f"{wh}/flows").select(F.min("pubdate")).first()[0]
     assert got_day == day
+
+
+def test_corpus_health_subcommand(spark, tmp_path, capsys):
+    """corpus-health audits a parquet documents store from the CLI."""
+    import pandas as pd
+
+    from radares_spark.cli import cmd_corpus_health
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain falls mainly on the plain every single day of the year"
+    )
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [good, good, None],
+                "source": ["a", "a", "b"],
+            }
+        )
+    ).write.parquet(docs)
+    rows = {r["source"]: r for r in cmd_corpus_health(spark, docs).collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["a"]["n_exact_dup_extra"] == 1
+    assert rows["b"]["n_null_text"] == 1
