@@ -332,3 +332,53 @@ def test_longest_dup_span_planted(spark):
     assert rows[0] == 9  # the merged 9-run beats the disjoint 8-run
     assert rows[1] == 9
     assert rows[2] == 8
+
+
+def test_html_extraction_conformance_fuzz(spark):
+    """Cross-engine conformance sweep for HTML extraction: every
+    combination of wrapper (script/style/comment/plain tags), entity
+    (incl. double-escaped), and body placement must extract
+    IDENTICALLY in Spark and DuckDB."""
+    import itertools
+
+    from radares_spark.operators.text_ext import extract_html_text, html_extract_sql
+
+    wrappers = [
+        "<p>{}</p>",
+        "<SCRIPT type=x>var a=1;</script>{}",
+        "<style>p {{color: red}}</style><div>{}</div>",
+        "<!-- a comment with <tags> inside -->{}",
+        '{}<a href="u">link</a> <A HREF="v">L2</A>',
+        "<div class='x'>{}</div><br/>",
+    ]
+    bodies = [
+        "plain words",
+        "&amp;lt;escaped&amp;gt;",
+        "&lt;real&gt; &quot;q&quot; &#39;s&#39; &nbsp;x",
+        "spaces   and\tmore\nlines",
+        "",
+    ]
+    rows = [
+        (i, w.format(b))
+        for i, (w, b) in enumerate(itertools.product(wrappers, bodies))
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "html"])
+    got = {
+        r["doc_id"]: (r["plain_text"], r["n_tags"], r["n_links"])
+        for r in extract_html_text(spark.createDataFrame(pdf)).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("hfuzz", pdf)
+        want = {
+            r[0]: (r[3], r[1], r[2])
+            for r in con.execute(
+                "SELECT doc_id, n_tags, n_links, plain_text FROM ("
+                + html_extract_sql("hfuzz")
+                + ")"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    mismatches = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not mismatches, list(mismatches.items())[:5]

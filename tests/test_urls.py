@@ -227,3 +227,58 @@ def test_outlink_graph_drops_schemeless_links(spark):
     )
     g = outlink_host_graph(spark.createDataFrame(pages)).collect()
     assert {(r["src_host"], r["dst_host"]) for r in g} == {("example.com", "real.com")}
+
+
+def test_canonicalization_conformance_fuzz(spark):
+    """Cross-engine conformance sweep: every combination of
+    adversarial URL parts (schemes incl. casing and non-http, hosts
+    with www/ports, paths with trailing/multiple slashes, tracking and
+    orderable query params, fragments with '?' inside) must
+    canonicalize IDENTICALLY in Spark and DuckDB — the rules are only
+    trustworthy if the mirrors agree beyond the planted frames."""
+    import itertools
+
+    import duckdb
+    import pandas as pd
+
+    from radares_spark.operators.urls import canonical_url_sql, with_canonical_url
+
+    schemes = ["https://", "HTTPS://", "http://", "ftp://", ""]
+    hosts = ["Example.com", "www.example.com", "example.com:443", "example.com:8080"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a//"]
+    queries = [
+        "",
+        "?b=2&a=1",
+        "?utm_source=x",
+        "?utm_source=x&z=9&a=1",
+        "?a=1&a=0",
+        "?=&a",
+    ]
+    frags = ["", "#f", "#f?fake=1"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(urls)), "url": urls})
+    got = {
+        r["doc_id"]: (r["canonical_url"], r["url_host"])
+        for r in with_canonical_url(spark.createDataFrame(pdf))
+        .select("doc_id", "canonical_url", "url_host")
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("fuzz", pdf)
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                f"SELECT doc_id, canonical_url, url_host FROM ({canonical_url_sql('fuzz')})"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert len(got) == len(urls) == len(want)
+    mismatches = {
+        i: (urls[i], got[i], want[i]) for i in got if got[i] != want[i]
+    }
+    assert not mismatches, list(mismatches.items())[:5]
