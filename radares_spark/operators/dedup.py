@@ -43,15 +43,27 @@ N_BANDS = N_PERM // BAND_R
 
 
 def normalize_text(col: Column) -> Column:
-    """lower -> strip non-alnum -> collapse spaces -> trim."""
-    x = F.lower(col)
+    """strip non-ASCII -> lower -> strip non-alnum -> collapse spaces
+    -> trim. Non-ASCII is stripped BEFORE lowercasing: the final
+    alphabet is [a-z0-9 ] either way, but unicode case expansion is
+    engine-specific — Turkish İ (U+0130) lowercases to 'i' + a
+    COMBINING dot in the JVM and to plain 'i' in DuckDB, so a doc
+    containing it would tokenize differently across the mirrors
+    (found by conformance fuzz). Pre-stripping makes lower() operate
+    on pure ASCII, where every engine agrees by construction."""
+    x = F.regexp_replace(col, "[^\\x00-\\x7F]", " ")
+    x = F.lower(x)
     x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
     x = F.regexp_replace(x, " +", " ")
     return F.trim(x)
 
 
 # DuckDB mirror of normalize_text (regexp_replace needs the 'g' flag).
-NORM_SQL = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower("
+    "regexp_replace({c}, '[^\\x00-\\x7F]', ' ', 'g')"
+    "), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -187,18 +187,12 @@ def dsir_resample(
     sorting the whole corpus, never a corpus-wide sort.
     """
     w = dsir_weights(docs, is_target, n=n)
-    toks = F.size(
-        F.split(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]", " "),
-                    " +",
-                    " ",
-                )
-            ),
-            " ",
-        )
-    )
+    # route through normalize_text, never an inline copy of its chain:
+    # a hand-inlined variant silently missed the ASCII pre-strip when
+    # normalization gained it (conformance-fuzz fix)
+    from radares_spark.operators.dedup import normalize_text
+
+    toks = F.size(F.split(normalize_text(F.coalesce(F.col("text"), F.lit(""))), " "))
     scored = (
         docs.select("doc_id", toks.cast("long").alias("n_tokens"))
         .join(w.select("doc_id", "dsir_logweight"), "doc_id")

@@ -101,6 +101,8 @@ words = st.lists(st.sampled_from("the a cat dog runs fast blue sky".split()), mi
 
 
 def _py_norm(s: str) -> str:
+    # mirror normalize_text exactly, incl. the ASCII pre-strip
+    s = re.sub(r"[^\x00-\x7F]", " ", s)
     return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", s.lower())).strip()
 
 

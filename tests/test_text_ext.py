@@ -382,3 +382,39 @@ def test_html_extraction_conformance_fuzz(spark):
         con.close()
     mismatches = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_normalize_text_conformance_unicode(spark):
+    """normalize_text must agree across engines even on the unicode
+    casing pathologies where lower() itself diverges (Turkish İ
+    expands to i+combining-dot in the JVM, folds to i in DuckDB): the
+    ASCII pre-strip removes the divergence class by construction."""
+    from radares_spark.operators.dedup import NORM_SQL, normalize_text
+
+    texts = [f"a {ch} b{ch}c 1" for ch in "ÉßİIıΣςΩﬁＡ１K…—"] + [
+        "MiXeD CaSe 123!!",
+        "tabs\tand\nnewlines",
+        "  lots   of   spaces  ",
+        "ümlaut Über",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r["doc_id"]: r["n"]
+        for r in spark.createDataFrame(pdf)
+        .select("doc_id", normalize_text(F.col("text")).alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("t", pdf)
+        want = {
+            r[0]: r[1]
+            for r in con.execute(
+                f"SELECT doc_id, {NORM_SQL.format(c='text')} FROM t"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    bad = [(texts[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not bad, bad
