@@ -418,3 +418,38 @@ def test_normalize_text_conformance_unicode(spark):
         con.close()
     bad = [(texts[i], got[i], want[i]) for i in got if got[i] != want[i]]
     assert not bad, bad
+
+
+def test_pii_scrub_conformance_fuzz_ascii(spark):
+    """Cross-engine conformance on every ASCII neighbor x PII-core
+    combination. Non-ASCII neighbors are the documented \\b caveat
+    (JVM Unicode word boundary vs RE2 ASCII — see PII_RULES) and are
+    deliberately excluded here."""
+    import itertools
+
+    from radares_spark.operators.text_ext import pii_scrub_sql, scrub_pii
+
+    pre = ["", "x", ".", "-", " ", "9", "(", "@"]
+    core = ["a@b.co", "10.0.0.1", "+55 11 98765-4321", "no pii 12345"]
+    post = ["", "x", " ", ".", "5", ")", "-"]
+    texts = [f"{a}{c}{b}" for a, c, b in itertools.product(pre, core, post)]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["clean_text"])
+        for r in scrub_pii(spark.createDataFrame(pdf)).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("pfuzz", pdf)
+        want = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(
+                "SELECT doc_id, n_email, n_ipv4, n_phone, clean_text FROM ("
+                + pii_scrub_sql("pfuzz")
+                + ")"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    bad = [(texts[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not bad, bad[:5]
