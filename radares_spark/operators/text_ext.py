@@ -910,3 +910,92 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "one doc_id regroup.",
     ),
 }
+
+
+WINNOW_K = 3  # gram size (words)
+WINNOW_W = 4  # winnowing window (grams)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every ``k``-word gram, slide a ``w``-gram
+    window, and select each window's minimal hash (rightmost on ties)
+    — a position-robust fingerprint set with the paper's guarantee
+    that any shared run of ``w + k - 1`` words shares at least one
+    fingerprint, at ~2/(w+1) the volume of the full gram stream. The
+    selective sibling of ``dup_span_stats``: where spans flag ALL
+    shared windows, winnowing emits a sparse, index-friendly subset.
+
+    Returns (doc_id, fp_pos, fp_hash), distinct per doc. Windows are
+    trailing and clamp at the doc start (partial prefix windows
+    select too), so short docs always yield >= 1 fingerprint — a
+    deliberate, mirror-identical deviation from strict full-window
+    winnowing.
+
+    Scale shape: the gram stream is linear; selection is ONE per-doc
+    window (min over a bounded w-row frame — argmin via min-of-struct
+    (hash, -pos), which both engines order identically) plus a
+    distinct. Per-task work bounded by a document's grams.
+    """
+    grams = shingle_rows(docs, n=k, with_pos=True).select(
+        "doc_id",
+        F.col("shingle_pos").alias("pos"),
+        F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h"),
+    )
+    win = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    sel = grams.withColumn(
+        "m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win)
+    )
+    return (
+        sel.select(
+            "doc_id",
+            (-F.col("m.np")).cast("long").alias("fp_pos"),
+            F.col("m.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs)
+
+
+WINNOW_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               md5(array_to_string(w[i:i + {WINNOW_K - 1}], ' ')) AS h
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - {WINNOW_K - 1})) AS t(i)
+        WHERE len(w) >= {WINNOW_K}
+    ),
+    sel AS (
+        SELECT doc_id,
+               min(struct_pack(h := h, np := -i))
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m
+        FROM wins
+    )
+    SELECT DISTINCT doc_id, (-(m.np))::BIGINT AS fp_pos, m.h AS fp_hash
+    FROM sel
+"""
+
+
+LIBRARY_SPECS["text_winnow_fingerprints"] = QuerySpec(
+    name="text_winnow_fingerprints",
+    fn=text_winnow_fingerprints,
+    oracle=WINNOW_SQL,
+    survey="LLM-pipeline (winnowing fingerprints, Schleimer 2003 "
+    "MOSS — sparse position-robust dedup/plagiarism index)",
+    doc=f"Min-hash-per-{WINNOW_W}-gram-window selection (rightmost "
+    f"ties) over {WINNOW_K}-word grams: any shared run of "
+    f"{WINNOW_W + WINNOW_K - 1} words shares a fingerprint at "
+    "~2/(w+1) the gram volume; one bounded per-doc window + distinct.",
+)

@@ -453,3 +453,37 @@ def test_pii_scrub_conformance_fuzz_ascii(spark):
         con.close()
     bad = [(texts[i], got[i], want[i]) for i in got if got[i] != want[i]]
     assert not bad, bad[:5]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer guarantee: two docs sharing a run of >= w+k-1
+    words share at least one (hash, same-content) fingerprint; and the
+    selected set is sparse (between n_grams/w and n_grams)."""
+    from radares_spark.operators.text_ext import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"alpha beta gamma {shared} delta epsilon zeta",
+                f"one two {shared} three four",
+                "totally different words everywhere all the time forever",
+            ],
+        }
+    )
+    fps = winnow_fingerprints(spark.createDataFrame(pdf)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[0] & by_doc[1], "shared run must share a fingerprint"
+    assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
+    # density: per doc, between ceil(n_grams/w) and n_grams
+    for d in (0, 1, 2):
+        n_grams = len(pdf["text"][d].split()) - WINNOW_K + 1
+        n_sel = sum(1 for r in fps if r["doc_id"] == d)
+        assert n_grams / WINNOW_W <= n_sel <= n_grams, (d, n_sel, n_grams)
