@@ -125,9 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     from radares_spark.session import get_spark
 
     p = argparse.ArgumentParser(prog="radares-spark")
-    p.add_argument("--warehouse", required=True)
-    p.add_argument("--landing", required=True)
-    p.add_argument("--checkpoint", required=True)
+    # not globally required: corpus-health reads none of them (review
+    # finding — demanding three dummy paths broke its advertised
+    # one-flag invocation); the commands that DO need them check below
+    p.add_argument("--warehouse")
+    p.add_argument("--landing")
+    p.add_argument("--checkpoint")
     p.add_argument("--equipments-csv", help="device dimension (S3 source)")
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("scrape")
@@ -140,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
     ch = sub.add_parser("corpus-health")
     ch.add_argument("--docs", required=True, help="parquet documents store")
     args = p.parse_args(argv)
+    if args.cmd == "verify" and not args.warehouse:
+        p.error("verify requires --warehouse")
+    if args.cmd in ("scrape", "backload") and not (
+        args.warehouse and args.landing and args.checkpoint
+    ):
+        p.error(f"{args.cmd} requires --warehouse, --landing, --checkpoint")
 
     spark = get_spark("radares-spark-cli")
     if args.cmd == "corpus-health":

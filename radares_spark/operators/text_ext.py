@@ -930,9 +930,11 @@ def winnow_fingerprints(
 
     Returns (doc_id, fp_pos, fp_hash), distinct per doc. Windows are
     trailing and clamp at the doc start (partial prefix windows
-    select too), so short docs always yield >= 1 fingerprint — a
-    deliberate, mirror-identical deviation from strict full-window
-    winnowing.
+    select too), so every doc with >= k words yields >= 1 fingerprint
+    — a deliberate, mirror-identical deviation from strict
+    full-window winnowing. Docs with FEWER than k words produce no
+    k-grams and therefore no fingerprints (both mirrors agree);
+    consumers preserving a doc spine must left-join.
 
     Scale shape: the gram stream is linear; selection is ONE per-doc
     window (min over a bounded w-row frame — argmin via min-of-struct

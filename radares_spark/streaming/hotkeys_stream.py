@@ -13,23 +13,39 @@ count over the union (pinned in tests). Unlike the weighted reservoir
 (k-row snapshots), the LEDGER here is one row per distinct key; the
 top-N SNAPSHOT derived from it is N rows.
 
-Exactly-once story (same recipe as admission/reservoir): checkpointed
-file log; both sinks write ``epoch=<id>`` partitions with dynamic
-overwrite; a replay loads the ledger with its own epoch excluded, so
-the batch folds into the pre-epoch state. Epoch partitions of the
-ledger are DELTAS (that epoch's batch counts), summed at read time —
-``compact_hot_ledger`` folds history into one ``epoch=-1`` partition
-between runs, the ``admission_stream.compact_ledger`` pattern.
+Ledger layout (crash-safe for ADDITIVE data — review finding: the
+admission/reservoir "write then delete" compaction order is only safe
+for idempotent folds like distinct(); summing the same delta twice is
+silent corruption):
+
+- each epoch writes its batch's per-key counts as an ``epoch=<id>``
+  DELTA partition (dynamic overwrite => replay rewrites, never
+  double-appends);
+- compaction writes a GENERATION partition ``epoch = -(W+1)`` holding
+  the exact totals of every delta with epoch <= W — the watermark W
+  rides IN the partition value, so no marker file and no schema
+  change;
+- readers use the newest generation (most negative epoch) plus only
+  the deltas ABOVE its watermark. A crash anywhere in compaction
+  leaves old generation + old deltas in place — readers still compute
+  exact totals, because superseded partitions are simply never
+  selected. Deleting them afterwards is pure GC.
+
+Exactly-once: checkpointed file log; a replay loads totals with its
+own delta epoch excluded, so the batch folds into the pre-epoch
+state. Compaction folds ONLY COMMITTED epochs (watermark =
+``last_committed_epoch(checkpoint)``) — folding a crashed,
+not-yet-replayed epoch would hide it inside the generation where the
+replay's exclusion cannot reach it (review finding).
 
 Scale: per epoch, one map-side-combined count aggregate over the
-micro-batch, a key-equi merge against the ledger deltas (summed in
-the same aggregate), and an N-row snapshot via orderBy/limit —
-TakeOrderedAndProject over the already-aggregated totals (one row
-per distinct key), unlike the batch report whose bin-prefix shape
-exists because ITS input is raw rows. The ledger
-carries one row per distinct key ever seen — for unbounded key spaces
-cap it by pruning keys whose count can never reach the top (not
-implemented here; the testdata key spaces are bounded).
+micro-batch, a key-equi merge against the selected ledger rows, and
+an N-row snapshot via orderBy/limit — TakeOrderedAndProject over the
+already-aggregated totals (one row per distinct key), unlike the
+batch report whose bin-prefix shape exists because ITS input is raw
+rows. Top-dir snapshots are per-epoch N-row partitions; prune with
+:func:`radares_spark.streaming.reservoir_stream.prune_snapshots`
+(re-exported here), the same small-files hygiene as the reservoir.
 """
 
 from __future__ import annotations
@@ -40,25 +56,58 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-COMPACTED_EPOCH = -1
+from radares_spark.streaming.reservoir_stream import prune_snapshots  # noqa: F401
+
+__all__ = [
+    "run_hotkeys_stream",
+    "current_top",
+    "compact_hot_ledger",
+    "last_committed_epoch",
+    "prune_snapshots",
+]
 
 
-def _load_deltas(
+def _has_parquet(d: str) -> bool:
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for _, _, files in os.walk(d) for f in files
+    )
+
+
+def last_committed_epoch(checkpoint: str) -> int | None:
+    """Highest batch id with a commit marker, or None before the first
+    commit — the only epochs compaction may fold."""
+    commits = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids) if ids else None
+
+
+def _effective_rows(
     spark: SparkSession, ledger_dir: str, exclude_epoch: int | None = None
 ) -> DataFrame | None:
-    if not (
-        os.path.isdir(ledger_dir)
-        and any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(ledger_dir)
-            for f in files
-        )
-    ):
+    """The exactly-once view of the ledger: newest generation (most
+    negative epoch; watermark W = -epoch - 1) plus deltas with
+    epoch > W. Superseded generations/deltas are never selected, so a
+    half-finished compaction changes nothing."""
+    if not _has_parquet(ledger_dir):
         return None
     led = spark.read.parquet(ledger_dir)
+    gen = led.agg(F.min("epoch")).collect()[0][0]
+    if gen is None:
+        return None
+    if gen >= 0:
+        rows = led
+        watermark = -1
+    else:
+        watermark = -gen - 1
+        rows = led.filter(
+            (F.col("epoch") == gen)
+            | ((F.col("epoch") >= 0) & (F.col("epoch") > watermark))
+        )
     if exclude_epoch is not None:
-        led = led.filter(F.col("epoch") != F.lit(exclude_epoch))
-    return led.drop("epoch")
+        rows = rows.filter(F.col("epoch") != F.lit(exclude_epoch))
+    return rows.drop("epoch")
 
 
 def run_hotkeys_stream(
@@ -74,8 +123,6 @@ def run_hotkeys_stream(
 ) -> None:
     """One AvailableNow pass: fold every new file's key counts into
     the ledger, snapshot the running top-N, stop. Re-runnable."""
-    from radares_spark.operators.skew import skew_report
-
     reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -91,10 +138,7 @@ def run_hotkeys_stream(
             .partitionBy("epoch")
             .parquet(ledger_dir)
         )
-        # running totals = sum of all delta partitions INCLUDING the
-        # one just written; on replay the exclusion + rewrite make
-        # this the same set of rows either way
-        prior = _load_deltas(s, ledger_dir, exclude_epoch=epoch_id)
+        prior = _effective_rows(s, ledger_dir, exclude_epoch=epoch_id)
         totals = (
             delta
             if prior is None
@@ -102,15 +146,14 @@ def run_hotkeys_stream(
             .groupBy(*key_cols)
             .agg(F.sum("n_rows").alias("n_rows"))
         )
-        # top-N over the running totals: totals is one row per distinct
-        # key — already the aggregated form — so a plain
-        # orderBy/limit (TakeOrderedAndProject: per-partition top-N,
-        # single small reduce) is the right plan here, unlike the
-        # batch report whose input is raw rows; share rides in as the
-        # usual single-row broadcast
         grand = totals.agg(F.sum("n_rows").alias("__total"))
         top = (
-            totals.orderBy(F.desc("n_rows"), *[F.asc(k) for k in key_cols])
+            # asc_nulls_last: the batch skew_report pins the DuckDB
+            # NULL rule; the stream's tie-break must match it or a
+            # NULL key could displace a real one at the boundary
+            totals.orderBy(
+                F.desc("n_rows"), *[F.asc_nulls_last(k) for k in key_cols]
+            )
             .limit(top_n)
             .crossJoin(F.broadcast(grand))
             .withColumn(
@@ -137,46 +180,69 @@ def run_hotkeys_stream(
 
 
 def current_top(spark: SparkSession, top_dir: str) -> DataFrame | None:
-    """Newest top-N snapshot."""
-    snap = _load_deltas(spark, top_dir)
-    if snap is None:
+    """Newest top-N snapshot (one read of the store)."""
+    if not _has_parquet(top_dir):
         return None
-    latest = (
-        spark.read.parquet(top_dir).agg(F.max("epoch")).collect()[0][0]
-    )
-    return spark.read.parquet(top_dir).filter(F.col("epoch") == latest).drop("epoch")
+    snaps = spark.read.parquet(top_dir)
+    latest = snaps.agg(F.max("epoch")).collect()[0][0]
+    if latest is None:
+        return None
+    return snaps.filter(F.col("epoch") == latest).drop("epoch")
 
 
-def compact_hot_ledger(spark: SparkSession, ledger_dir: str) -> None:
-    """Fold all delta partitions into one epoch=-1 partition — the
-    superset-monotone order of admission_stream.compact_ledger:
-    stage, write into the dir, then delete superseded epochs."""
-    if not (
-        os.path.isdir(ledger_dir)
-        and any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(ledger_dir)
-            for f in files
-        )
-    ):
+def compact_hot_ledger(
+    spark: SparkSession, ledger_dir: str, checkpoint: str
+) -> None:
+    """Fold every COMMITTED delta into a new generation partition.
+
+    Crash-safe by construction (not by ordering): the new generation
+    ``epoch = -(W+1)`` is a partition that did not exist before, so
+    writing it is a pure ADD; readers only ever combine the newest
+    generation with deltas above its watermark, so a crash before the
+    GC loop leaves exact totals (superseded partitions are selected
+    by NO reader). Uncommitted epochs are never folded — a crashed
+    batch must stay an excludable delta for its replay.
+    """
+    w = last_committed_epoch(checkpoint)
+    if w is None or not _has_parquet(ledger_dir):
         return
+    led = spark.read.parquet(ledger_dir)
+    gen = led.agg(F.min("epoch")).collect()[0][0]
+    old_watermark = -gen - 1 if gen is not None and gen < 0 else -1
+    if w <= old_watermark:
+        return  # nothing new committed since the last generation
+    keys = [c for c in led.columns if c not in ("n_rows", "epoch")]
+    selected = led.filter(
+        (F.col("epoch") == gen) if gen is not None and gen < 0 else F.lit(False)
+    )
+    deltas = led.filter(
+        (F.col("epoch") >= 0)
+        & (F.col("epoch") > old_watermark)
+        & (F.col("epoch") <= w)
+    )
+    folded = (
+        selected.unionByName(deltas)
+        .drop("epoch")
+        .groupBy(*keys)
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
     tmp = ledger_dir.rstrip("/") + "__compact_tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    led = spark.read.parquet(ledger_dir).drop("epoch")
-    keys = [c for c in led.columns if c != "n_rows"]
-    led.groupBy(*keys).agg(F.sum("n_rows").alias("n_rows")).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    folded.write.mode("overwrite").parquet(tmp)
     (
         spark.read.parquet(tmp)
-        .withColumn("epoch", F.lit(COMPACTED_EPOCH))
+        .withColumn("epoch", F.lit(-(w + 1)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch")
         .parquet(ledger_dir)
     )
+    # pure GC: everything below is superseded and unreachable
     for d in os.listdir(ledger_dir):
-        if d.startswith("epoch=") and d != f"epoch={COMPACTED_EPOCH}":
+        if not d.startswith("epoch="):
+            continue
+        e = int(d.split("=", 1)[1])
+        if (0 <= e <= w) or (e < 0 and e != -(w + 1)):
             shutil.rmtree(os.path.join(ledger_dir, d))
     shutil.rmtree(tmp)

@@ -120,3 +120,18 @@ def test_corpus_health_subcommand(spark, tmp_path, capsys):
     rows = {r["source"]: r for r in cmd_corpus_health(spark, docs).collect()}
     assert rows["a"]["n_docs"] == 2 and rows["a"]["n_exact_dup_extra"] == 1
     assert rows["b"]["n_null_text"] == 1
+
+
+def test_corpus_health_needs_only_docs_flag():
+    """Review finding: the advertised one-flag invocation must parse —
+    the radar-domain globals are not demanded globally (corpus-health
+    reads none; the fetch commands re-check what they need). Pinned at
+    the source level so a revert to required=True fails here."""
+    import inspect
+
+    from radares_spark import cli
+
+    src = inspect.getsource(cli.main)
+    assert 'p.add_argument("--warehouse")' in src
+    assert "required=True" not in src.split("add_subparsers")[0]
+    assert "corpus-health" in src
