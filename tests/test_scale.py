@@ -248,3 +248,29 @@ def test_chunking_exactly_linear_under_inflation(spark):
     c1, t1 = totals(docs)
     c4, t4 = totals(big)
     assert c1 > 0 and c4 == INFLATE * c1 and t4 == INFLATE * t1
+
+
+def test_winnowing_is_corpus_independent_per_doc(spark):
+    """The scale property that matters for winnowing is per-doc
+    LOCALITY: a doc's fingerprint set is a pure function of its own
+    text — growing the corpus 4x must not change a single selection
+    (no cross-doc coupling => no shuffle grows with the corpus). The
+    COUNT is hash-dependent per doc (each window picks its min, so
+    density varies in [1/w, 1]), so exact-multiple laws don't apply —
+    identity of the original docs' sets is the stronger claim anyway."""
+    from pyspark.sql import functions as F
+
+    from radares_spark.operators.text_ext import winnow_fingerprints
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    big = _inflate_docs(docs, INFLATE)
+    alone = sorted(map(tuple, winnow_fingerprints(docs).collect()))
+    inside = sorted(
+        map(
+            tuple,
+            winnow_fingerprints(big)
+            .filter(F.col("doc_id") < 1_000_000)
+            .collect(),
+        )
+    )
+    assert alone and inside == alone
