@@ -51,6 +51,9 @@ def _sub_rows(emb: DataFrame, m: int = PQ_M, vec_col: str = "embedding") -> Data
     """(vec_id, sub, sv array<double>) — each vector split into its M
     subvectors; the array is materialized in a projection above the
     generator (the CollapseProject trap, see dedup.shingle_rows)."""
+    if DIM % m != 0:
+        raise ValueError(f"m={m} must divide DIM={DIM}: trailing dimensions "
+                         "would be silently dropped from every distance")
     d = DIM // m
     v = emb.select(
         "vec_id", F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
@@ -81,8 +84,22 @@ def _l2sq(a: str, b: str, d: int) -> F.Column:
 def train_pq(
     emb: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = 3
 ) -> DataFrame:
-    """Codebook (sub, code, cv array<double>) — M x K rows."""
+    """Codebook (sub, code, cv array<double>) — M x K rows.
+
+    Fails fast when the corpus has fewer than k vectors: the seeds are
+    the k smallest-md5 vectors per subspace, so an undersized corpus
+    would underfill the codebook and every downstream ADC index
+    (sub*n_codes + code) would read past the folded table, silently
+    dropping rows from top-k as NULL scores."""
+    if DIM % m != 0:
+        raise ValueError(f"m={m} must divide DIM={DIM}")
     d = DIM // m
+    n_avail = emb.select("vec_id").distinct().limit(k).count()
+    if n_avail < k:
+        raise ValueError(
+            f"train_pq needs >= k={k} distinct vectors to fill each "
+            f"subspace codebook; corpus has only {n_avail}"
+        )
     rows = _sub_rows(emb, m)
     seeds = (
         rows.withColumn("h", F.md5(F.concat_ws(":", "sub", "vec_id")))

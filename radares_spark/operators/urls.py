@@ -222,23 +222,30 @@ def _synth_url() -> Column:
     column — same derived-fixture precedent as the partsupp tests).
     Deliberately messy: uppercase www/host, default port, trailing
     slash, tracking param, unsorted params — so the cap exercises the
-    full canonicalization path, not just the grouping."""
-    return F.concat(
-        F.lit("https://WWW."),
-        F.col("source"),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit(".Example.com:443/page/"),
-        F.col("doc_id").cast("string"),
-        F.lit("/?utm_source=x&b=2&a=1"),
+    full canonicalization path, not just the grouping. Every 97th doc
+    gets a NULL URL so the NULL-host passthrough branch is exercised
+    by the parity check, not just unit tests (r5 ADVICE)."""
+    return F.when(
+        F.col("doc_id") % 97 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("https://WWW."),
+            F.col("source"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example.com:443/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=x&b=2&a=1"),
+        )
     )
 
 
 DOMAIN_CAP_K = 3
 
 _SYNTH_URL_SQL = (
-    "'https://WWW.' || source || (doc_id % 5)::VARCHAR"
+    "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE"
+    " 'https://WWW.' || source || (doc_id % 5)::VARCHAR"
     " || '.Example.com:443/page/' || doc_id::VARCHAR"
-    " || '/?utm_source=x&b=2&a=1'"
+    " || '/?utm_source=x&b=2&a=1' END"
 )
 
 
@@ -262,9 +269,16 @@ DOMAIN_CAP_SQL = f"""
                row_number() OVER (PARTITION BY url_host
                                   ORDER BY n_chars DESC NULLS LAST, doc_id) AS host_rank
         FROM canon
+        WHERE url_host IS NOT NULL AND url_host != ''
     )
     SELECT doc_id, url_host, host_rank
     FROM ranked WHERE host_rank <= {DOMAIN_CAP_K}
+    UNION ALL
+    -- NULL/empty-host docs have no domain identity: passed through
+    -- uncapped with url_host NULL, host_rank 1 (mirrors domain_cap's
+    -- passthrough branch exactly)
+    SELECT doc_id, NULL::VARCHAR AS url_host, 1 AS host_rank
+    FROM canon WHERE url_host IS NULL OR url_host = ''
 """
 
 

@@ -1046,7 +1046,10 @@ def weighted_sample(
     )
 
 
-weighted_sample.__doc__ = weighted_sample.__doc__.format(clamp=WS_BIN_CLAMP + 1)
+# under python -O docstrings are stripped to None — guard so the
+# module stays importable (the format is cosmetic, not behavior)
+if weighted_sample.__doc__:
+    weighted_sample.__doc__ = weighted_sample.__doc__.format(clamp=WS_BIN_CLAMP + 1)
 
 WS_K = 100
 

@@ -137,3 +137,19 @@ def test_ivfpq_store_probe_prunes_partitions_and_retrieves_self(spark, pq, tmp_p
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_train_pq_guards(spark, pq):
+    """r5 ADVICE: an undersized corpus underfills the codebook and the
+    ADC index reads past the folded table (silent NULL-score drops);
+    m not dividing DIM silently discards trailing dimensions. Both
+    must fail fast instead."""
+    emb, _, _ = pq
+    with pytest.raises(ValueError, match="distinct vectors"):
+        train_pq(emb.filter(F.col("vec_id") < PQ_K - 1))
+    with pytest.raises(ValueError, match="must divide DIM"):
+        train_pq(emb, m=7)
+    from radares_spark.operators.pq import _sub_rows
+
+    with pytest.raises(ValueError, match="must divide DIM"):
+        _sub_rows(emb, m=7)
