@@ -538,23 +538,10 @@ CURATION_SQL = f"""
 """
 
 
-@register(
-    "corpus_curation_audit",
-    oracle=CURATION_SQL,
-    survey="LLM-pipeline (end-to-end curation chain: quality -> lang "
-    "-> exact dedup -> verified near-dedup, with per-doc audit)",
-    doc="The full curation pipeline (curate above) as ONE "
-    "driver-checked query: every doc's (doc_id, outcome) where outcome "
-    "is the first stage that dropped it — quality gate, language "
-    "filter, exact dedup keeper, MinHash-LSH candidate + exact-Jaccard "
-    "verified near-dedup — or 'kept'. The near-dup stage only sees "
-    "docs alive after the cheap stages (the LSH shuffle never sees "
-    "filtered-out bytes), and every LSH candidate is verified with the "
-    "exact word-shingle Jaccard before a drop (a random band collision "
-    "never deletes a document). The oracle replays the entire chain in "
-    "SQL, so signatures, banding, Jaccard arithmetic and stage "
-    "priority are all value-checked end to end.",
-)
+# Library-tier since r6: the driver slot went to crawl_pipeline_audit
+# (pipeline/crawl.py), whose tail IS this chain — the driver row now
+# also value-checks URL dedup, HTML extraction, and PII scrubbing.
+# This spec stays hash-compared by the library parity sweep.
 def corpus_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     _, audit, _ = curate(docs, keep_langs=("en",))
@@ -1086,6 +1073,26 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_curation_audit": QuerySpec(
+        name="corpus_curation_audit",
+        fn=corpus_curation_audit,
+        oracle=CURATION_SQL,
+        survey="LLM-pipeline (end-to-end curation chain: quality -> lang "
+        "-> exact dedup -> verified near-dedup, with per-doc audit)",
+        doc="The full curation pipeline (curate above) as ONE "
+        "hash-checked query: every doc's (doc_id, outcome) where outcome "
+        "is the first stage that dropped it — quality gate, language "
+        "filter, exact dedup keeper, MinHash-LSH candidate + exact-Jaccard "
+        "verified near-dedup — or 'kept'. The near-dup stage only sees "
+        "docs alive after the cheap stages (the LSH shuffle never sees "
+        "filtered-out bytes), and every LSH candidate is verified with the "
+        "exact word-shingle Jaccard before a drop (a random band collision "
+        "never deletes a document). The oracle replays the entire chain in "
+        "SQL, so signatures, banding, Jaccard arithmetic and stage "
+        "priority are all value-checked end to end. Library-tier since "
+        "r6: its driver slot went to crawl_pipeline_audit, which "
+        "strictly subsumes this chain as its tail.",
+    ),
     "corpus_pack_emit": QuerySpec(
         name="corpus_pack_emit",
         fn=corpus_pack_emit,

@@ -124,7 +124,9 @@ def crawl_pipeline_audit(spark, sf_dir: str) -> DataFrame:
     wrapped into synthetic pages (markup + tracking-parameter URLs
     where every id pair shares a canonical URL, so the URL stage
     actually drops half the crawl), then ``curate_crawl`` end to end.
-    Output = (doc_id, outcome) for every page."""
+    Output = (doc_id, outcome) for every page. Driver-registered since
+    r6 (took corpus_curation_audit's slot — that chain is this one's
+    tail, so the driver signal strictly widened)."""
     from pyspark.sql import functions as F
 
     from radares_spark.io.tables import load_table
@@ -189,25 +191,25 @@ def _pipeline_audit_sql() -> str:
 """
 
 
-def _specs():
-    from radares_spark.registry import QuerySpec
+def _register_driver_query() -> None:
+    from radares_spark.registry import register
 
-    return {
-        "crawl_pipeline_audit": QuerySpec(
-            name="crawl_pipeline_audit",
-            fn=crawl_pipeline_audit,
-            oracle=_pipeline_audit_sql(),
-            survey="LLM-pipeline (END-TO-END crawl curation, "
-            "oracle-checked: URL dedup -> HTML extract -> PII scrub "
-            "-> quality -> lang -> exact -> verified near-dup)",
-            doc="The full curate_crawl composition value-checked as one "
-            "query: synthetic pages with markup + tracking URLs where "
-            "every id pair shares a canonical URL (the URL stage drops "
-            "half the crawl before any byte of HTML is parsed); the "
-            "oracle replays canonicalization, extraction, scrubbing, "
-            "and the entire curation chain in SQL.",
-        )
-    }
+    register(
+        "crawl_pipeline_audit",
+        oracle=_pipeline_audit_sql(),
+        survey="LLM-pipeline (END-TO-END crawl curation, "
+        "oracle-checked: URL dedup -> HTML extract -> PII scrub "
+        "-> quality -> lang -> exact -> verified near-dup)",
+        doc="The full curate_crawl composition value-checked as one "
+        "query: synthetic pages with markup + tracking URLs where "
+        "every id pair shares a canonical URL (the URL stage drops "
+        "half the crawl before any byte of HTML is parsed); the "
+        "oracle replays canonicalization, extraction, scrubbing, "
+        "and the entire curation chain in SQL.",
+    )(crawl_pipeline_audit)
 
 
-LIBRARY_SPECS = _specs()
+_register_driver_query()
+
+# driver-registered above; nothing library-tier left in this module
+LIBRARY_SPECS: dict = {}

@@ -19,6 +19,7 @@ from radares_spark.operators import similarity  # noqa: E402,F401
 from radares_spark.operators import text  # noqa: E402,F401
 from radares_spark.operators import multimodal  # noqa: E402,F401
 from radares_spark.pipeline import corpus  # noqa: E402,F401
+from radares_spark.pipeline import crawl  # noqa: E402,F401
 from radares_spark.operators import decontam  # noqa: E402,F401
 from radares_spark.operators import incremental  # noqa: E402,F401
 from radares_spark.plans import radar  # noqa: E402,F401

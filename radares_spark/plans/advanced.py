@@ -115,22 +115,78 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token-budget variant is registered as corpus_token_budget.)
 
 
+# HLL++ default relative standard deviation is 0.05
+# (approx_count_distinct's documented default rsd); 3 sigma bounds the
+# estimate with overwhelming probability — and the check is
+# deterministic anyway (Spark's HLL++ has no RNG: fixed hash, fixed
+# dataset, fixed estimate).
+_HLL_REL_ERR_BOUND = 3 * 0.05
+# percentile_approx's guarantee is RANK error <= n/accuracy (default
+# accuracy 10000, so ~n/10000 ranks). The check pins the returned
+# element between the exact 49.9th and 50.1st percentiles — a +-0.001
+# rank-fraction window, ~10x looser than the guarantee at testdata
+# group sizes, but catching any real sketch breakage.
+_PCT_RANK_EPS = 0.001
+
+_APPROX_SKETCH_ORACLE = """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)                     AS exact_parts,
+           count(DISTINCT l_suppkey)                     AS exact_suppliers,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+           count(*)                                      AS n,
+           1 AS parts_ndv_ok,
+           1 AS suppliers_ndv_ok,
+           1 AS median_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 @register(
     "approx_sketches",
-    oracle=None,  # approximate results differ across engines by design
+    oracle=_APPROX_SKETCH_ORACLE,
     survey="A3 approximate aggregates (HLL / quantile sketch)",
     doc="approx_count_distinct (HyperLogLog++) and percentile_approx "
-    "(t-digest-ish): the constant-memory sketch family 100 TB "
-    "cardinality work needs. No oracle — sketch results are "
-    "engine-specific by design; the driver records a rows-only check "
-    "(exact counterparts are oracle-checked in relational_checks_suite "
-    "supp_nations and exact_percentiles).",
+    "(Greenwald-Khanna): the constant-memory sketch family 100 TB "
+    "cardinality work needs — SELF-VALIDATING since r6. Sketch values "
+    "are engine-specific, so the row carries the EXACT counterparts "
+    "(oracle hash-matches those) plus CHECK-style flags the oracle "
+    "declares as 1 and Spark computes from the sketch: NDV relative "
+    "error within 3x the documented rsd (0.05), approx median between "
+    "the exact 49.9th/50.1st percentiles (rank-error contract). A "
+    "sketch drifting out of bounds flips a flag to 0 and fails the "
+    "value hash — full value verification, not rows-only.",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    lo, hi = 0.5 - _PCT_RANK_EPS, 0.5 + _PCT_RANK_EPS
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_suppliers"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_median_price"
+        ),
+        F.expr(f"percentile(l_extendedprice, {lo})").alias("__p_lo"),
+        F.expr(f"percentile(l_extendedprice, {hi})").alias("__p_hi"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+    def _ndv_ok(approx: str, exact: str) -> F.Column:
+        rel = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
+        return (rel <= _HLL_REL_ERR_BOUND).cast("int")
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        "exact_median_price",
+        "n",
+        _ndv_ok("approx_parts", "exact_parts").alias("parts_ndv_ok"),
+        _ndv_ok("approx_suppliers", "exact_suppliers").alias("suppliers_ndv_ok"),
+        F.col("approx_median_price")
+        .between(F.col("__p_lo"), F.col("__p_hi"))
+        .cast("int")
+        .alias("median_rank_ok"),
     )
