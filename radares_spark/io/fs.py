@@ -1,0 +1,85 @@
+"""Scheme-agnostic filesystem helpers for ledger/checkpoint maintenance.
+
+The streaming maintenance paths (ledger compaction GC, snapshot
+pruning, commit-log inspection) need exists / list-children /
+recursive-delete — operations ``os``/``shutil`` only provide for the
+driver's LOCAL filesystem. On a real deployment the ledgers live on
+s3a:// or hdfs:// (the reference's landing convention,
+/root/reference/src/clean_data.py:223-228), where those calls silently
+see nothing. Everything here goes through Hadoop's ``FileSystem`` —
+resolved PER PATH from the path's own scheme, exactly how Spark's own
+writers resolve it — so ``file:``, ``hdfs:``, and ``s3a:`` URIs all
+behave identically (object stores expose "directories" as key
+prefixes through the same FileSystem contract).
+
+Driver-side listings only — these helpers inspect partition NAMES and
+commit markers (kilobytes of metadata), never data rows; data always
+flows through ``spark.read``/``write``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str``, resolved by its scheme
+    (scheme-less strings resolve against fs.defaultFS, matching what
+    spark.read.parquet(path_str) would touch)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_and_path(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def is_dir(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_and_path(spark, path_str)
+    return bool(fs.exists(path) and fs.getFileStatus(path).isDirectory())
+
+
+def has_parquet(spark: SparkSession, path_str: str) -> bool:
+    """True when any ``*.parquet`` file exists under ``path_str``
+    (recursive) — the 'has this store ever been written' probe guarding
+    every first-run branch."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
+def list_names(spark: SparkSession, path_str: str) -> list[str]:
+    """Child entry names directly under ``path_str`` (empty when the
+    path is missing) — partition-dir / commit-marker enumeration."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(path)]
+
+
+def delete(spark: SparkSession, path_str: str) -> None:
+    """Recursive delete; a missing path is a no-op (GC semantics)."""
+    fs, path = _fs_and_path(spark, path_str)
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def epoch_partitions(spark: SparkSession, path_str: str) -> list[int]:
+    """Epoch ids of the ``epoch=<id>`` partition dirs under
+    ``path_str`` — the shared layout of every streaming ledger here."""
+    out = []
+    for name in list_names(spark, path_str):
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out

@@ -32,12 +32,10 @@ nothing ledger-sized (see operators/incremental.py docstring).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from radares_spark.io import fs
 from radares_spark.operators.incremental import incremental_dedup, ledger_rows
 
 DOCS_SCHEMA = "doc_id long, text string"
@@ -77,11 +75,7 @@ def _load_ledger(
     with wrong outcomes. Excluding the epoch reconstructs the exact
     pre-epoch ledger state, so replay recomputes the same result.
     """
-    if os.path.isdir(ledger_dir) and any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(ledger_dir)
-        for f in files
-    ):
+    if fs.has_parquet(spark, ledger_dir):
         # plain partitioned read: epoch is a partition column, which
         # recursiveFileLookup would silently drop (no partition inference)
         ledger = spark.read.parquet(ledger_dir)
@@ -108,7 +102,7 @@ def run_admission_stream(
         # signatures are recomputed per use otherwise (lazy plans);
         # pin the batch once — it is micro-batch sized, not corpus sized
         batch = batch_df.localCheckpoint(eager=True)
-        if batch.rdd.isEmpty():
+        if batch.isEmpty():
             return
         ledger = _load_ledger(s, ledger_dir, batch, exclude_epoch=epoch_id)
         audit, append_rows = incremental_dedup(batch, ledger)
@@ -182,18 +176,10 @@ def compact_ledger(
     the nightly admission band join scans the ledger side with zero
     Exchange (plan-asserted in tests/test_incremental.py).
     """
-    if not (
-        os.path.isdir(ledger_dir)
-        and any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(ledger_dir)
-            for f in files
-        )
-    ):
+    if not fs.has_parquet(spark, ledger_dir):
         return  # nothing landed yet — compaction is a no-op, not an error
     tmp = ledger_dir.rstrip("/") + "__compact_tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    fs.delete(spark, tmp)
     # stage first: the distinct reads ledger_dir lazily, so it must be
     # fully materialized elsewhere before anything writes into the dir
     (
@@ -214,10 +200,10 @@ def compact_ledger(
         .parquet(ledger_dir)
     )
     # now superseded: every row of every epoch>=0 dir is in epoch=-1
-    for d in os.listdir(ledger_dir):
-        if d.startswith("epoch=") and d != f"epoch={COMPACTED_EPOCH}":
-            shutil.rmtree(os.path.join(ledger_dir, d))
-    shutil.rmtree(tmp)
+    for e in fs.epoch_partitions(spark, ledger_dir):
+        if e != COMPACTED_EPOCH:
+            fs.delete(spark, f"{ledger_dir.rstrip('/')}/epoch={e}")
+    fs.delete(spark, tmp)
 
     if bucketed_table is not None:
         from radares_spark.io.bucketing import write_bucketed

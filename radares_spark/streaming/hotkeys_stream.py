@@ -50,12 +50,10 @@ rows. Top-dir snapshots are per-epoch N-row partitions; prune with
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from radares_spark.io import fs
 from radares_spark.streaming.reservoir_stream import prune_snapshots  # noqa: F401
 
 __all__ = [
@@ -67,19 +65,13 @@ __all__ = [
 ]
 
 
-def _has_parquet(d: str) -> bool:
-    return os.path.isdir(d) and any(
-        f.endswith(".parquet") for _, _, files in os.walk(d) for f in files
-    )
-
-
-def last_committed_epoch(checkpoint: str) -> int | None:
+def last_committed_epoch(spark: SparkSession, checkpoint: str) -> int | None:
     """Highest batch id with a commit marker, or None before the first
-    commit — the only epochs compaction may fold."""
-    commits = os.path.join(checkpoint, "commits")
-    if not os.path.isdir(commits):
-        return None
-    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    commit — the only epochs compaction may fold. Scheme-agnostic
+    (checkpoints live next to the ledger on hdfs://s3a in production):
+    goes through Hadoop FileSystem, not os.listdir."""
+    names = fs.list_names(spark, checkpoint.rstrip("/") + "/commits")
+    ids = [int(n) for n in names if n.isdigit()]
     return max(ids) if ids else None
 
 
@@ -90,7 +82,7 @@ def _effective_rows(
     negative epoch; watermark W = -epoch - 1) plus deltas with
     epoch > W. Superseded generations/deltas are never selected, so a
     half-finished compaction changes nothing."""
-    if not _has_parquet(ledger_dir):
+    if not fs.has_parquet(spark, ledger_dir):
         return None
     led = spark.read.parquet(ledger_dir)
     gen = led.agg(F.min("epoch")).collect()[0][0]
@@ -181,7 +173,7 @@ def run_hotkeys_stream(
 
 def current_top(spark: SparkSession, top_dir: str) -> DataFrame | None:
     """Newest top-N snapshot (one read of the store)."""
-    if not _has_parquet(top_dir):
+    if not fs.has_parquet(spark, top_dir):
         return None
     snaps = spark.read.parquet(top_dir)
     latest = snaps.agg(F.max("epoch")).collect()[0][0]
@@ -203,8 +195,8 @@ def compact_hot_ledger(
     by NO reader). Uncommitted epochs are never folded — a crashed
     batch must stay an excludable delta for its replay.
     """
-    w = last_committed_epoch(checkpoint)
-    if w is None or not _has_parquet(ledger_dir):
+    w = last_committed_epoch(spark, checkpoint)
+    if w is None or not fs.has_parquet(spark, ledger_dir):
         return
     led = spark.read.parquet(ledger_dir)
     gen = led.agg(F.min("epoch")).collect()[0][0]
@@ -227,8 +219,7 @@ def compact_hot_ledger(
         .agg(F.sum("n_rows").alias("n_rows"))
     )
     tmp = ledger_dir.rstrip("/") + "__compact_tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    fs.delete(spark, tmp)
     folded.write.mode("overwrite").parquet(tmp)
     (
         spark.read.parquet(tmp)
@@ -239,10 +230,7 @@ def compact_hot_ledger(
         .parquet(ledger_dir)
     )
     # pure GC: everything below is superseded and unreachable
-    for d in os.listdir(ledger_dir):
-        if not d.startswith("epoch="):
-            continue
-        e = int(d.split("=", 1)[1])
+    for e in fs.epoch_partitions(spark, ledger_dir):
         if (0 <= e <= w) or (e < 0 and e != -(w + 1)):
-            shutil.rmtree(os.path.join(ledger_dir, d))
-    shutil.rmtree(tmp)
+            fs.delete(spark, f"{ledger_dir.rstrip('/')}/epoch={e}")
+    fs.delete(spark, tmp)

@@ -39,12 +39,10 @@ needs its bin-prefix shape (a batch draw sorts the whole corpus).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from radares_spark.io import fs
 from radares_spark.operators.dedup import normalize_text
 from radares_spark.pipeline.corpus import _unit_hash
 from radares_spark.streaming.admission_stream import stream_docs
@@ -74,14 +72,7 @@ def _load_snapshot(
     spark: SparkSession, reservoir_dir: str, exclude_epoch: int | None = None
 ) -> DataFrame | None:
     """Newest reservoir snapshot, or None before the first epoch."""
-    if not (
-        os.path.isdir(reservoir_dir)
-        and any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(reservoir_dir)
-            for f in files
-        )
-    ):
+    if not fs.has_parquet(spark, reservoir_dir):
         return None
     snap = spark.read.parquet(reservoir_dir)
     if exclude_epoch is not None:
@@ -157,19 +148,14 @@ def current_reservoir(spark: SparkSession, reservoir_dir: str) -> DataFrame | No
     ).drop("e")
 
 
-def prune_snapshots(reservoir_dir: str, keep: int = 2) -> None:
+def prune_snapshots(
+    spark: SparkSession, reservoir_dir: str, keep: int = 2
+) -> None:
     """Offline maintenance between stream runs: superseded snapshots
     are pure history (each epoch's partition is complete), keep the
-    newest ``keep`` for post-crash forensics and drop the rest."""
-    if not os.path.isdir(reservoir_dir):
-        return
-    epochs = sorted(
-        (
-            int(d.split("=", 1)[1])
-            for d in os.listdir(reservoir_dir)
-            if d.startswith("epoch=")
-        ),
-        reverse=True,
-    )
+    newest ``keep`` for post-crash forensics and drop the rest.
+    Scheme-agnostic: deletes through Hadoop FileSystem, so the same
+    call maintains a file:, hdfs:, or s3a: snapshot store."""
+    epochs = sorted(fs.epoch_partitions(spark, reservoir_dir), reverse=True)
     for e in epochs[keep:]:
-        shutil.rmtree(os.path.join(reservoir_dir, f"epoch={e}"))
+        fs.delete(spark, f"{reservoir_dir.rstrip('/')}/epoch={e}")

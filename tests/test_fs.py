@@ -1,0 +1,115 @@
+"""Scheme-agnostic maintenance-path helpers (io/fs.py): every ledger
+GC / snapshot-prune / commit-inspection call goes through Hadoop's
+FileSystem, resolved from the path's own scheme. These tests drive the
+helpers and the compaction paths through EXPLICIT ``file:`` URIs — the
+paths os.path/shutil-based code would mishandle (os.path.isdir of
+'file:///x' is False) — so a regression back to driver-local FS calls
+fails here, not on the first hdfs://s3a deployment."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from radares_spark.io import fs
+
+
+def _furi(p) -> str:
+    return "file://" + str(p)
+
+
+def test_fs_helpers_on_file_uris(spark, tmp_path):
+    d = tmp_path / "store"
+    assert not fs.exists(spark, _furi(d))
+    assert not fs.has_parquet(spark, _furi(d))
+    assert fs.list_names(spark, _furi(d)) == []
+    assert fs.epoch_partitions(spark, _furi(d)) == []
+    # os-based probes would see nothing behind the scheme prefix
+    assert not os.path.isdir(_furi(d))
+
+    spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "n_rows": [1, 2]})).withColumn(
+        "epoch", F.lit(3)
+    ).write.partitionBy("epoch").parquet(_furi(d))
+    assert fs.exists(spark, _furi(d))
+    assert fs.is_dir(spark, _furi(d))
+    assert fs.has_parquet(spark, _furi(d))
+    assert "epoch=3" in fs.list_names(spark, _furi(d))
+    assert fs.epoch_partitions(spark, _furi(d)) == [3]
+
+    fs.delete(spark, _furi(d / "epoch=3"))
+    assert fs.epoch_partitions(spark, _furi(d)) == []
+    assert not fs.has_parquet(spark, _furi(d))
+    fs.delete(spark, _furi(d / "epoch=3"))  # missing path is a no-op
+
+
+def test_admission_compaction_over_file_uri(spark, tmp_path):
+    """compact_ledger end to end with every path an explicit file: URI
+    — stream a landing dir, compact, verify the fold and the GC."""
+    from radares_spark.streaming.admission_stream import (
+        compact_ledger,
+        run_admission_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf = pd.DataFrame(
+        {"doc_id": range(8), "text": [f"unique document text {i} " * 12 for i in range(8)]}
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(_furi(landing / "f0"))
+
+    ledger = _furi(tmp_path / "ledger")
+    audit = _furi(tmp_path / "audit")
+    ckpt = _furi(tmp_path / "ckpt")
+    run_admission_stream(spark, _furi(landing), ledger, audit, ckpt)
+    assert fs.epoch_partitions(spark, ledger) == [0]
+    led_df = spark.read.parquet(ledger)
+    assert led_df.select("doc_id").distinct().count() == 8
+    before = led_df.drop("epoch").distinct().count()
+
+    compact_ledger(spark, ledger)
+    assert fs.epoch_partitions(spark, ledger) == [-1]
+    assert spark.read.parquet(ledger).drop("epoch").distinct().count() == before
+    # the staging sibling is GC'd
+    assert not fs.exists(spark, ledger.rstrip("/") + "__compact_tmp")
+
+
+def test_hotkeys_maintenance_over_file_uri(spark, tmp_path):
+    """hotkeys fold + generation compaction + snapshot prune, all file:
+    URIs: last_committed_epoch reads the checkpoint's commit log via
+    FileSystem, compaction GC's superseded partitions, totals exact."""
+    from radares_spark.streaming.hotkeys_stream import (
+        compact_hot_ledger,
+        current_top,
+        last_committed_epoch,
+        prune_snapshots,
+        run_hotkeys_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf = pd.DataFrame({"k": ["x"] * 5 + ["y"] * 3 + ["z"] * 2})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(_furi(landing / "f0"))
+
+    led, top, ckpt = (
+        _furi(tmp_path / "led"),
+        _furi(tmp_path / "top"),
+        _furi(tmp_path / "ckpt"),
+    )
+    run_hotkeys_stream(spark, _furi(landing), "k string", ["k"], led, top, ckpt)
+    assert last_committed_epoch(spark, ckpt) == 0
+    snap = {r["k"]: r["n_rows"] for r in current_top(spark, top).collect()}
+    assert snap == {"x": 5, "y": 3, "z": 2}
+
+    compact_hot_ledger(spark, led, ckpt)
+    assert fs.epoch_partitions(spark, led) == [-1]
+    # a second landing folds against the compacted generation
+    spark.createDataFrame(
+        pd.DataFrame({"k": ["y"] * 4})
+    ).coalesce(1).write.parquet(_furi(landing / "f1"))
+    run_hotkeys_stream(spark, _furi(landing), "k string", ["k"], led, top, ckpt)
+    snap = {r["k"]: r["n_rows"] for r in current_top(spark, top).collect()}
+    assert snap == {"x": 5, "y": 7, "z": 2}
+    prune_snapshots(spark, top, keep=1)
+    assert len(fs.epoch_partitions(spark, top)) == 1

@@ -133,7 +133,7 @@ def test_half_finished_compaction_never_double_counts(spark, dirs):
     # superseded delta dir as if GC never ran
     import shutil
 
-    w = last_committed_epoch(dirs["ckpt"])
+    w = last_committed_epoch(spark, dirs["ckpt"])
     backup = {}
     for d in os.listdir(dirs["ledger"]):
         if d.startswith("epoch=") and not d.startswith("epoch=-"):
@@ -162,7 +162,7 @@ def test_compaction_never_folds_uncommitted_epochs(spark, dirs):
 
     from radares_spark.streaming.hotkeys_stream import last_committed_epoch
 
-    w = last_committed_epoch(dirs["ckpt"])
+    w = last_committed_epoch(spark, dirs["ckpt"])
     # plant a delta for an epoch BEYOND the last commit (as a crashed
     # batch would leave behind)
     fake_epoch = w + 1

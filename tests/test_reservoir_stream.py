@@ -94,7 +94,7 @@ def test_replay_after_crash_is_idempotent(spark, dirs):
 
 def test_prune_keeps_newest_snapshots(spark, dirs):
     before = _reservoir(spark, dirs)
-    prune_snapshots(dirs["reservoir"], keep=1)
+    prune_snapshots(spark, dirs["reservoir"], keep=1)
     eps = [d for d in os.listdir(dirs["reservoir"]) if d.startswith("epoch=")]
     assert len(eps) == 1
     assert _reservoir(spark, dirs) == before
