@@ -1001,3 +1001,126 @@ LIBRARY_SPECS["text_winnow_fingerprints"] = QuerySpec(
     f"{WINNOW_W + WINNOW_K - 1} words shares a fingerprint at "
     "~2/(w+1) the gram volume; one bounded per-doc window + distinct.",
 )
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The fingerprint index's consumer — candidate pairs from docs
+    sharing >= ``min_shared`` winnowing fingerprints, verified with
+    the exact fingerprint-set Jaccard and containment. The
+    position-robust complement to ``dup_span_stats``: a passage COPIED
+    AT A DIFFERENT OFFSET keeps its fingerprints (window minima are
+    content-addressed, not position-addressed), so shifted plagiarism
+    that MinHash-at-default-bands misses still collides here, with the
+    paper's guarantee that any shared run of w + k - 1 words shares a
+    fingerprint.
+
+    Returns (doc_a, doc_b, n_shared, fp_jaccard, fp_containment) with
+    doc_a < doc_b. ``n_shared`` counts distinct shared hashes, so both
+    similarity scores are exact set statistics, not estimates —
+    winnowing selects the sample, the scores on the sample are exact.
+
+    Scale shape: the gram/selection pipeline is evaluated ONCE (the
+    collect-and-explode idiom of ``dedup.lsh_pairs``, not a self-join
+    on the fingerprint stream); candidate volume is sum over
+    fingerprint buckets of |bucket|^2, and ``max_bucket`` drops
+    over-shared fingerprints exactly as MOSS does for boilerplate
+    (a stop-fingerprint list) — the same straggler bound as
+    ``lsh_pairs_capped``/``dup_span_stats_capped``."""
+    fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp_hash").distinct()
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    buckets = (
+        fps.groupBy("fp_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    shared = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
+    i = F.col("n_shared").cast("double")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(i / (F.col("__na") + F.col("__nb") - i), 6).alias("fp_jaccard"),
+            F.round(i / F.least("__na", "__nb"), 6).alias("fp_containment"),
+        )
+    )
+
+
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_pairs(docs)
+
+
+WINNOW_PAIRS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               md5(array_to_string(w[i:i + {WINNOW_K - 1}], ' ')) AS h
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - {WINNOW_K - 1})) AS t(i)
+        WHERE len(w) >= {WINNOW_K}
+    ),
+    sel AS (
+        SELECT doc_id,
+               min(struct_pack(h := h, np := -i))
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m
+        FROM wins
+    ),
+    fps AS (SELECT DISTINCT doc_id, m.h AS fp_hash FROM sel),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           round(s.n_shared / (sa.n + sb.n - s.n_shared)::DOUBLE, 6) AS fp_jaccard,
+           round(s.n_shared / least(sa.n, sb.n)::DOUBLE, 6) AS fp_containment
+    FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+                  JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE s.n_shared >= {WINNOW_MIN_SHARED}
+"""
+
+
+LIBRARY_SPECS["text_winnow_pairs"] = QuerySpec(
+    name="text_winnow_pairs",
+    fn=text_winnow_pairs,
+    oracle=WINNOW_PAIRS_SQL,
+    survey="LLM-pipeline (winnowing pair formation + exact "
+    "fingerprint-set verification — the MOSS match stage)",
+    doc=f"Docs sharing >= {WINNOW_MIN_SHARED} distinct winnowing "
+    "fingerprints, scored with exact fingerprint-set Jaccard and "
+    "containment; gram pipeline evaluated once (collect-and-explode), "
+    "max_bucket drops over-shared fingerprints (MOSS stop-list) to "
+    "bound hot-bucket pair volume. Catches shifted passages that "
+    "MinHash-at-default misses (pinned in tests).",
+)
