@@ -344,3 +344,180 @@ def outlink_host_graph(df: DataFrame, html_col: str = "html") -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+# --- Cross-run URL ledger (recrawl idempotency) ------------------------------
+
+OUT_URL_DUP_LEDGER = "url_dup_ledger"
+OUT_URL_DUP_BATCH = "url_dup_batch"
+OUT_URL_KEPT = "kept"
+
+
+def url_ledger_rows(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canonical_url) — the URL ledger representation of a fetched
+    batch: canonical URLs only, one row per doc. NULL canonicals (NULL
+    input url) are excluded — they carry no URL identity, so they must
+    never block a future fetch. The URL twin of
+    ``incremental.ledger_rows``: hashes/strings only, never content
+    bytes, so a year of nightly crawls stays a compact string table."""
+    return (
+        with_canonical_url(df, url_col)
+        .select(id_col, "canonical_url")
+        .filter(F.col("canonical_url").isNotNull())
+    )
+
+
+def incremental_url_dedup(
+    new_pages: DataFrame,
+    ledger: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Admit tonight's fetch list against every canonical URL ever
+    crawled — closing the gap that made ``url_dedup_audit`` batch-only
+    (a recrawl re-admitted every previously-seen URL; r5 verdict #5).
+
+    Returns ``(audit, append_rows)``: audit is one
+    (id, canonical_url, outcome) row per input page —
+    ``url_dup_ledger`` (seen in a prior run), ``url_dup_batch``
+    (duplicate within the batch; min id keeps), or ``kept`` — and
+    ``append_rows`` is the kept docs' ledger rows. Append them
+    (epoch-partitioned, exactly like the admission stream's content
+    ledger) and the next run's fetch list skips tonight's URLs too.
+    Re-admitting an identical batch classifies every URL-bearing doc
+    ``url_dup_ledger`` and appends NOTHING — idempotent by
+    construction, the same contract as ``incremental_dedup``.
+
+    Scale shape: one canonicalization projection over the batch, one
+    semi-join of batch canonicals against the ledger (ledger side
+    scans in place, shuffles only batch-sized keys — persist it
+    bucketed on canonical_url for a zero-Exchange ledger side, same
+    recipe as the admission band join), one batch-sized keeper
+    aggregate. NULL-url docs pass through ``kept`` with NULL
+    canonical (no identity — the ``url_dedup_audit`` spine rule) and
+    never enter the ledger."""
+    canon = with_canonical_url(new_pages, url_col).select(id_col, "canonical_url")
+    with_url = canon.filter(F.col("canonical_url").isNotNull())
+
+    f_ledger = (
+        with_url.join(
+            ledger.select("canonical_url"), "canonical_url", "left_semi"
+        )
+        .select(id_col)
+        .withColumn("__f_led", F.lit(True))
+    )
+    keeper = with_url.groupBy("canonical_url").agg(F.min(id_col).alias("__keep"))
+    f_batch = (
+        with_url.join(keeper, "canonical_url")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+        .withColumn("__f_bat", F.lit(True))
+    )
+    audit = (
+        canon.join(f_ledger, id_col, "left")
+        .join(f_batch, id_col, "left")
+        .select(
+            id_col,
+            "canonical_url",
+            F.when(F.col("__f_led"), F.lit(OUT_URL_DUP_LEDGER))
+            .when(F.col("__f_bat"), F.lit(OUT_URL_DUP_BATCH))
+            .otherwise(F.lit(OUT_URL_KEPT))
+            .alias("outcome"),
+        )
+    )
+    append_rows = with_url.join(
+        audit.filter(F.col("outcome") == OUT_URL_KEPT).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return audit, append_rows
+
+
+# --- Library spec: admission outcomes vs a full DuckDB replay ---------------
+
+URL_LEDGER_SPLIT = 250  # doc_id < split = previously crawled; rest = tonight
+
+# page identity floors doc_id to a multiple of 3, so tonight's batch
+# holds BOTH ledger collisions (page 249 belongs to ledger doc 249) and
+# in-batch triples (docs 252,253,254 share page 252 — min keeps); every
+# 97th doc keeps the NULL-url passthrough branch exercised
+_SYNTH_PAGE_ID = "doc_id - (doc_id % 3)"
+_SYNTH_RECRAWL_URL_SQL = (
+    f"CASE WHEN doc_id % 97 = 0 THEN NULL ELSE"
+    f" 'https://WWW.s' || (({_SYNTH_PAGE_ID}) % 7)::VARCHAR"
+    f" || '.Example.com:443/page/' || ({_SYNTH_PAGE_ID})::VARCHAR"
+    f" || '/?utm_source=x&b=2&a=1' END"
+)
+
+
+def _synth_recrawl_url() -> Column:
+    page = F.col("doc_id") - (F.col("doc_id") % 3)
+    return F.when(
+        F.col("doc_id") % 97 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("https://WWW.s"),
+            (page % 7).cast("string"),
+            F.lit(".Example.com:443/page/"),
+            page.cast("string"),
+            F.lit("/?utm_source=x&b=2&a=1"),
+        )
+    )
+
+
+def url_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-admission scenario over the documents table: the URL
+    ledger holds docs 0..URL_LEDGER_SPLIT-1's canonical URLs (a prior
+    night's crawl); tonight's batch is the rest. The oracle replays
+    canonicalization, the ledger semi-join, the in-batch keeper, and
+    outcome priority in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.withColumn("url", _synth_recrawl_url())
+    ledger = url_ledger_rows(pages.filter(F.col("doc_id") < URL_LEDGER_SPLIT))
+    batch = pages.filter(F.col("doc_id") >= URL_LEDGER_SPLIT)
+    audit, _ = incremental_url_dedup(batch, ledger)
+    return audit
+
+
+URL_INCREMENTAL_SQL = f"""
+    WITH src AS (
+        SELECT doc_id, {_SYNTH_RECRAWL_URL_SQL} AS url
+        FROM documents
+    ),
+    canon AS ({{canon_sql}}),
+    led AS (
+        SELECT DISTINCT canonical_url FROM canon
+        WHERE doc_id < {URL_LEDGER_SPLIT} AND canonical_url IS NOT NULL
+    ),
+    bat AS (
+        SELECT doc_id, canonical_url FROM canon
+        WHERE doc_id >= {URL_LEDGER_SPLIT}
+    ),
+    keeper AS (
+        SELECT canonical_url, min(doc_id) AS keep_id
+        FROM bat WHERE canonical_url IS NOT NULL GROUP BY 1
+    )
+    SELECT b.doc_id, b.canonical_url,
+           CASE WHEN b.canonical_url IN (SELECT canonical_url FROM led)
+                    THEN '{OUT_URL_DUP_LEDGER}'
+                WHEN b.canonical_url IS NOT NULL AND b.doc_id <> k.keep_id
+                    THEN '{OUT_URL_DUP_BATCH}'
+                ELSE '{OUT_URL_KEPT}' END AS outcome
+    FROM bat b LEFT JOIN keeper k ON b.canonical_url = k.canonical_url
+"""
+
+
+LIBRARY_SPECS["url_incremental_audit"] = QuerySpec(
+    name="url_incremental_audit",
+    fn=url_incremental_audit,
+    oracle=URL_INCREMENTAL_SQL.format(canon_sql=canonical_url_sql("src")),
+    survey="LLM-pipeline (cross-run URL ledger: recrawl admission "
+    "against every canonical URL ever crawled)",
+    doc="incremental_url_dedup over a synthesized recrawl scenario "
+    "(ledger collisions, in-batch triples, NULL-url passthrough); "
+    "outcomes and canonical URLs replayed end to end in SQL. One "
+    "batch canonicalization projection + one ledger semi-join + one "
+    "batch keeper aggregate; idempotent on re-admission.",
+)

@@ -282,3 +282,69 @@ def test_canonicalization_conformance_fuzz(spark):
         i: (urls[i], got[i], want[i]) for i in got if got[i] != want[i]
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_incremental_url_dedup_recrawl_idempotency(spark, tmp_path):
+    """r5 verdict #5: URL dedup was batch-only — a recrawl re-admitted
+    every previously-seen URL. Two 'nightly runs' with the ledger
+    appended between them (epoch partitions, the admission-stream
+    layout): run 2 over the SAME fetch list admits nothing, appends
+    nothing; genuinely new URLs still admit."""
+    from radares_spark.operators.urls import (
+        incremental_url_dedup,
+        url_ledger_rows,
+    )
+
+    ledger_dir = str(tmp_path / "url_ledger")
+    night1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "url": [
+                    "HTTP://WWW.Example.COM:80/a?utm_source=x",
+                    "http://example.com/a",  # canonical twin of doc 1
+                    "https://example.com/b",
+                    None,  # no URL identity
+                ],
+            }
+        )
+    )
+    empty_ledger = url_ledger_rows(night1).filter(F.lit(False))
+    audit1, append1 = incremental_url_dedup(night1, empty_ledger)
+    out1 = {r["doc_id"]: r["outcome"] for r in audit1.collect()}
+    assert out1 == {1: "kept", 2: "url_dup_batch", 3: "kept", 4: "kept"}
+    append1.withColumn("epoch", F.lit(0)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch").parquet(ledger_dir)
+
+    # night 2: identical fetch list -> every URL-bearing doc is a
+    # ledger dup, the append set is EMPTY (idempotency)
+    ledger = spark.read.parquet(ledger_dir).drop("epoch")
+    audit2, append2 = incremental_url_dedup(night1, ledger)
+    out2 = {r["doc_id"]: r["outcome"] for r in audit2.collect()}
+    assert out2 == {
+        1: "url_dup_ledger",
+        2: "url_dup_ledger",
+        3: "url_dup_ledger",
+        4: "kept",  # NULL url: no identity, never blocked, never appended
+    }
+    assert append2.count() == 0
+
+    # night 3: one seen URL (cosmetically different), one new
+    night3 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11],
+                "url": [
+                    "http://EXAMPLE.com:80/a/",  # canonicalizes to night-1 doc 1
+                    "https://fresh.example.net/new",
+                ],
+            }
+        )
+    )
+    audit3, append3 = incremental_url_dedup(night3, ledger)
+    out3 = {r["doc_id"]: r["outcome"] for r in audit3.collect()}
+    assert out3 == {10: "url_dup_ledger", 11: "kept"}
+    kept3 = append3.collect()
+    assert [r["doc_id"] for r in kept3] == [11]
+    assert kept3[0]["canonical_url"] == "https://fresh.example.net/new"
