@@ -229,6 +229,15 @@ def main() -> None:
                 else None,
                 "comparable_queries": HEADLINE,
                 "queries": warm,
+                # r5 verdict #7: per-query drift-normalized numbers, so
+                # a single-query regression localizes from the JSON
+                # alone (divide-by-calibration was previously only
+                # precomputed for the frozen-14 total)
+                "queries_per_calibration": {
+                    n: round(t / calibration_s, 2) for n, t in warm.items()
+                }
+                if calibration_s
+                else None,
                 "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
                 "cold_s": cold,
                 "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),
