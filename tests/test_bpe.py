@@ -1,0 +1,189 @@
+"""BPE tokenizer training/encoding (operators/bpe.py): distributed
+trainer == an independent pure-Python replica of Sennrich et al.'s
+reference algorithm (merge tables AND final symbol arrays identical),
+greedy-fold semantics on adversarial chains, deterministic ties,
+encode round-trip incl. OOV fallback. Iterative training has no SQL
+oracle — replica parity is the verification tier, the same as the
+k-means trainer and PageRank."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from radares_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_vocab,
+    train_bpe,
+    word_counts,
+)
+
+# --- independent reference implementation (Sennrich 2016, Algorithm 1)
+
+
+def _ref_normalize(text: str) -> str:
+    x = re.sub(r"[^\x00-\x7F]", " ", text or "")
+    x = x.lower()
+    x = re.sub(r"[^a-z0-9 ]", " ", x)
+    x = re.sub(r" +", " ", x)
+    return x.strip()
+
+
+def _ref_word_counts(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        n = _ref_normalize(t)
+        if n:
+            c.update(n.split(" "))
+    return c
+
+
+def _ref_syms(word: str) -> tuple[str, ...]:
+    chars = list(word)
+    chars[-1] = chars[-1] + EOW
+    return tuple(chars)
+
+
+def _ref_apply(syms: tuple[str, ...], l: str, r: str) -> tuple[str, ...]:
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == l and s == r:
+            out[-1] = l + r
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def _ref_train(wc: Counter, n_merges: int, min_freq: int = 2):
+    table = {w: _ref_syms(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in table.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        # count desc, then (l, r) lexicographic asc — the trainer's tie rule
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((l, r))
+        table = {w: _ref_apply(s, l, r) for w, s in table.items()}
+    return merges, table
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "the new low price the low price",
+    "wider wide widest wider",
+    None,
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(CORPUS)), "text": CORPUS})
+    )
+
+
+def test_train_matches_reference_replica(spark, docs):
+    wc = word_counts(docs)
+    got_wc = {r["word"]: r["n"] for r in wc.collect()}
+    ref_wc = _ref_word_counts(CORPUS)
+    assert got_wc == dict(ref_wc)
+
+    merges, table = train_bpe(wc, n_merges=12)
+    ref_merges, ref_table = _ref_train(ref_wc, 12)
+    assert merges == ref_merges
+    got_table = {r["word"]: tuple(r["syms"]) for r in table.collect()}
+    assert got_table == ref_table
+    # the merges did real work: some word fully collapsed
+    assert any(len(s) == 1 for s in got_table.values())
+
+
+def test_train_matches_replica_on_testdata_sample(spark):
+    """Replica parity on real corpus text (first 40 documents) — the
+    planted corpus above can't hit every interaction; this does the
+    same end-to-end check on organic data."""
+    from radares_spark.io.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    texts = [r["text"] for r in docs.collect()]
+    wc = word_counts(docs)
+    merges, table = train_bpe(wc, n_merges=10)
+    ref_merges, ref_table = _ref_train(_ref_word_counts(texts), 10)
+    assert merges == ref_merges
+    got_table = {r["word"]: tuple(r["syms"]) for r in table.collect()}
+    assert got_table == ref_table
+
+
+def test_greedy_fold_on_adversarial_chain(spark):
+    """'aaaa' under merge (a,a): greedy left-to-right gives (aa, aa) —
+    the just-created symbol must NOT chain into (aaa, a) within the
+    round. The fold and the replica agree by construction; pin both
+    against the hand-computed truth."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["aaaa aaaa aaaa"]})
+    )
+    wc = word_counts(docs)
+    merges, table = train_bpe(wc, n_merges=1, min_freq=1)
+    assert merges == [("a", "a")]
+    syms = tuple(table.collect()[0]["syms"])
+    # hand truth: [a, a, a, a_] under (a,a) — positions 1-2 merge; the
+    # new 'aa' does not chain; position 4 is EOW-marked 'a_' != 'a'
+    assert syms == ("aa", "a", "a" + EOW)
+    assert syms == _ref_apply(_ref_syms("aaaa"), "a", "a")
+
+
+def test_min_freq_stops_training(spark, docs):
+    wc = word_counts(docs)
+    merges, _ = train_bpe(wc, n_merges=500, min_freq=8)
+    ref_merges, _ = _ref_train(_ref_word_counts(CORPUS), 500, min_freq=8)
+    assert merges == ref_merges
+    assert len(merges) < 500  # the floor actually stopped it
+
+
+def test_encode_roundtrip_and_oov_fallback(spark, docs):
+    wc = word_counts(docs)
+    merges, table = train_bpe(wc, n_merges=12)
+    new_docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": ["low price", "zzqx low"],  # zzqx is OOV
+            }
+        )
+    )
+    enc = {r["doc_id"]: r for r in bpe_encode(new_docs, table).collect()}
+    got_table = {r["word"]: list(r["syms"]) for r in table.collect()}
+    assert enc[100]["tokens"] == got_table["low"] + got_table["price"]
+    # OOV falls back to character symbols with the EOW marker
+    assert enc[101]["tokens"] == ["z", "z", "q", "x" + EOW] + got_table["low"]
+    assert enc[101]["n_tokens"] == 4 + len(got_table["low"])
+    # concatenating tokens (EOW -> space) reconstructs the normalized text
+    flat = "".join(enc[100]["tokens"]).replace(EOW, " ").strip()
+    assert flat == "low price"
+
+
+def test_vocab_contents(spark, docs):
+    wc = word_counts(docs)
+    merges, _ = train_bpe(wc, n_merges=5)
+    vocab = {r["symbol"] for r in bpe_vocab(merges, wc).collect()}
+    for l, r in merges:
+        assert l + r in vocab
+    # base characters of every word present
+    assert {"l", "o", "w", "t" + EOW} - vocab == set()
