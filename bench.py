@@ -93,6 +93,9 @@ EXTRA = [
     "corpus_pack_emit",  # r5: packed-sequence materialization
     "corpus_bigram_logprob",  # r5: conditional LM score
     "text_longest_dup_span",  # r5: span-length threshold signal
+    "crawl_pipeline_audit",  # r6: flagship e2e crawl oracle, driver-registered
+    "text_winnow_pairs",  # r6: MOSS match stage (fingerprint pair formation)
+    "url_incremental_audit",  # r6: cross-run URL ledger admission
 ]
 
 LIBRARY_PLANS = {

@@ -45,13 +45,27 @@ def curate_crawl(
     max_per_domain: int | None = None,
     jaccard_threshold: float = 0.8,
     max_bucket: int | None = None,
+    pin_stages: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """``pages`` = (doc_id, url, html). Returns ``(kept, audit)``:
     kept = (doc_id, url, text) surviving docs with extracted, scrubbed
     text; audit = (doc_id, outcome) for EVERY input page, outcome =
     ``kept`` or the first stage that dropped it (``url_dup``,
-    ``domain_capped``, or a ``curate`` stage name)."""
+    ``domain_capped``, or a ``curate`` stage name).
+
+    ``pin_stages`` materializes the URL audit and the extracted+
+    scrubbed text ONCE (``localCheckpoint``): ``curate`` consumes its
+    input from ~6 branches (quality/lang/hash/alive/spine/keeper), and
+    a fully lazy plan re-runs the regex-heavy HTML-extract + PII-scrub
+    chain in EVERY branch — measured 92 parquet-scan subtrees / ~3000
+    regex nodes / 13.8 s warm at sf0.1 before pinning vs 2 scans /
+    ~3.5 s after. A production crawl lands extracted text between
+    stages anyway (the same argument as ``incremental_dedup``'s
+    pin_batch); pass False for a fully lazy plan (plan-shape
+    inspection)."""
     url_audit = url_dedup_audit(pages, url_col="url")
+    if pin_stages:
+        url_audit = url_audit.localCheckpoint(eager=True)
     url_kept = pages.join(
         url_audit.filter(F.col("outcome") == OUT_KEPT).select("doc_id"),
         "doc_id",
@@ -64,6 +78,8 @@ def curate_crawl(
     scrubbed = scrub_pii(extracted, text_col="text").select(
         "doc_id", "url", F.col("clean_text").alias("text")
     )
+    if pin_stages:
+        scrubbed = scrubbed.localCheckpoint(eager=True)
 
     if max_per_domain is not None:
         capped_ids = domain_cap(
