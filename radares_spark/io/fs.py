@@ -19,7 +19,10 @@ flows through ``spark.read``/``write``.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs_and_path(spark: SparkSession, path_str: str):
@@ -70,6 +73,52 @@ def delete(spark: SparkSession, path_str: str) -> None:
     fs, path = _fs_and_path(spark, path_str)
     if fs.exists(path):
         fs.delete(path, True)
+
+
+def fold_epochs(
+    spark: SparkSession,
+    ledger_dir: str,
+    folded: DataFrame,
+    new_epoch: int,
+    supersedes: Callable[[int], bool],
+) -> None:
+    """The crash-safe core every epoch-ledger compactor here shares
+    (admission / URL / hotkeys ledgers — one implementation so the
+    ordering invariant can never silently diverge between copies).
+
+    ``folded`` is the compacted content (no epoch column); it lands as
+    the ``epoch=new_epoch`` partition; partitions for which
+    ``supersedes(e)`` is true are then GC'd. Crash safety is
+    SUPERSET-monotone, not rename-atomic (a two-rename swap had a
+    window where the ledger did not exist — review finding, r5):
+
+    1. stage ``folded`` to a sibling tmp dir FIRST — it reads
+       ``ledger_dir`` lazily, so it must be fully materialized before
+       anything writes into the directory it reads;
+    2. write the staged rows INTO ``ledger_dir`` as the new-epoch
+       partition (dynamic overwrite touches only that partition —
+       a pure ADD when it did not exist before);
+    3. only then delete superseded partitions and the tmp dir.
+
+    A crash at any point leaves the ledger holding a SUPERSET of the
+    compacted rows (duplicates at worst, never a loss); readers that
+    select by epoch rule (newest generation / own-epoch exclusion)
+    are unaffected, and the next compaction heals the duplicates."""
+    tmp = ledger_dir.rstrip("/") + "__compact_tmp"
+    delete(spark, tmp)
+    folded.write.mode("overwrite").parquet(tmp)
+    (
+        spark.read.parquet(tmp)
+        .withColumn("epoch", F.lit(new_epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(ledger_dir)
+    )
+    for e in epoch_partitions(spark, ledger_dir):
+        if supersedes(e):
+            delete(spark, f"{ledger_dir.rstrip('/')}/epoch={e}")
+    delete(spark, tmp)
 
 
 def epoch_partitions(spark: SparkSession, path_str: str) -> list[int]:

@@ -90,9 +90,8 @@ def train_pq(
     the k smallest-md5 vectors per subspace, so an undersized corpus
     would underfill the codebook and every downstream ADC index
     (sub*n_codes + code) would read past the folded table, silently
-    dropping rows from top-k as NULL scores."""
-    if DIM % m != 0:
-        raise ValueError(f"m={m} must divide DIM={DIM}")
+    dropping rows from top-k as NULL scores. (_sub_rows below raises
+    on m not dividing DIM before any corpus work starts.)"""
     d = DIM // m
     n_avail = emb.select("vec_id").distinct().limit(k).count()
     if n_avail < k:

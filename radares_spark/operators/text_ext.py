@@ -967,8 +967,12 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs)
 
 
-WINNOW_SQL = f"""
-    WITH toks AS (
+# shared fingerprint-selection CTEs — WINNOW_SQL and WINNOW_PAIRS_SQL
+# compose this ONE block (the oracle twin of winnow_fingerprints being
+# the single selection implementation both Spark consumers share), so
+# a change to the selection rule can never diverge the two oracles
+_WINNOW_SEL_CTES = f"""
+    toks AS (
         SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
         FROM documents
     ),
@@ -985,6 +989,10 @@ WINNOW_SQL = f"""
                          ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m
         FROM wins
     )
+"""
+
+WINNOW_SQL = f"""
+    WITH {_WINNOW_SEL_CTES}
     SELECT DISTINCT doc_id, (-(m.np))::BIGINT AS fp_pos, m.h AS fp_hash
     FROM sel
 """
@@ -1092,23 +1100,7 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_PAIRS_SQL = f"""
-    WITH toks AS (
-        SELECT doc_id, string_split({NORM_SQL.format(c="coalesce(text, '')")}, ' ') AS w
-        FROM documents
-    ),
-    wins AS (
-        SELECT doc_id, i,
-               md5(array_to_string(w[i:i + {WINNOW_K - 1}], ' ')) AS h
-        FROM toks, LATERAL unnest(generate_series(1, len(w) - {WINNOW_K - 1})) AS t(i)
-        WHERE len(w) >= {WINNOW_K}
-    ),
-    sel AS (
-        SELECT doc_id,
-               min(struct_pack(h := h, np := -i))
-                   OVER (PARTITION BY doc_id ORDER BY i
-                         ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m
-        FROM wins
-    ),
+    WITH {_WINNOW_SEL_CTES},
     fps AS (SELECT DISTINCT doc_id, m.h AS fp_hash FROM sel),
     sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
     shared AS (

@@ -374,6 +374,7 @@ def incremental_url_dedup(
     ledger: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    pin_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Admit tonight's fetch list against every canonical URL ever
     crawled — closing the gap that made ``url_dedup_audit`` batch-only
@@ -397,8 +398,19 @@ def incremental_url_dedup(
     recipe as the admission band join), one batch-sized keeper
     aggregate. NULL-url docs pass through ``kept`` with NULL
     canonical (no identity — the ``url_dedup_audit`` spine rule) and
-    never enter the ledger."""
+    never enter the ledger.
+
+    ``pin_batch`` materializes the canonicalized batch once
+    (``localCheckpoint``): four branches consume it (ledger semi-join,
+    keeper, audit spine, append set), and a lazy plan re-runs the
+    regex canonicalization chain in each — the same multi-branch
+    recomputation ``incremental_dedup``'s pin_batch and
+    ``curate_crawl``'s pin_stages solve. The pinned rows are
+    (id, canonical_url) strings, batch-sized. Pass False for a fully
+    lazy plan."""
     canon = with_canonical_url(new_pages, url_col).select(id_col, "canonical_url")
+    if pin_batch:
+        canon = canon.localCheckpoint(eager=True)
     with_url = canon.filter(F.col("canonical_url").isNotNull())
 
     f_ledger = (

@@ -21,8 +21,13 @@ contract as ``curate`` and ``url_dedup_audit``.
 Scale notes: stages 1–3 are projections plus one canonical-URL
 shuffle; stage 4 is the WindowGroupLimit host shuffle; stage 5 is the
 curate() plan whose shapes are documented on their operators. Nothing
-here adds a new shuffle beyond its constituents — composition is
-plan-level, not materialize-and-reload.
+here adds a new shuffle beyond its constituents. By default the URL
+audit and the extracted+scrubbed text ARE materialized once
+(``pin_stages``, r6): ``curate`` consumes its input from ~6 branches,
+and a fully lazy composition re-ran the regex-heavy extract+scrub
+chain in every one (measured 4.7x at sf0.1 — see
+:func:`curate_crawl`); a production crawl lands extracted text
+between stages anyway.
 """
 
 from __future__ import annotations

@@ -178,32 +178,16 @@ def compact_ledger(
     """
     if not fs.has_parquet(spark, ledger_dir):
         return  # nothing landed yet — compaction is a no-op, not an error
-    tmp = ledger_dir.rstrip("/") + "__compact_tmp"
-    fs.delete(spark, tmp)
-    # stage first: the distinct reads ledger_dir lazily, so it must be
-    # fully materialized elsewhere before anything writes into the dir
-    (
-        spark.read.parquet(ledger_dir)
-        .drop("epoch")
-        .distinct()
-        .write.mode("overwrite")
-        .parquet(tmp)
+    # stage/fold/GC ordering and its crash contract live in ONE place
+    # (fs.fold_epochs) shared by the admission, URL, and hotkeys
+    # compactors; every epoch>=0 row lands in the epoch=-1 partition
+    fs.fold_epochs(
+        spark,
+        ledger_dir,
+        spark.read.parquet(ledger_dir).drop("epoch").distinct(),
+        COMPACTED_EPOCH,
+        supersedes=lambda e: e != COMPACTED_EPOCH,
     )
-    # fold into ledger_dir as the epoch=-1 partition; dynamic overwrite
-    # replaces ONLY that partition, live epochs stay untouched
-    (
-        spark.read.parquet(tmp)
-        .withColumn("epoch", F.lit(COMPACTED_EPOCH))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
-        .parquet(ledger_dir)
-    )
-    # now superseded: every row of every epoch>=0 dir is in epoch=-1
-    for e in fs.epoch_partitions(spark, ledger_dir):
-        if e != COMPACTED_EPOCH:
-            fs.delete(spark, f"{ledger_dir.rstrip('/')}/epoch={e}")
-    fs.delete(spark, tmp)
 
     if bucketed_table is not None:
         from radares_spark.io.bucketing import write_bucketed

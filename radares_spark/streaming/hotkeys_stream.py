@@ -34,9 +34,10 @@ silent corruption):
 Exactly-once: checkpointed file log; a replay loads totals with its
 own delta epoch excluded, so the batch folds into the pre-epoch
 state. Compaction folds ONLY COMMITTED epochs (watermark =
-``last_committed_epoch(checkpoint)``) — folding a crashed,
-not-yet-replayed epoch would hide it inside the generation where the
-replay's exclusion cannot reach it (review finding).
+``last_committed_epoch(spark, checkpoint)`` — maintenance helpers
+take the SparkSession first since the Hadoop-FS refactor) — folding
+a crashed, not-yet-replayed epoch would hide it inside the generation
+where the replay's exclusion cannot reach it (review finding).
 
 Scale: per epoch, one map-side-combined count aggregate over the
 micro-batch, a key-equi merge against the selected ledger rows, and
@@ -218,19 +219,12 @@ def compact_hot_ledger(
         .groupBy(*keys)
         .agg(F.sum("n_rows").alias("n_rows"))
     )
-    tmp = ledger_dir.rstrip("/") + "__compact_tmp"
-    fs.delete(spark, tmp)
-    folded.write.mode("overwrite").parquet(tmp)
-    (
-        spark.read.parquet(tmp)
-        .withColumn("epoch", F.lit(-(w + 1)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
-        .parquet(ledger_dir)
+    # stage/fold/GC via the shared crash-safe core; superseded =
+    # folded deltas (0..w) and any older generation
+    fs.fold_epochs(
+        spark,
+        ledger_dir,
+        folded,
+        -(w + 1),
+        supersedes=lambda e: (0 <= e <= w) or (e < 0 and e != -(w + 1)),
     )
-    # pure GC: everything below is superseded and unreachable
-    for e in fs.epoch_partitions(spark, ledger_dir):
-        if (0 <= e <= w) or (e < 0 and e != -(w + 1)):
-            fs.delete(spark, f"{ledger_dir.rstrip('/')}/epoch={e}")
-    fs.delete(spark, tmp)

@@ -107,27 +107,13 @@ def compact_url_ledger(spark: SparkSession, ledger_dir: str) -> None:
     go negative so compacted history stays visible to replays)."""
     if not fs.has_parquet(spark, ledger_dir):
         return
-    tmp = ledger_dir.rstrip("/") + "__compact_tmp"
-    fs.delete(spark, tmp)
-    (
-        spark.read.parquet(ledger_dir)
-        .drop("epoch")
-        .distinct()
-        .write.mode("overwrite")
-        .parquet(tmp)
+    fs.fold_epochs(
+        spark,
+        ledger_dir,
+        spark.read.parquet(ledger_dir).drop("epoch").distinct(),
+        -1,
+        supersedes=lambda e: e != -1,
     )
-    (
-        spark.read.parquet(tmp)
-        .withColumn("epoch", F.lit(-1))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
-        .parquet(ledger_dir)
-    )
-    for e in fs.epoch_partitions(spark, ledger_dir):
-        if e != -1:
-            fs.delete(spark, f"{ledger_dir.rstrip('/')}/epoch={e}")
-    fs.delete(spark, tmp)
 
 
 # url_ledger_rows re-exported: batch bootstrap (seed the stream's
