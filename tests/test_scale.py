@@ -274,3 +274,34 @@ def test_winnowing_is_corpus_independent_per_doc(spark):
         )
     )
     assert alone and inside == alone
+
+
+def test_winnow_pairs_are_corpus_independent(spark):
+    """The pair former inherits winnowing's locality: candidate pairs
+    come only from docs sharing a fingerprint bucket, so inflating the
+    corpus 4x with vocabulary-disjoint copies must reproduce the
+    original docs' pairs EXACTLY (scores included) and add no pair
+    crossing copy boundaries — the property that keeps per-bucket work
+    flat while bucket count scales with the corpus."""
+    from pyspark.sql import functions as F
+
+    from radares_spark.operators.text_ext import winnow_pairs
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    big = _inflate_docs(docs, INFLATE)
+    alone = sorted(map(tuple, winnow_pairs(docs).collect()))
+    inflated = winnow_pairs(big)
+    inside = sorted(
+        map(
+            tuple,
+            inflated.filter(
+                (F.col("doc_a") < 1_000_000) & (F.col("doc_b") < 1_000_000)
+            ).collect(),
+        )
+    )
+    assert alone and inside == alone
+    # no pair crosses a copy boundary (disjoint vocabularies)
+    crossing = inflated.filter(
+        F.floor(F.col("doc_a") / 1_000_000) != F.floor(F.col("doc_b") / 1_000_000)
+    ).count()
+    assert crossing == 0
