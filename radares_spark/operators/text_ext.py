@@ -1130,3 +1130,91 @@ LIBRARY_SPECS["text_winnow_pairs"] = QuerySpec(
     "bound hot-bucket pair volume. Catches shifted passages that "
     "MinHash-at-default misses (pinned in tests).",
 )
+
+
+# --- Blocklist (banned-word) filter — the C4 badwords stage ------------------
+
+# Demo blocklist: clinical web-spam markers (the C4 deployment swaps in
+# its full published list; entries must be normalize_text-stable, i.e.
+# lowercase [a-z0-9] words, so token-exact matching is well-defined)
+SPAM_BLOCKLIST = ["casino", "lottery", "jackpot", "viagra", "xxx"]
+
+
+def blocklist_stats(
+    docs: DataFrame,
+    words: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc banned-word statistics + the C4 gate (Raffel et al.
+    2020 dropped any page containing ANY list entry): (doc_id,
+    n_tokens, n_banned, banned_ratio, blocklist_pass) — pass = zero
+    hits, ratio reported for softer policies. Matching is token-exact
+    on normalized text (word boundaries — 'class' never trips 'ass'-
+    style substring false positives).
+
+    Scale shape: ONE codegen'd projection — the banned count is a
+    single regexp_count with the word-union pattern over the
+    single-spaced normalized text (the ``stopword_hits`` idiom, which
+    measured 1.5x faster than the interpreted filter-lambda form).
+    Right for curated lists up to a few thousand entries; a 100k-entry
+    blocklist would instead explode tokens and semi-join the broadcast
+    list (one generate + map-side-combined agg), same outputs."""
+    from radares_spark.operators.text import stopword_hits
+
+    words = SPAM_BLOCKLIST if words is None else words
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    staged = docs.select("doc_id", norm.alias("__t"))
+    toks = F.when(F.col("__t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("__t"), " "))
+    )
+    hits = F.when(F.col("__t") == "", F.lit(0)).otherwise(
+        stopword_hits(F.col("__t"), words)
+    )
+    return staged.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        hits.alias("n_banned"),
+        F.round(hits / F.greatest(toks, F.lit(1)).cast("double"), 6).alias(
+            "banned_ratio"
+        ),
+        F.when(hits == 0, 1).otherwise(0).alias("blocklist_pass"),
+    )
+
+
+def text_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_stats(docs)
+
+
+BLOCKLIST_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CASE WHEN t = '' THEN 0
+                    ELSE len(string_split(t, ' ')) END AS n_tokens,
+               CASE WHEN t = '' THEN 0
+                    ELSE len(list_filter(string_split(t, ' '),
+                             x -> list_contains({SPAM_BLOCKLIST!r}, x))) END AS n_banned
+        FROM norm
+    )
+    SELECT doc_id, n_tokens, n_banned,
+           round(n_banned / greatest(n_tokens, 1)::DOUBLE, 6) AS banned_ratio,
+           CASE WHEN n_banned = 0 THEN 1 ELSE 0 END AS blocklist_pass
+    FROM feat
+"""
+
+
+LIBRARY_SPECS["text_blocklist_stats"] = QuerySpec(
+    name="text_blocklist_stats",
+    fn=text_blocklist_stats,
+    oracle=BLOCKLIST_SQL,
+    survey="LLM-pipeline (banned-word blocklist filter, the C4 "
+    "badwords curation stage)",
+    doc="Token-exact banned-word count / ratio / C4 gate (any hit "
+    "drops) per doc over a normalized-token blocklist; one codegen'd "
+    "regexp_count projection, zero shuffles; broadcast-semi-join "
+    "variant documented for 100k-entry lists.",
+)

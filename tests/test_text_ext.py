@@ -564,3 +564,31 @@ def test_winnow_pairs_max_bucket_drops_boilerplate_fp(spark):
     # boilerplate fingerprints live in 4-doc buckets -> dropped; only
     # the pair sharing the additional unique passage survives
     assert capped == {(0, 1)}, capped
+
+
+def test_blocklist_stats_planted(spark):
+    """C4 badwords gate: token-exact matching (substrings never trip),
+    any hit fails the gate, NULL/empty text passes with zero counts."""
+    from radares_spark.operators.text_ext import blocklist_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "a perfectly clean document about gardening",
+                    "win the LOTTERY now casino casino",  # 3 hits, case-folded
+                    "the casinos are lotteries",  # substrings only: clean
+                    None,
+                    "xxx",
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in blocklist_stats(docs).collect()}
+    assert got[0]["n_banned"] == 0 and got[0]["blocklist_pass"] == 1
+    assert got[1]["n_banned"] == 3 and got[1]["blocklist_pass"] == 0
+    assert got[1]["banned_ratio"] == 0.5  # 3 of 6 tokens
+    assert got[2]["n_banned"] == 0 and got[2]["blocklist_pass"] == 1
+    assert got[3]["n_banned"] == 0 and got[3]["n_tokens"] == 0 and got[3]["blocklist_pass"] == 1
+    assert got[4]["n_banned"] == 1 and got[4]["blocklist_pass"] == 0
