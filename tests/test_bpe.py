@@ -187,3 +187,32 @@ def test_vocab_contents(spark, docs):
         assert l + r in vocab
     # base characters of every word present
     assert {"l", "o", "w", "t" + EOW} - vocab == set()
+
+
+def test_merge_fold_matches_replica_on_random_chains(spark):
+    """200 seeded random words over the alphabet {a, b} (worst case
+    for overlapping-pair ambiguity) x 3 merge rules: the codegen'd
+    fold must equal the reference greedy application on every one —
+    one DataFrame pass per rule, not 600 jobs."""
+    import numpy as np
+
+    from radares_spark.operators.bpe import _initial_symbols, _merge_fold
+
+    rng = np.random.default_rng(42)
+    words = [
+        "".join(rng.choice(list("ab"), size=n))
+        for n in rng.integers(1, 12, size=200)
+    ]
+    pdf = pd.DataFrame({"word": words})
+    base = spark.createDataFrame(pdf).select(
+        "word", _initial_symbols(F.col("word")).alias("syms")
+    )
+    for l, r in [("a", "a"), ("a", "b"), ("b", "a" + EOW)]:
+        got = {
+            row["word"]: tuple(row["out"])
+            for row in base.select(
+                "word", _merge_fold(l, r).alias("out")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == _ref_apply(_ref_syms(w), l, r), (w, l, r)
