@@ -235,6 +235,45 @@ def write_ivfpq_layout(
     )
 
 
+def encode_residuals(
+    emb: DataFrame, assignment: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(vec_id, embedding = v - centroid[cell]) — the residual frame
+    Jégou 2011's IVF-ADC actually quantizes (§5.1): residuals carry
+    far less variance than raw vectors (the coarse quantizer already
+    explained the cell-level structure), so the SAME MxK codebook
+    spends its 16 codes per subspace on a tighter distribution —
+    smaller quantization error at identical storage. One broadcast
+    join + one zip_with projection; ``emb`` is (vec_id, embedding),
+    ``assignment``/``centroids`` are build_ivf_index's outputs."""
+    v = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return (
+        v.join(assignment, "vec_id")
+        .join(F.broadcast(centroids.select("cell", "cv")), "cell")
+        .select(
+            "vec_id",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
+        )
+    )
+
+
+def train_ivfpq_residual(
+    emb: DataFrame,
+    assignment: DataFrame,
+    centroids: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+) -> DataFrame:
+    """Residual-PQ codebook: :func:`train_pq` over the residual frame.
+    Pair with ``write_ivfpq_layout(encode_residuals(...), ...)`` and
+    ``probe_ivfpq_topk(..., residual_store=True)``."""
+    return train_pq(encode_residuals(emb, assignment, centroids), m, k, iters)
+
+
 def probe_ivfpq_topk(
     spark,
     path: str,
@@ -245,12 +284,22 @@ def probe_ivfpq_topk(
     k: int = 5,
     m: int = PQ_M,
     n_codes: int = PQ_K,
+    residual_store: bool = False,
 ) -> DataFrame:
     """ADC top-k against a :func:`write_ivfpq_layout` store: queries
     route to their n_probe nearest IVF cells (broadcast centroids),
     the store scan partition-prunes to those cells, and scoring is the
     same M-lookup codegen'd ADC as :func:`pq_topk` — per-probe I/O is
     (n_probe/n_cells) x (M bytes per vector).
+
+    ``residual_store=True`` scores a store whose codes quantize
+    RESIDUALS (:func:`encode_residuals` + :func:`train_ivfpq_residual`):
+    dot(q, x) decomposes exactly as dot(q, c) + dot(q, x - c), so the
+    score adds the per-(query, cell) constant dot(q, centroid) to the
+    ADC sum over the residual codebook — same lookup count, the only
+    extra work is one scalar per probe row, and the approximation
+    error drops to PQ-of-residual error (measurably better recall,
+    pinned in tests/test_pq.py).
 
     ``queries`` here carries (vec_id, embedding, v, nrm) as produced
     by the similarity loaders; ``centroids`` is build_ivf_index's
@@ -264,24 +313,29 @@ def probe_ivfpq_topk(
         F.col("nrm").alias("qn"),
     )
     qcos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    # the raw dot rides along: it is the exact dot(q, centroid) term a
+    # residual store adds back to every ADC score in that cell
+    qdotc = dot("qv", "cv") if residual_store else F.lit(0.0)
     pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .select("query_id", "qv", "cell", qcos.alias("qc"))
+        .select("query_id", "qv", "cell", qcos.alias("qc"), qdotc.alias("qdc"))
         .withColumn("prn", F.row_number().over(pw))
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "cell", "qdc")
     )
     # per-(query, cell) ADC tables — same fold as pq_topk, built from
     # the probe rows' query subvectors
     qsub = probes.select(
         "query_id",
         "cell",
+        "qdc",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         F.col("qv"),
     ).select(
         "query_id",
         "cell",
+        "qdc",
         "sub",
         F.slice(F.col("qv"), F.col("sub") * d + 1, F.lit(d)).alias("sv"),
     )
@@ -291,17 +345,18 @@ def probe_ivfpq_topk(
     )
     table = (
         qsub.join(F.broadcast(codebook), "sub")
-        .select("query_id", "cell", "sub", "code", qdot.alias("t"))
+        .select("query_id", "cell", "qdc", "sub", "code", qdot.alias("t"))
         .groupBy("query_id", "cell")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("sub", "code", "t"))),
                 lambda s: s.t,
-            ).alias("tarr")
+            ).alias("tarr"),
+            F.first("qdc").alias("qdc"),
         )
     )
     stored = spark.read.parquet(path)
-    score = sum(
+    score = F.col("qdc") + sum(
         F.element_at(
             F.col("tarr"),
             (F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
