@@ -1,0 +1,168 @@
+"""Engine-native text embeddings via feature hashing (Weinberger et
+al. 2009, "Feature Hashing for Large Scale Multitask Learning") —
+the bridge between the text stack and the similarity/ANN stack: every
+similarity operator here (cosine/IVF/PQ top-k, SemDeDup, hyperplane
+LSH) consumes an ``array<double>`` column, and until now only the
+synthetic embeddings table provided one. ``hashed_tf`` turns raw text
+into such a column with no external model:
+
+- token -> bucket ``md5(token) % dim``, with a SIGN from an
+  independent hash bit (the Weinberger sign trick: collisions add
+  with random sign, so inner products stay unbiased);
+- bucket values are (signed) token counts, optionally IDF-weighted
+  (``tf_idf=True`` — ln((N+1)/(df+1)) from one document-frequency
+  aggregate, broadcast);
+- L2-normalized, so downstream cosine is a plain dot.
+
+Scale shape: one gram-stream aggregate per doc x bucket (map-side
+combined; at most ``dim`` rows per doc), one regroup to assemble the
+array. The IDF table is vocabulary-sized but only its AGGREGATE rides
+the join (distinct tokens per doc); the broadcast is the per-token
+IDF map — for web-scale vocabularies swap the broadcast for a plain
+equi-join, same semantics. Everything is md5-deterministic, so the
+DuckDB mirror hash-matches bit-for-bit and dedup/banding downstream
+stays engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dedup import NORM_SQL, normalize_text
+from radares_spark.registry import QuerySpec
+
+EMBED_DIM = 16
+
+
+def _bucket(tok: Column, dim: int) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+
+def _sign(tok: Column) -> Column:
+    # independent hash bit (salted stream): +1 / -1
+    return F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("sgn:"), tok)), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def hashed_tf(
+    docs: DataFrame,
+    dim: int = EMBED_DIM,
+    tf_idf: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, embedding array<double>) — L2-normalized hashed
+    bag-of-words vectors. Docs whose normalized text is empty produce
+    no tokens and are DROPPED (a zero vector poisons every cosine —
+    the same rule ``embedding_store_health`` audits); preserve a doc
+    spine downstream with a left join."""
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    toks = (
+        docs.select("doc_id", norm.alias("__t"))
+        .filter(F.col("__t") != "")
+        .select("doc_id", F.explode(F.split("__t", " ")).alias("tok"))
+    )
+    if tf_idf:
+        n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+        df_tab = (
+            toks.select("doc_id", "tok")
+            .distinct()
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "tok", F.log((F.col("n") + 1) / (F.col("df") + 1)).alias("w")
+            )
+        )
+        toks = toks.join(F.broadcast(df_tab), "tok")
+    else:
+        toks = toks.withColumn("w", F.lit(1.0))
+    cells = (
+        toks.select(
+            "doc_id",
+            _bucket(F.col("tok"), dim).alias("i"),
+            (_sign(F.col("tok")) * F.col("w")).alias("x"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("x").alias("x"))
+    )
+    vec = (
+        cells.groupBy("doc_id")
+        .agg(F.map_from_arrays(F.collect_list("i"), F.collect_list("x")).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("m")[i.cast("long")], F.lit(0.0)),
+            ).alias("raw"),
+        )
+    )
+    nrm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    return vec.select(
+        "doc_id",
+        F.when(nrm == 0, F.col("raw"))
+        .otherwise(F.transform("raw", lambda x: x / nrm))
+        .alias("embedding"),
+    )
+
+
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded, rounded form for the oracle (array<double> outputs
+    don't hash-compare; (doc_id, i, v) rows do)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_tf(docs, EMBED_DIM)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "v")
+    ).select("doc_id", "i", F.round("v", 6).alias("v"))
+
+
+HASH_EMBED_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+        FROM (SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    cells AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {EMBED_DIM} AS i,
+               sum(CASE WHEN ('0x' || substr(md5('sgn:' || tok), 1, 8))::BIGINT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END) AS x
+        FROM toks GROUP BY doc_id, i
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(sum(x * x)) AS n FROM cells GROUP BY doc_id
+    ),
+    grid AS (
+        SELECT d.doc_id, g.i
+        FROM (SELECT DISTINCT doc_id FROM cells) d,
+             (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS i) g
+    )
+    SELECT g.doc_id, g.i,
+           round(coalesce(c.x, 0.0) / CASE WHEN n.n = 0 THEN 1 ELSE n.n END, 6) AS v
+    FROM grid g
+    LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.i = g.i
+    JOIN nrm n ON n.doc_id = g.doc_id
+"""
+
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "text_hash_embed": QuerySpec(
+        name="text_hash_embed",
+        fn=text_hash_embed,
+        oracle=HASH_EMBED_SQL,
+        survey="LLM-pipeline (feature-hashing text embeddings, "
+        "Weinberger 2009 — engine-native vectors feeding the "
+        "similarity/ANN/SemDeDup stack)",
+        doc=f"L2-normalized {EMBED_DIM}-bucket signed hashed "
+        "bag-of-words per doc, exploded to (doc_id, i, v) for the "
+        "oracle; one map-side-combined (doc, bucket) aggregate + one "
+        "doc regroup, md5-deterministic across engines.",
+    ),
+}
