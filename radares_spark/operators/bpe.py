@@ -37,8 +37,10 @@ lineage stays bounded (the PageRank recipe).
 
 ``bpe_encode`` tokenizes documents with the trained table the way
 fast tokenizers do: the trained word -> symbols mapping is a
-broadcast dictionary join for in-vocabulary words; out-of-vocabulary
-words fall back to character symbols. Zero Python on either path.
+dictionary join for in-vocabulary words (no forced broadcast hint —
+the table is vocabulary-sized, AQE decides from stats);
+out-of-vocabulary words fall back to character symbols. Zero Python
+on either path.
 """
 
 from __future__ import annotations
@@ -153,7 +155,8 @@ def bpe_encode(
 ) -> DataFrame:
     """(doc_id, tokens array<string>, n_tokens) — tokenize documents
     with a trained word table. In-vocabulary words resolve through a
-    broadcast dictionary join (the fast-tokenizer word cache);
+    dictionary join (the fast-tokenizer word cache; AQE decides
+    broadcast vs shuffle from the table's actual size);
     out-of-vocabulary words fall back to character symbols. Token
     order is the document's word order (positional explode + ordered
     regroup)."""
@@ -161,7 +164,10 @@ def bpe_encode(
     toks = docs.select(
         "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "word")
     ).filter(F.col("word") != "")
-    vocab = F.broadcast(word_syms.select("word", "syms"))
+    # no broadcast HINT: the trained word table is vocabulary-sized
+    # (~10^7-10^8 rows at web scale) — AQE picks broadcast vs shuffle
+    # from runtime stats; a forced hint would OOM the driver at scale
+    vocab = word_syms.select("word", "syms")
     joined = toks.join(vocab, "word", "left").select(
         "doc_id",
         "pos",

@@ -16,10 +16,10 @@ into such a column with no external model:
 
 Scale shape: one gram-stream aggregate per doc x bucket (map-side
 combined; at most ``dim`` rows per doc), one regroup to assemble the
-array. The IDF table is vocabulary-sized but only its AGGREGATE rides
-the join (distinct tokens per doc); the broadcast is the per-token
-IDF map — for web-scale vocabularies swap the broadcast for a plain
-equi-join, same semantics. Everything is md5-deterministic, so the
+array. The IDF table is vocabulary-sized, so it joins WITHOUT a
+broadcast hint — AQE picks broadcast vs shuffle from runtime stats
+(small curated vocab broadcasts itself; a web-scale one shuffles
+instead of OOMing the driver). Everything is md5-deterministic, so the
 DuckDB mirror hash-matches bit-for-bit and dedup/banding downstream
 stays engine-portable.
 """
@@ -80,7 +80,10 @@ def hashed_tf(
                 "tok", F.log((F.col("n") + 1) / (F.col("df") + 1)).alias("w")
             )
         )
-        toks = toks.join(F.broadcast(df_tab), "tok")
+        # no broadcast HINT: the IDF table is vocabulary-sized (~10^8
+        # rows at web scale) — let AQE pick broadcast vs shuffle from
+        # runtime stats instead of forcing a driver OOM at scale
+        toks = toks.join(df_tab, "tok")
     else:
         toks = toks.withColumn("w", F.lit(1.0))
     cells = (
