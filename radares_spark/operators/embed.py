@@ -155,6 +155,52 @@ HASH_EMBED_SQL = f"""
 """
 
 
+def text_hash_embed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_tf(docs, EMBED_DIM, tf_idf=True)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "v")
+    ).select("doc_id", "i", F.round("v", 6).alias("v"))
+
+
+# N counts ALL docs (incl. NULL/empty text — they are corpus members
+# even though they emit no tokens), mirroring hashed_tf's count(*)
+HASH_EMBED_TFIDF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+        FROM (SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    idf AS (
+        SELECT tok,
+               ln(((SELECT count(*) FROM documents) + 1)
+                  / (count(DISTINCT doc_id) + 1)::DOUBLE) AS w
+        FROM toks GROUP BY tok
+    ),
+    cells AS (
+        SELECT t.doc_id,
+               ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % {EMBED_DIM} AS i,
+               sum((CASE WHEN ('0x' || substr(md5('sgn:' || t.tok), 1, 8))::BIGINT % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) * idf.w) AS x
+        FROM toks t JOIN idf USING (tok) GROUP BY t.doc_id, i
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(sum(x * x)) AS n FROM cells GROUP BY doc_id
+    ),
+    grid AS (
+        SELECT d.doc_id, g.i
+        FROM (SELECT DISTINCT doc_id FROM cells) d,
+             (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS i) g
+    )
+    SELECT g.doc_id, g.i,
+           round(coalesce(c.x, 0.0) / CASE WHEN n.n = 0 THEN 1 ELSE n.n END, 6) AS v
+    FROM grid g
+    LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.i = g.i
+    JOIN nrm n ON n.doc_id = g.doc_id
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
     "text_hash_embed": QuerySpec(
         name="text_hash_embed",
@@ -167,5 +213,17 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "bag-of-words per doc, exploded to (doc_id, i, v) for the "
         "oracle; one map-side-combined (doc, bucket) aggregate + one "
         "doc regroup, md5-deterministic across engines.",
+    ),
+    "text_hash_embed_tfidf": QuerySpec(
+        name="text_hash_embed_tfidf",
+        fn=text_hash_embed_tfidf,
+        oracle=HASH_EMBED_TFIDF_SQL,
+        survey="LLM-pipeline (IDF-weighted feature-hashing embeddings)",
+        doc="The tf_idf=True branch hash-verified end to end: per-token "
+        "ln((N+1)/(df+1)) from one document-frequency aggregate (N "
+        "counts ALL docs incl. token-less ones), signed-bucket "
+        "accumulation, L2 normalization — same shapes as the TF form "
+        "plus one vocabulary-keyed equi-join (AQE-sized, no forced "
+        "broadcast).",
     ),
 }
