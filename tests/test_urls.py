@@ -348,3 +348,62 @@ def test_incremental_url_dedup_recrawl_idempotency(spark, tmp_path):
     kept3 = append3.collect()
     assert [r["doc_id"] for r in kept3] == [11]
     assert kept3[0]["canonical_url"] == "https://fresh.example.net/new"
+
+
+def test_url_ledger_bucketed_join_shuffles_only_the_batch(spark, tmp_path):
+    """The docstring's scale recipe, plan-asserted (the admission band
+    join's test_band_join_shuffles_only_the_batch twin): persist the
+    URL ledger bucketed on canonical_url and the nightly admission
+    semi-join shuffles ONLY the batch — exactly one Exchange, ledger
+    side scans its buckets in place."""
+    from radares_spark.io.bucketing import write_bucketed
+    from radares_spark.operators.urls import url_ledger_rows
+
+    ledger_pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(100),
+                "url": [f"https://site{i % 9}.example.com/p/{i}" for i in range(100)],
+            }
+        )
+    )
+    write_bucketed(
+        url_ledger_rows(ledger_pages),
+        "url_ledger_b",
+        str(tmp_path / "url_ledger_b"),
+        ["canonical_url"],
+        4,
+    )
+    batch_pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [500, 501],
+                "url": [
+                    "https://site1.example.com/p/1",  # seen
+                    "https://new.example.com/x",  # fresh
+                ],
+            }
+        )
+    )
+    from radares_spark.operators.urls import with_canonical_url
+
+    batch = (
+        with_canonical_url(batch_pages)
+        .select("doc_id", "canonical_url")
+        .localCheckpoint()  # cut lineage: isolate the join plan
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = batch.join(
+            spark.table("url_ledger_b").select("canonical_url"),
+            "canonical_url",
+            "left_semi",
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SelectedBucketsCount: 4 out of 4" in plan
+        assert [r["doc_id"] for r in joined.collect()] == [500]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
