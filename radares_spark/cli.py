@@ -120,6 +120,32 @@ def cmd_corpus_health(spark: SparkSession, docs_path: str) -> DataFrame:
     return corpus_health_report(docs)
 
 
+def cmd_curate_crawl(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    max_per_domain: int | None = None,
+) -> dict[str, int]:
+    """The flagship crawl-curation pipeline as an operator command:
+    read a parquet pages store (doc_id, url, html), run
+    ``pipeline.crawl.curate_crawl`` end to end, land ``kept/`` and
+    ``audit/`` parquet under ``out_dir``, and return the per-outcome
+    counts (what an operator scans first)."""
+    from radares_spark.pipeline.crawl import curate_crawl
+
+    pages = spark.read.parquet(pages_path).select("doc_id", "url", "html")
+    kept, audit = curate_crawl(pages, max_per_domain=max_per_domain)
+    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "kept"))
+    audit.write.mode("overwrite").parquet(os.path.join(out_dir, "audit"))
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "audit"))
+        .groupBy("outcome")
+        .count()
+        .collect()
+    )
+    return {r["outcome"]: r["count"] for r in rows}
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -142,6 +168,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--expected", type=int, default=TOTAL_EQUIP)
     ch = sub.add_parser("corpus-health")
     ch.add_argument("--docs", required=True, help="parquet documents store")
+    cc = sub.add_parser("curate-crawl")
+    cc.add_argument("--pages", required=True, help="parquet pages store (doc_id, url, html)")
+    cc.add_argument("--out", required=True, help="output dir (kept/ + audit/)")
+    cc.add_argument("--max-per-domain", type=int, default=None)
     args = p.parse_args(argv)
     if args.cmd == "verify" and not args.warehouse:
         p.error("verify requires --warehouse")
@@ -151,6 +181,11 @@ def main(argv: list[str] | None = None) -> int:
         p.error(f"{args.cmd} requires --warehouse, --landing, --checkpoint")
 
     spark = get_spark("radares-spark-cli")
+    if args.cmd == "curate-crawl":
+        counts = cmd_curate_crawl(spark, args.pages, args.out, args.max_per_domain)
+        for outcome in sorted(counts):
+            print(f"{outcome}: {counts[outcome]}")
+        return 0
     if args.cmd == "corpus-health":
         for r in cmd_corpus_health(spark, args.docs).orderBy("source").collect():
             print(

@@ -135,3 +135,43 @@ def test_corpus_health_needs_only_docs_flag():
     assert 'p.add_argument("--warehouse")' in src
     assert "required=True" not in src.split("add_subparsers")[0]
     assert "corpus-health" in src
+
+
+def test_curate_crawl_subcommand(spark, tmp_path, capsys):
+    """The flagship pipeline through the public CLI: pages in, kept/ +
+    audit/ parquet out, per-outcome counts printed; URL-dup pages never
+    reach the kept store."""
+    import pandas as pd
+
+    from radares_spark.cli import main
+
+    body_a = "genuine prose with the quick brown fox and many more words " * 5
+    body_b = (
+        "an entirely different article about the history of astronomy "
+        "and the telescopes that mapped the sky in early modern times " * 5
+    )
+    pages = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "url": [
+                "https://a.example.com/page?utm_source=x",
+                "https://A.example.com:443/page",  # canonical twin of 0
+                "https://b.example.com/other",
+            ],
+            "html": [
+                f"<html><body><p>{b}</p></body></html>"
+                for b in (body_a, body_a, body_b)
+            ],
+        }
+    )
+    src = tmp_path / "pages"
+    spark.createDataFrame(pages).write.parquet(str(src))
+    out = tmp_path / "out"
+    rc = main(["curate-crawl", "--pages", str(src), "--out", str(out)])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "url_dup: 1" in printed and "kept: 2" in printed
+    kept = spark.read.parquet(str(out / "kept"))
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {0, 2}
+    audit = spark.read.parquet(str(out / "audit"))
+    assert audit.count() == 3
