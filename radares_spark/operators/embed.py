@@ -30,20 +30,23 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.operators.dedup import NORM_SQL, normalize_text
+from radares_spark.operators.dedup import NORM_SQL, _md5, normalize_text
 from radares_spark.registry import QuerySpec
 
 EMBED_DIM = 16
 
 
 def _bucket(tok: Column, dim: int) -> Column:
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+    # shared _md5 (explicit UTF-8 encode) — the cross-engine hashing
+    # recipe every other operator standardized on (review finding:
+    # this module was the one call site relying on the implicit cast)
+    return F.conv(F.substring(_md5(tok), 1, 8), 16, 10).cast("long") % dim
 
 
 def _sign(tok: Column) -> Column:
     # independent hash bit (salted stream): +1 / -1
     return F.when(
-        F.conv(F.substring(F.md5(F.concat(F.lit("sgn:"), tok)), 1, 8), 16, 10)
+        F.conv(F.substring(_md5(F.concat(F.lit("sgn:"), tok)), 1, 8), 16, 10)
         .cast("long")
         % 2
         == 0,
@@ -58,10 +61,12 @@ def hashed_tf(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, embedding array<double>) — L2-normalized hashed
-    bag-of-words vectors. Docs whose normalized text is empty produce
-    no tokens and are DROPPED (a zero vector poisons every cosine —
-    the same rule ``embedding_store_health`` audits); preserve a doc
-    spine downstream with a left join."""
+    bag-of-words vectors. Docs with no tokens (empty normalized text)
+    AND docs whose raw vector has zero norm (all-ubiquitous tokens
+    under tf_idf — every IDF weight 0 — or full sign cancellation) are
+    DROPPED: a zero vector poisons every cosine, the same rule
+    ``embedding_store_health`` audits. Preserve a doc spine downstream
+    with a left join."""
     norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     toks = (
         docs.select("doc_id", norm.alias("__t"))
@@ -69,6 +74,13 @@ def hashed_tf(
         .select("doc_id", F.explode(F.split("__t", " ")).alias("tok"))
     )
     if tf_idf:
+        # pin the token stream ONCE: both the document-frequency
+        # aggregate and the join probe consume it, and lazily each
+        # re-runs the 4-regexp normalize chain + explode over the
+        # corpus (review finding; measured 1.9 s lazy vs 1.4 s pinned
+        # warm at sf0.1 — unlike winnow's post-shuffle aggregate,
+        # this subtree is a pre-shuffle projection AQE cannot reuse)
+        toks = toks.localCheckpoint(eager=True)
         n_docs = docs.select(F.count(F.lit(1)).alias("n"))
         df_tab = (
             toks.select("doc_id", "tok")
@@ -106,12 +118,19 @@ def hashed_tf(
             ).alias("raw"),
         )
     )
+    # zero-norm vectors are DROPPED, not emitted (review finding: the
+    # previous nrm==0 branch returned the all-zero vector, which the
+    # docstring forbids and embedding_store_health flags — reachable
+    # via all-ubiquitous-token docs under tf_idf (every IDF weight 0)
+    # or full sign cancellation under plain TF)
     nrm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
-    return vec.select(
-        "doc_id",
-        F.when(nrm == 0, F.col("raw"))
-        .otherwise(F.transform("raw", lambda x: x / nrm))
-        .alias("embedding"),
+    return (
+        vec.withColumn("__n", nrm)
+        .filter(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            F.transform("raw", lambda x: x / F.col("__n")).alias("embedding"),
+        )
     )
 
 
@@ -148,10 +167,11 @@ HASH_EMBED_SQL = f"""
              (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS i) g
     )
     SELECT g.doc_id, g.i,
-           round(coalesce(c.x, 0.0) / CASE WHEN n.n = 0 THEN 1 ELSE n.n END, 6) AS v
+           round(coalesce(c.x, 0.0) / n.n, 6) AS v
     FROM grid g
     LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.i = g.i
     JOIN nrm n ON n.doc_id = g.doc_id
+    WHERE n.n > 0
 """
 
 
@@ -194,10 +214,11 @@ HASH_EMBED_TFIDF_SQL = f"""
              (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS i) g
     )
     SELECT g.doc_id, g.i,
-           round(coalesce(c.x, 0.0) / CASE WHEN n.n = 0 THEN 1 ELSE n.n END, 6) AS v
+           round(coalesce(c.x, 0.0) / n.n, 6) AS v
     FROM grid g
     LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.i = g.i
     JOIN nrm n ON n.doc_id = g.doc_id
+    WHERE n.n > 0
 """
 
 

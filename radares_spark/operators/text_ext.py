@@ -1158,10 +1158,28 @@ def blocklist_stats(
     measured 1.5x faster than the interpreted filter-lambda form).
     Right for curated lists up to a few thousand entries; a 100k-entry
     blocklist would instead explode tokens and semi-join the broadcast
-    list (one generate + map-side-combined agg), same outputs."""
+    list (one generate + map-side-combined agg), same outputs.
+
+    Entries are VALIDATED, not trusted (review finding): they must be
+    normalize_text-stable lowercase [a-z0-9]+ words — real published
+    badword lists carry regex metacharacters ('$', '*', ...) that
+    would silently anchor-away their own matches inside the word-union
+    pattern, and an empty list would make the empty alternative match
+    every token boundary, failing every doc. Both now raise."""
+    import re
+
     from radares_spark.operators.text import stopword_hits
 
     words = SPAM_BLOCKLIST if words is None else words
+    if not words:
+        raise ValueError("blocklist is empty — the empty regex "
+                         "alternative would match every token boundary")
+    bad = [w for w in words if not re.fullmatch(r"[a-z0-9]+", w or "")]
+    if bad:
+        raise ValueError(
+            "blocklist entries must be normalize_text-stable lowercase "
+            f"[a-z0-9]+ words (pre-normalize your list); offending: {bad[:5]}"
+        )
     norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     staged = docs.select("doc_id", norm.alias("__t"))
     toks = F.when(F.col("__t") == "", F.lit(0)).otherwise(

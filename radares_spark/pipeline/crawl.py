@@ -103,6 +103,13 @@ def curate_crawl(
         jaccard_threshold=jaccard_threshold,
         max_bucket=max_bucket,
     )
+    if pin_stages:
+        # kilobyte-scale (doc_id, outcome) rows; BOTH return values
+        # consume it (kept's semi-join and audit's union), and lazily
+        # each re-ran the entire curate() DAG — a dual-output caller
+        # (the CLI writing kept/ then audit/) paid the curation
+        # shuffles twice (review finding)
+        content_audit = content_audit.localCheckpoint(eager=True)
     kept = domain_kept.join(
         content_audit.filter(F.col("outcome") == OUT_KEPT).select("doc_id"),
         "doc_id",

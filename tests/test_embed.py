@@ -90,3 +90,23 @@ def test_bridges_into_similarity_stack(spark, frame):
     rows = cosine_topk(normed, q, k=2).orderBy("rank").collect()
     assert [r["neighbor_id"] for r in rows] == [1, 2]  # near-dup first
     assert rows[0]["cos_sim"] > rows[1]["cos_sim"] + 0.3
+
+
+def test_zero_norm_vectors_are_dropped_not_emitted(spark):
+    """Review finding: a doc whose every token is corpus-ubiquitous
+    gets IDF 0 on all of them -> zero raw vector; the old nrm==0
+    branch EMITTED it (poisoning downstream cosines with divide-by-
+    zero NULLs). It must be dropped, same as token-less docs."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["common", "common alpha beta", "common gamma delta"],
+            }
+        )
+    )
+    out = hashed_tf(docs, tf_idf=True)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2}  # doc 0's only token has IDF 0 -> dropped
+    for r in out.collect():
+        assert abs(np.linalg.norm(np.array(r["embedding"])) - 1.0) < 1e-9

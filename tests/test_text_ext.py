@@ -592,3 +592,19 @@ def test_blocklist_stats_planted(spark):
     assert got[2]["n_banned"] == 0 and got[2]["blocklist_pass"] == 1
     assert got[3]["n_banned"] == 0 and got[3]["n_tokens"] == 0 and got[3]["blocklist_pass"] == 1
     assert got[4]["n_banned"] == 1 and got[4]["blocklist_pass"] == 0
+
+
+def test_blocklist_rejects_unsafe_or_empty_lists(spark):
+    """Review finding: published badword lists carry regex
+    metacharacters that would silently anchor-away their own matches,
+    and an empty list's empty alternative matches every boundary —
+    both must raise, not corrupt counts."""
+    from radares_spark.operators.text_ext import blocklist_stats
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
+    with pytest.raises(ValueError, match="empty"):
+        blocklist_stats(docs, words=[])
+    with pytest.raises(ValueError, match="offending"):
+        blocklist_stats(docs, words=["fine", "a$$"])
+    with pytest.raises(ValueError, match="offending"):
+        blocklist_stats(docs, words=["Upper"])
