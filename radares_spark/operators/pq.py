@@ -90,8 +90,13 @@ def train_pq(
     the k smallest-md5 vectors per subspace, so an undersized corpus
     would underfill the codebook and every downstream ADC index
     (sub*n_codes + code) would read past the folded table, silently
-    dropping rows from top-k as NULL scores. (_sub_rows below raises
-    on m not dividing DIM before any corpus work starts.)"""
+    dropping rows from top-k as NULL scores. The DIM % m check is
+    hoisted here, BEFORE the distinct-count guard, so an invalid m
+    never pays a corpus scan (it also re-fires inside _sub_rows for
+    that function's other callers)."""
+    if DIM % m != 0:
+        raise ValueError(f"m={m} must divide DIM={DIM}: trailing dimensions "
+                         "would be silently dropped from every distance")
     d = DIM // m
     n_avail = emb.select("vec_id").distinct().limit(k).count()
     if n_avail < k:

@@ -43,7 +43,7 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_ivf_index(
-    normed: DataFrame, n_cells: int = 8, iters: int = 3
+    normed: DataFrame, n_cells: int = 8, iters: int = 3, dim: int = DIM
 ) -> tuple[DataFrame, DataFrame]:
     """Train a k-means coarse quantizer with Lloyd iterations expressed
     as DataFrame ops, and assign every vector to its cell.
@@ -63,6 +63,12 @@ def build_ivf_index(
     (oracle-checkable in SQL); this trainer is the production variant —
     its quality gate is the recall test in tests/test_ivf.py, not a SQL
     oracle (iterative k-means is not reasonably SQL-expressible).
+
+    ``dim`` must match the vectors' length (default: the embeddings
+    table's 64). The unrolled norm expressions silently truncate to
+    the first ``dim`` terms otherwise — threading it explicitly is
+    what lets hashed_tf vectors (dim 2^12+) train an index
+    (tests/test_embed.py sf0.1 bridge).
     """
     seeds = (
         normed.select("vec_id", "v")
@@ -74,7 +80,7 @@ def build_ivf_index(
     centroids = seeds.select(
         (F.row_number().over(w_seed) - 1).alias("cell"),
         F.transform(F.col("v"), lambda x: x.cast("double")).alias("cv"),
-    ).select("cell", "cv", l2norm("cv").alias("cn"))
+    ).select("cell", "cv", l2norm("cv", dim).alias("cn"))
 
     assign_w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     for _ in range(iters):
@@ -94,7 +100,7 @@ def build_ivf_index(
             cells.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
             .select("cell", F.transform(F.col("ic"), lambda s: s.c).alias("cv"))
-            .select("cell", "cv", l2norm("cv").alias("cn"))
+            .select("cell", "cv", l2norm("cv", dim).alias("cn"))
         )
 
     sim = pair_dot("v", "cv") / (F.col("nrm") * F.col("cn"))
@@ -108,13 +114,15 @@ def build_ivf_index(
     return assignment, centroids
 
 
-def _route_probes(queries: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
+def _route_probes(
+    queries: DataFrame, centroids: DataFrame, n_probe: int, dim: int = DIM
+) -> DataFrame:
     """(query_id, qv, qn, cell) — each query routed to its ``n_probe``
     nearest centroid cells (broadcast centroids; ties on cell id)."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    qcos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    qcos = dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
     pw = W.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
     return (
         q.crossJoin(F.broadcast(centroids))
@@ -141,13 +149,15 @@ def ivf_probe_topk(
     queries: DataFrame,
     n_probe: int = N_PROBE,
     k: int = TOP_K,
+    dim: int = DIM,
 ) -> DataFrame:
     """ANN search against a trained IVF index: route each query to its
     ``n_probe`` nearest cells, exact-score only vectors in those cells.
     Searched fraction ~ n_probe/n_cells of the corpus; with the corpus
     stored partitioned by cell the probe join partition-prunes the scan
-    (:func:`probe_stored_topk` is that materialized form)."""
-    probes = _route_probes(queries, centroids, n_probe)
+    (:func:`probe_stored_topk` is that materialized form). ``dim``
+    must match the vectors' length (see build_ivf_index)."""
+    probes = _route_probes(queries, centroids, n_probe, dim)
     corpus = normed.join(assignment, "vec_id")
     cos = F.round(pair_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
     scored = (
@@ -187,6 +197,7 @@ def probe_stored_topk(
     queries: DataFrame,
     n_probe: int = N_PROBE,
     k: int = TOP_K,
+    dim: int = DIM,
 ) -> DataFrame:
     """ANN top-k against a :func:`write_ivf_layout` store. The
     broadcast probe join's cell keys reach the scan as a
@@ -194,7 +205,7 @@ def probe_stored_topk(
     tests/test_ivf.py) — unprobed cells' files are never read, making
     "searched fraction = n_probe/n_cells" literal I/O, not just
     row-filter arithmetic."""
-    probes = _route_probes(queries, centroids, n_probe)
+    probes = _route_probes(queries, centroids, n_probe, dim)
     stored = spark.read.parquet(path)
     cos = F.round(pair_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
     scored = (

@@ -137,6 +137,7 @@ def compact_ledger(
     bucketed_table: str | None = None,
     bucketed_path: str | None = None,
     n_buckets: int = 16,
+    checkpoint: str | None = None,
 ) -> None:
     """Offline ledger maintenance — run BETWEEN stream runs, with the
     stream stopped and every landed epoch committed (the same window
@@ -175,18 +176,40 @@ def compact_ledger(
     keys (``io/bucketing.write_bucketed``) — the layout under which
     the nightly admission band join scans the ledger side with zero
     Exchange (plan-asserted in tests/test_incremental.py).
+
+    ``checkpoint`` (the stream's checkpointLocation) gates folding on
+    the commit watermark, mirroring ``compact_hot_ledger``: only
+    epochs ``<= last_committed_epoch`` fold into ``epoch=-1``. A
+    written-but-uncommitted epoch (crash between the sink's writes and
+    the checkpoint commit) must stay an EXCLUDABLE delta — once folded
+    into ``epoch=-1``, the replay's own-epoch exclusion
+    (``_load_ledger``) could no longer excise it and the replayed
+    audit partition would misclassify kept docs as corpus duplicates.
+    Without ``checkpoint`` every epoch folds (the pre-r7 behavior) —
+    only safe when the caller KNOWS the last run stopped cleanly.
     """
     if not fs.has_parquet(spark, ledger_dir):
         return  # nothing landed yet — compaction is a no-op, not an error
+    led = spark.read.parquet(ledger_dir)
+    if checkpoint is not None:
+        w = fs.last_committed_epoch(spark, checkpoint)
+        if w is None:
+            return  # nothing committed yet — nothing is safe to fold
+        led = led.filter(
+            (F.col("epoch") == COMPACTED_EPOCH) | (F.col("epoch") <= F.lit(w))
+        )
+        committed = lambda e: e <= w  # noqa: E731
+    else:
+        committed = lambda e: True  # noqa: E731
     # stage/fold/GC ordering and its crash contract live in ONE place
     # (fs.fold_epochs) shared by the admission, URL, and hotkeys
-    # compactors; every epoch>=0 row lands in the epoch=-1 partition
+    # compactors; every committed epoch>=0 row lands in epoch=-1
     fs.fold_epochs(
         spark,
         ledger_dir,
-        spark.read.parquet(ledger_dir).drop("epoch").distinct(),
+        led.drop("epoch").distinct(),
         COMPACTED_EPOCH,
-        supersedes=lambda e: e != COMPACTED_EPOCH,
+        supersedes=lambda e: e != COMPACTED_EPOCH and committed(e),
     )
 
     if bucketed_table is not None:

@@ -68,12 +68,10 @@ __all__ = [
 
 def last_committed_epoch(spark: SparkSession, checkpoint: str) -> int | None:
     """Highest batch id with a commit marker, or None before the first
-    commit — the only epochs compaction may fold. Scheme-agnostic
-    (checkpoints live next to the ledger on hdfs://s3a in production):
-    goes through Hadoop FileSystem, not os.listdir."""
-    names = fs.list_names(spark, checkpoint.rstrip("/") + "/commits")
-    ids = [int(n) for n in names if n.isdigit()]
-    return max(ids) if ids else None
+    commit — the only epochs compaction may fold. Moved to ``io/fs``
+    (r7) so the admission and URL compactors share the same watermark
+    gate; re-exported here for the original callers."""
+    return fs.last_committed_epoch(spark, checkpoint)
 
 
 def _effective_rows(

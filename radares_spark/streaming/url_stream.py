@@ -98,21 +98,41 @@ def run_url_admission_stream(
     q.awaitTermination()
 
 
-def compact_url_ledger(spark: SparkSession, ledger_dir: str) -> None:
-    """Offline maintenance between stream runs: fold every epoch's
-    canonical URLs into one distinct ``epoch=-1`` partition — the
-    admission stream's ``compact_ledger`` recipe verbatim (distinct is
-    a no-op on a healthy ledger but makes compaction idempotent and
+def compact_url_ledger(
+    spark: SparkSession, ledger_dir: str, checkpoint: str | None = None
+) -> None:
+    """Offline maintenance between stream runs: fold every COMMITTED
+    epoch's canonical URLs into one distinct ``epoch=-1`` partition —
+    the admission stream's ``compact_ledger`` recipe verbatim (distinct
+    is a no-op on a healthy ledger but makes compaction idempotent and
     self-healing; crash states are superset-monotone; batch ids never
-    go negative so compacted history stays visible to replays)."""
+    go negative so compacted history stays visible to replays).
+
+    ``checkpoint`` gates folding on ``fs.last_committed_epoch``: a
+    written-but-uncommitted epoch must stay an excludable delta for
+    its crash-replay — folded into ``epoch=-1`` it would escape
+    ``_load_url_ledger``'s own-epoch exclusion and the replayed audit
+    would misclassify kept docs as ``url_dup_ledger`` (ledger SET
+    content stays right either way; the audit would not). Without
+    ``checkpoint`` every epoch folds — only safe when the caller knows
+    the last stream run stopped cleanly."""
     if not fs.has_parquet(spark, ledger_dir):
         return
+    led = spark.read.parquet(ledger_dir)
+    if checkpoint is not None:
+        w = fs.last_committed_epoch(spark, checkpoint)
+        if w is None:
+            return  # nothing committed yet — nothing is safe to fold
+        led = led.filter((F.col("epoch") == -1) | (F.col("epoch") <= F.lit(w)))
+        committed = lambda e: e <= w  # noqa: E731
+    else:
+        committed = lambda e: True  # noqa: E731
     fs.fold_epochs(
         spark,
         ledger_dir,
-        spark.read.parquet(ledger_dir).drop("epoch").distinct(),
+        led.drop("epoch").distinct(),
         -1,
-        supersedes=lambda e: e != -1,
+        supersedes=lambda e: e != -1 and committed(e),
     )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from radares_spark.io import fs
 from radares_spark.io.tables import load_table
 from radares_spark.operators.incremental import (
     OUT_EXACT_CORPUS,
@@ -279,6 +280,53 @@ def test_partial_compaction_is_superset_safe(spark, dirs):
     assert [d for d in os.listdir(dirs["ledger"]) if d.startswith("epoch=")] == [
         f"epoch={COMPACTED_EPOCH}"
     ]
+
+
+def test_admission_compaction_gates_on_commit_watermark(spark, tmp_path):
+    """r6 ADVICE (url_stream twin): with the checkpoint passed,
+    compact_ledger folds only committed epochs — a written-but-
+    uncommitted epoch stays an excludable delta so its crash-replay
+    can reconstruct the exact pre-epoch ledger state."""
+    import os
+
+    from radares_spark.streaming.admission_stream import compact_ledger
+
+    landing = str(tmp_path / "landing")
+    ledger = str(tmp_path / "ledger")
+    audit_dir = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    _docs(spark, 0, 10).coalesce(1).write.mode("append").parquet(landing)
+    run_admission_stream(spark, landing, ledger, audit_dir, ckpt)
+    _docs(spark, 20, 30).coalesce(1).write.mode("append").parquet(landing)
+    run_admission_stream(spark, landing, ledger, audit_dir, ckpt)
+    audit_before = {
+        (r["doc_id"], r["outcome"])
+        for r in spark.read.parquet(audit_dir).collect()
+    }
+
+    commits_dir = os.path.join(ckpt, "commits")
+    newest = max(f for f in os.listdir(commits_dir) if f.isdigit())
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    compact_ledger(spark, ledger, checkpoint=ckpt)
+    assert sorted(fs.epoch_partitions(spark, ledger)) == [-1, int(newest)]
+
+    # replay of the uncommitted epoch recomputes identical outcomes
+    run_admission_stream(spark, landing, ledger, audit_dir, ckpt)
+    assert {
+        (r["doc_id"], r["outcome"])
+        for r in spark.read.parquet(audit_dir).collect()
+    } == audit_before
+
+    # all committed now -> full fold; and a commit-less checkpoint no-ops
+    compact_ledger(spark, ledger, checkpoint=ckpt)
+    assert fs.epoch_partitions(spark, ledger) == [-1]
+    compact_ledger(spark, ledger, checkpoint=str(tmp_path / "no_ckpt"))
+    assert fs.epoch_partitions(spark, ledger) == [-1]
 
 
 def test_compact_before_first_landing_is_a_noop(spark, tmp_path):

@@ -20,6 +20,7 @@ from radares_spark.operators.bpe import (
     bpe_encode,
     bpe_vocab,
     train_bpe,
+    train_bpe_batched,
     word_counts,
 )
 
@@ -76,6 +77,47 @@ def _ref_train(wc: Counter, n_merges: int, min_freq: int = 2):
         merges.append((l, r))
         table = {w: _ref_apply(s, l, r) for w, s in table.items()}
     return merges, table
+
+
+def _ref_train_batched(
+    wc: Counter,
+    n_merges: int,
+    min_freq: int = 2,
+    batch_size: int = 16,
+    candidate_factor: int = 4,
+):
+    """Pure-Python replica of train_bpe_batched's EXACT selection rule:
+    stale counts, rank (cnt desc, (l, r) asc), top batch*factor
+    candidate window, symbol-disjoint greedy pick, rank-order apply."""
+    table = {w: _ref_syms(w) for w in wc}
+    merges: list[tuple[str, str]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
+        k = min(batch_size, n_merges - len(merges))
+        pairs: Counter = Counter()
+        for w, syms in table.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        cands = sorted(
+            ((p, c) for p, c in pairs.items() if c >= min_freq),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: k * candidate_factor]
+        used: set[str] = set()
+        picked: list[tuple[str, str]] = []
+        for (l, r), _ in cands:
+            if len(picked) >= k:
+                break
+            if l in used or r in used:
+                continue
+            picked.append((l, r))
+            used.update((l, r))
+        if not picked:
+            break
+        for l, r in picked:
+            table = {w: _ref_apply(s, l, r) for w, s in table.items()}
+        merges.extend(picked)
+    return merges, table, rounds
 
 
 CORPUS = [
@@ -177,6 +219,93 @@ def test_encode_roundtrip_and_oov_fallback(spark, docs):
     # concatenating tokens (EOW -> space) reconstructs the normalized text
     flat = "".join(enc[100]["tokens"]).replace(EOW, " ").strip()
     assert flat == "low price"
+
+
+def test_batched_equals_sequential_when_picks_are_disjoint(spark):
+    """Non-interacting corpus (disjoint two-letter words, separated
+    frequencies): batched and sequential training produce IDENTICAL
+    merge tables and word tables, in fewer rounds — one pair-aggregate
+    job instead of four."""
+    text = " ".join(
+        ["ab"] * 10 + ["cd"] * 8 + ["ef"] * 6 + ["gh"] * 4
+    )
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    wc = word_counts(docs)
+    seq_merges, seq_table = train_bpe(wc, n_merges=4)
+    bat_merges, bat_table, rounds = train_bpe_batched(wc, n_merges=4, batch_size=4)
+    assert bat_merges == seq_merges == [
+        ("a", "b" + EOW),
+        ("c", "d" + EOW),
+        ("e", "f" + EOW),
+        ("g", "h" + EOW),
+    ]
+    assert {r["word"]: tuple(r["syms"]) for r in bat_table.collect()} == {
+        r["word"]: tuple(r["syms"]) for r in seq_table.collect()
+    }
+    assert rounds == 1  # measured reduction: 4 sequential jobs -> 1
+
+
+def test_batched_matches_replica_on_planted_interacting_case(spark):
+    """Planted interaction: sequential recounts after merging (a,b_)
+    and promotes the newly created (x,ab_)=7 over (c,d_)=6; batched
+    sees only stale counts, blocks (x,a) as non-disjoint, and picks
+    (c,d_) instead. The divergence is EXACTLY the documented
+    stale-count semantics — pinned here against the replica, with the
+    sequential trainer as the exact oracle for its own list."""
+    text = " ".join(["xab"] * 7 + ["ab"] * 3 + ["cd"] * 6)
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    wc = word_counts(docs)
+    ref_wc = _ref_word_counts([text])
+
+    seq_merges, _ = train_bpe(wc, n_merges=2)
+    assert seq_merges == [("a", "b" + EOW), ("x", "ab" + EOW)]
+
+    bat_merges, bat_table, rounds = train_bpe_batched(wc, n_merges=2, batch_size=2)
+    ref_merges, ref_table, ref_rounds = _ref_train_batched(
+        ref_wc, n_merges=2, batch_size=2
+    )
+    assert bat_merges == ref_merges == [("a", "b" + EOW), ("c", "d" + EOW)]
+    assert {r["word"]: tuple(r["syms"]) for r in bat_table.collect()} == ref_table
+    assert rounds == ref_rounds == 1
+
+
+def test_batched_matches_replica_on_testdata_sample(spark):
+    """Replica parity on organic corpus text, plus the measured
+    round-count reduction the batched trainer exists for."""
+    from radares_spark.io.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    texts = [r["text"] for r in docs.collect()]
+    wc = word_counts(docs)
+    merges, table, rounds = train_bpe_batched(wc, n_merges=24, batch_size=8)
+    ref_merges, ref_table, ref_rounds = _ref_train_batched(
+        _ref_word_counts(texts), n_merges=24, batch_size=8
+    )
+    assert merges == ref_merges
+    assert {r["word"]: tuple(r["syms"]) for r in table.collect()} == ref_table
+    assert rounds == ref_rounds
+    assert rounds <= 6  # >= 4x fewer pair-aggregate jobs than sequential's 24
+
+
+def test_encode_preserves_doc_spine_for_tokenless_docs(spark, docs):
+    """r6 ADVICE: NULL / empty / whitespace-only docs must yield
+    (doc_id, [], 0) rather than vanishing — downstream consumers join
+    encode output back on doc_id and must not lose the spine."""
+    wc = word_counts(docs)
+    _, table = train_bpe(wc, n_merges=3)
+    new_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["low", None, "", "   "]})
+    )
+    enc = {r["doc_id"]: r for r in bpe_encode(new_docs, table).collect()}
+    assert set(enc) == {1, 2, 3, 4}  # every input doc_id present
+    for d in (2, 3, 4):
+        assert enc[d]["tokens"] == [] and enc[d]["n_tokens"] == 0
+    assert enc[1]["n_tokens"] > 0
 
 
 def test_vocab_contents(spark, docs):

@@ -175,3 +175,77 @@ def test_curate_crawl_subcommand(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {0, 2}
     audit = spark.read.parquet(str(out / "audit"))
     assert audit.count() == 3
+
+
+def test_crawl_nightly_three_night_recrawl(spark, tmp_path, capsys):
+    """r6 verdict #5: the fetch-list → incremental_url_dedup →
+    append-epoch → curate sequence as ONE crawl-nightly command.
+    Three nights against one ledger dir: night 2's unchanged URLs
+    fetch NOTHING (all url_dup_ledger); night 3's genuinely new URL
+    is the only fetch; ledger epochs accumulate 0,1,2."""
+    import pandas as pd
+
+    from radares_spark.cli import main
+    from radares_spark.io import fs as iofs
+
+    def _pages(rows):
+        body = (
+            "genuine prose with the quick brown fox and many more words "
+            "covering several sentences of plausible english text " * 5
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in rows],
+                "url": [u for _, u in rows],
+                "html": [
+                    f"<html><body><p>{body} article {i}</p></body></html>"
+                    for i, _ in rows
+                ],
+            }
+        )
+
+    ledger = str(tmp_path / "url_ledger")
+
+    def _night(n, rows):
+        src = tmp_path / f"pages{n}"
+        spark.createDataFrame(_pages(rows)).write.parquet(str(src))
+        out = tmp_path / f"out{n}"
+        rc = main(
+            ["crawl-nightly", "--pages", str(src), "--url-ledger", ledger,
+             "--out", str(out)]
+        )
+        assert rc == 0
+        return out, capsys.readouterr().out
+
+    # night 1: two distinct URLs, both fetched and curated
+    out1, p1 = _night(1, [(0, "https://a.example.com/x?utm_source=s"),
+                          (1, "https://b.example.com/y")])
+    assert "discovered: 2" in p1 and "fetched: 2" in p1
+    assert iofs.epoch_partitions(spark, ledger) == [0]
+
+    # night 2: the SAME urls recrawled (new doc_ids) — nothing fetches
+    out2, p2 = _night(2, [(10, "https://A.example.com:443/x"),
+                          (11, "https://b.example.com/y")])
+    assert "fetched: 0" in p2 and "url_dup_ledger: 2" in p2
+    assert spark.read.parquet(str(out2 / "audit")).count() == 0
+    # nothing admitted -> the epoch write lands zero partitions; the
+    # ledger is byte-identical to night 1 (idempotent recrawl)
+    assert sorted(iofs.epoch_partitions(spark, ledger)) == [0]
+
+    # night 3: one unchanged + one genuinely new URL — only the new fetches
+    out3, p3 = _night(3, [(20, "https://b.example.com/y"),
+                          (21, "https://c.example.com/fresh")])
+    assert "fetched: 1" in p3 and "url_dup_ledger: 1" in p3
+    kept3 = spark.read.parquet(str(out3 / "kept"))
+    assert {r["doc_id"] for r in kept3.select("doc_id").collect()} == {21}
+    assert sorted(iofs.epoch_partitions(spark, ledger)) == [0, 1]
+    # ledger holds exactly the three canonical URLs ever admitted
+    urls = {
+        r["canonical_url"]
+        for r in spark.read.parquet(ledger).select("canonical_url").collect()
+    }
+    assert urls == {
+        "https://a.example.com/x",
+        "https://b.example.com/y",
+        "https://c.example.com/fresh",
+    }

@@ -71,8 +71,8 @@ def test_admission_compaction_over_file_uri(spark, tmp_path):
     compact_ledger(spark, ledger)
     assert fs.epoch_partitions(spark, ledger) == [-1]
     assert spark.read.parquet(ledger).drop("epoch").distinct().count() == before
-    # the staging sibling is GC'd
-    assert not fs.exists(spark, ledger.rstrip("/") + "__compact_tmp")
+    # the staging sibling is GC'd (suffixed with the target epoch, r7)
+    assert not fs.exists(spark, ledger.rstrip("/") + "__compact_tmp_e-1")
 
 
 def test_hotkeys_maintenance_over_file_uri(spark, tmp_path):

@@ -148,3 +148,58 @@ def test_url_ledger_compaction_preserves_urls(spark, dirs):
     )
     got = {r["doc_id"]: r["outcome"] for r in audit.collect()}
     assert got == {20: "url_dup_ledger", 21: "kept"}
+
+
+def test_url_compaction_never_folds_uncommitted_epochs(spark, tmp_path):
+    """r6 ADVICE: an epoch written but not yet committed (crash between
+    the sink's writes and the checkpoint commit) must NOT fold into
+    epoch=-1 — once folded, the replay's own-epoch exclusion can't
+    excise it and the replayed audit misclassifies kept docs as
+    url_dup_ledger. With the checkpoint passed, compaction folds only
+    committed epochs; the replay then recomputes identical outcomes."""
+    landing = str(tmp_path / "landing")
+    ledger = str(tmp_path / "ledger")
+    audit_dir = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    _pages(spark, NIGHT1).coalesce(1).write.mode("append").parquet(landing)
+    run_url_admission_stream(spark, landing, ledger, audit_dir, ckpt)
+    _pages(spark, NIGHT2).coalesce(1).write.mode("append").parquet(landing)
+    run_url_admission_stream(spark, landing, ledger, audit_dir, ckpt)
+    audit_before = {
+        (r["doc_id"], r["outcome"])
+        for r in spark.read.parquet(audit_dir).collect()
+    }
+
+    # crash window: epoch 1's sink writes landed, its commit did not
+    commits_dir = os.path.join(ckpt, "commits")
+    newest = max(f for f in os.listdir(commits_dir) if f.isdigit())
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    compact_url_ledger(spark, ledger, checkpoint=ckpt)
+    # committed epoch 0 folded; uncommitted epoch 1 stays excludable
+    assert sorted(fs.epoch_partitions(spark, ledger)) == [-1, int(newest)]
+
+    # the replay recomputes the same outcomes (doc 10 is a ledger dup
+    # against night-1 history, NOT against its own replayed rows)
+    run_url_admission_stream(spark, landing, ledger, audit_dir, ckpt)
+    assert {
+        (r["doc_id"], r["outcome"])
+        for r in spark.read.parquet(audit_dir).collect()
+    } == audit_before
+
+    # with every epoch committed, a second compaction folds the rest
+    compact_url_ledger(spark, ledger, checkpoint=ckpt)
+    assert fs.epoch_partitions(spark, ledger) == [-1]
+
+    # before any commit exists, a gated compaction is a no-op
+    empty_ckpt = str(tmp_path / "ckpt_empty")
+    probe = str(tmp_path / "probe_ledger")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "canonical_url": ["http://x/a"], "epoch": [0]})
+    ).write.partitionBy("epoch").parquet(probe)
+    compact_url_ledger(spark, probe, checkpoint=empty_ckpt)
+    assert fs.epoch_partitions(spark, probe) == [0]
