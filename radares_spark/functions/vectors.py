@@ -62,16 +62,40 @@ def _term(a: str, b: str, i: int) -> str:
     )
 
 
+# above this, the unrolled "+"-chain fails Spark's SQL parser outright
+# (FAILED_TO_PARSE_TOO_COMPLEX at dim=4096); the HOF fold below takes
+# over — interpreted per element, so keep large-dim call sites on
+# SMALL frames (centroid tables, probe routing); bulk scoring at any
+# dim goes through the Arrow-batched pair_dot
+UNROLL_MAX = 256
+
+
+def _fold_dot(a: str, b: str) -> Column:
+    # left-to-right fold — zip_with + aggregate bracket ((t0+t1)+t2)...
+    # exactly like the unrolled chain and DuckDB's list_reduce
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def dot(a: str, b: str, dim: int = DIM) -> Column:
     """``a . b`` where a/b are COLUMN NAMES (optionally qualified like
     ``x.v``). Built as one SQL string -> one py4j round trip; building
     the same tree with Column operators costs hundreds of JVM calls
-    (~15 s of driver time per query at dim=64)."""
-    return F.expr(" + ".join(_term(a, b, i) for i in range(dim)))
+    (~15 s of driver time per query at dim=64). Above UNROLL_MAX the
+    codegen'd unrolled chain gives way to an identical-bracketing HOF
+    fold (the parser rejects 4096-term chains)."""
+    if dim <= UNROLL_MAX:
+        return F.expr(" + ".join(_term(a, b, i) for i in range(dim)))
+    return _fold_dot(a, b)
 
 
 def l2norm(a: str, dim: int = DIM) -> Column:
-    return F.sqrt(F.expr(" + ".join(_term(a, a, i) for i in range(dim))))
+    if dim <= UNROLL_MAX:
+        return F.sqrt(F.expr(" + ".join(_term(a, a, i) for i in range(dim))))
+    return F.sqrt(_fold_dot(a, a))
 
 
 # DuckDB mirror: normalized double vectors + norms per row.

@@ -39,8 +39,11 @@ lineage stays bounded (the PageRank recipe).
 fast tokenizers do: the trained word -> symbols mapping is a
 dictionary join for in-vocabulary words (no forced broadcast hint —
 the table is vocabulary-sized, AQE decides from stats);
-out-of-vocabulary words fall back to character symbols. Zero Python
-on either path.
+out-of-vocabulary words fall back to character symbols — zero Python
+on either of those paths — or, when the merge list is passed, get the
+trained merges applied (Sennrich apply_bpe semantics) via an
+Arrow-batched UDF over the DISTINCT OOV vocabulary only, never the
+corpus token stream.
 """
 
 from __future__ import annotations
@@ -240,8 +243,57 @@ def train_bpe_batched(
     return merges, table, rounds
 
 
+def _apply_merges_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched word -> BPE symbol array under a trained merge
+    list — the Sennrich ``apply_bpe`` encode semantics: repeatedly
+    select the LOWEST-RANK adjacent pair present anywhere in the word
+    and merge every occurrence greedy left-to-right, until no trained
+    pair remains. The rank table rides the closure (a tokenizer
+    artifact — 32k pairs is kilobytes-to-megabytes, not a corpus
+    object)."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def apply_pair(syms: list[str], l: str, r: str) -> list[str]:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        return out
+
+    @F.pandas_udf("array<string>")
+    def enc(words):
+        out = []
+        for w in words:
+            syms = list(w)
+            syms[-1] = syms[-1] + EOW
+            while len(syms) > 1:
+                best = min(
+                    (
+                        (ranks[p], i)
+                        for i, p in enumerate(zip(syms, syms[1:]))
+                        if p in ranks
+                    ),
+                    default=None,
+                )
+                if best is None:
+                    break
+                l, r = merges[best[0]]
+                syms = apply_pair(syms, l, r)
+            out.append(syms)
+        return pd.Series(out)
+
+    return enc
+
+
 def bpe_encode(
-    docs: DataFrame, word_syms: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    word_syms: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """(doc_id, tokens array<string>, n_tokens) — tokenize documents
     with a trained word table. In-vocabulary words resolve through a
@@ -256,7 +308,24 @@ def bpe_encode(
     vanishing — token-less docs drop out of the word explode, so the
     aggregate rejoins the input's doc_ids left (hashed_tf's
     drop-and-rejoin contract, applied here instead of documented
-    away; review finding r6)."""
+    away; review finding r6).
+
+    ``merges`` (the ordered merge list ``train_bpe`` returns) turns on
+    REAL OOV encoding: an unseen word gets the trained merges applied
+    (Sennrich apply_bpe: merge the lowest-rank pair present,
+    repeat) instead of degrading to characters — so "lowest" encodes
+    as [low, est_] under a table trained before that word existed,
+    exactly what a production tokenizer does with fresh data. The
+    merge application runs over DISTINCT OOV words only (the word
+    cache: anti-join, apply, union back into the dictionary), so the
+    Arrow-batched UDF touches the OOV vocabulary, never the corpus
+    token stream. Known corner (shared with reference BPE
+    implementations): a word whose chronological training segmentation
+    skipped an early pair that a later merge re-created can encode
+    differently through the min-rank path than the trained table
+    recorded — in-vocabulary words always resolve through the trained
+    table first, so this affects only OOV words, where no trained
+    segmentation exists to disagree with."""
     norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     toks = docs.select(
         "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "word")
@@ -265,6 +334,16 @@ def bpe_encode(
     # (~10^7-10^8 rows at web scale) — AQE picks broadcast vs shuffle
     # from runtime stats; a forced hint would OOM the driver at scale
     vocab = word_syms.select("word", "syms")
+    if merges is not None:
+        oov = (
+            toks.select("word")
+            .distinct()
+            .join(vocab.select("word"), "word", "left_anti")
+        )
+        oov_syms = oov.select(
+            "word", _apply_merges_udf(merges)(F.col("word")).alias("syms")
+        )
+        vocab = vocab.unionByName(oov_syms)
     joined = toks.join(vocab, "word", "left").select(
         "doc_id",
         "pos",

@@ -107,31 +107,67 @@ def hashed_tf(
         .groupBy("doc_id", "i")
         .agg(F.sum("x").alias("x"))
     )
-    vec = (
-        cells.groupBy("doc_id")
-        .agg(F.map_from_arrays(F.collect_list("i"), F.collect_list("x")).alias("m"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.coalesce(F.col("m")[i.cast("long")], F.lit(0.0)),
-            ).alias("raw"),
-        )
+    # Dense assembly + L2 normalization in ONE Arrow-batched numpy
+    # scatter (r7). The previous JVM form — transform(sequence(0,
+    # dim-1), i -> coalesce(m[i], 0.0)) + two more interpreted HOF
+    # passes — paid an O(nnz) LINEAR map probe per dense index
+    # (ArrayBasedMapData has no hash lookup), O(dim * nnz) per doc:
+    # unmeasurable at dim=16, but at a production dim=4096 it turned
+    # a 5000-doc corpus into >8 min of interpreted expression time
+    # (never finished); the scatter form runs the same corpus in
+    # seconds. This is the third documented Arrow-Python node, same
+    # dense-linear-algebra justification as functions/vectors.pair_dot.
+    # Parity is bit-exact: cells are scattered and accumulated in
+    # ascending index order, which equals the dense left-to-right
+    # fold (interleaved zeros add exactly nothing to a float sum).
+    ix = cells.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("ix")
+    )
+    split = ix.select(
+        "doc_id",
+        F.transform("ix", lambda s: s.i).alias("ii"),
+        F.transform("ix", lambda s: s.x).alias("xx"),
     )
     # zero-norm vectors are DROPPED, not emitted (review finding: the
     # previous nrm==0 branch returned the all-zero vector, which the
     # docstring forbids and embedding_store_health flags — reachable
     # via all-ubiquitous-token docs under tf_idf (every IDF weight 0)
-    # or full sign cancellation under plain TF)
-    nrm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    # or full sign cancellation under plain TF). The UDF returns NULL
+    # for them; the filter drops the rows.
     return (
-        vec.withColumn("__n", nrm)
-        .filter(F.col("__n") > 0)
-        .select(
-            "doc_id",
-            F.transform("raw", lambda x: x / F.col("__n")).alias("embedding"),
-        )
+        split.select("doc_id", _dense_unit_udf(dim)("ii", "xx").alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
     )
+
+
+def _dense_unit_udf(dim: int):
+    """Arrow-batched (indices, values) -> L2-normalized dense
+    array<double> of length ``dim``; NULL when the norm is zero.
+    The norm accumulates left-to-right over ascending indices in
+    float64 — exactly the old dense F.aggregate fold's bracketing
+    and DuckDB's list_reduce, so oracle hashes are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    # no type-hint signature: locally-imported pd makes the string
+    # annotations unresolvable for Spark's hint inference — same
+    # explicit-returnType style as functions/vectors.pair_dot
+    @F.pandas_udf("array<double>")
+    def dense(ii, xx):
+        out = []
+        for idx, vals in zip(ii, xx):
+            v = np.zeros(dim, dtype=np.float64)
+            acc = 0.0
+            for i, x in zip(idx, vals):  # ascending index order
+                v[i] = x
+                acc += x * x
+            if acc > 0:
+                out.append((v / np.sqrt(acc)).tolist())
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    return dense
 
 
 def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:

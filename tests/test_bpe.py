@@ -292,6 +292,93 @@ def test_batched_matches_replica_on_testdata_sample(spark):
     assert rounds <= 6  # >= 4x fewer pair-aggregate jobs than sequential's 24
 
 
+def _ref_apply_bpe(word: str, merges: list) -> list:
+    """Independent replica of Sennrich apply_bpe: merge the
+    lowest-rank adjacent pair present (all occurrences, left-to-right),
+    repeat until none remains."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word)
+    syms[-1] = syms[-1] + EOW
+    while len(syms) > 1:
+        cands = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(syms, syms[1:]))
+            if p in ranks
+        ]
+        if not cands:
+            break
+        l, r = merges[min(cands)[0]]
+        syms = list(_ref_apply(tuple(syms), l, r))
+    return syms
+
+
+def test_oov_encode_applies_trained_merges(spark, docs):
+    """With the merge list passed, an unseen word is encoded by
+    applying the trained merges (apply_bpe), not by degrading to raw
+    characters — 'lowest' segments with the 'low'/'est_' units the
+    corpus taught, and every OOV word matches the replica."""
+    wc = word_counts(docs)
+    merges, table = train_bpe(wc, n_merges=12)
+    trained_words = {r["word"] for r in table.select("word").collect()}
+    new_docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                # 'lows' and 'newly' are OOV; 'low' and 'new' in-vocab
+                "text": ["lows low", "newly new zzqx"],
+            }
+        )
+    )
+    for w in ("lows", "newly", "zzqx"):
+        assert w not in trained_words
+    char_enc = {r["doc_id"]: r for r in bpe_encode(new_docs, table).collect()}
+    bpe_enc = {
+        r["doc_id"]: r for r in bpe_encode(new_docs, table, merges=merges).collect()
+    }
+    got_table = {r["word"]: list(r["syms"]) for r in table.collect()}
+
+    # in-vocab words resolve identically through both paths
+    assert bpe_enc[0]["tokens"][-len(got_table["low"]):] == got_table["low"]
+    # OOV words match the independent apply_bpe replica
+    assert bpe_enc[0]["tokens"][: -len(got_table["low"])] == _ref_apply_bpe(
+        "lows", merges
+    )
+    assert bpe_enc[1]["tokens"][: len(_ref_apply_bpe("newly", merges))] == (
+        _ref_apply_bpe("newly", merges)
+    )
+    # merge application really compresses vs the char fallback
+    assert bpe_enc[0]["n_tokens"] < char_enc[0]["n_tokens"]
+    # a word sharing no trained pair still degrades to characters
+    assert bpe_enc[1]["tokens"][-4:] == ["z", "z", "q", "x" + EOW]
+    # concatenation still reconstructs the normalized text
+    flat = "".join(bpe_enc[1]["tokens"]).replace(EOW, " ").strip()
+    assert flat == "newly new zzqx"
+
+
+def test_oov_encode_consistent_with_trained_table_on_corpus(spark, docs):
+    """Encoding the TRAINING corpus's own words through the OOV merge
+    path reproduces the trained word table exactly on this corpus —
+    the apply_bpe/train consistency check (the documented corner where
+    they can diverge needs a later merge re-creating an earlier pair,
+    which organic corpora rarely exercise and this one does not)."""
+    wc = word_counts(docs)
+    merges, table = train_bpe(wc, n_merges=12)
+    trained = {r["word"]: list(r["syms"]) for r in table.collect()}
+    for w, syms in trained.items():
+        assert _ref_apply_bpe(w, merges) == syms, w
+    # and through Spark: encode with an EMPTY dictionary, merges only
+    empty_vocab = table.filter(F.lit(False))
+    docs_words = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(trained)), "text": list(trained)})
+    )
+    enc = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs_words, empty_vocab, merges=merges).collect()
+    }
+    for i, w in enumerate(trained):
+        assert enc[i] == trained[w], w
+
+
 def test_encode_preserves_doc_spine_for_tokenless_docs(spark, docs):
     """r6 ADVICE: NULL / empty / whitespace-only docs must yield
     (doc_id, [], 0) rather than vanishing — downstream consumers join
