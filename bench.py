@@ -96,13 +96,26 @@ EXTRA = [
     "crawl_pipeline_audit",  # r6: flagship e2e crawl oracle, driver-registered
     "text_winnow_pairs",  # r6: MOSS match stage (fingerprint pair formation)
     "url_incremental_audit",  # r6: cross-run URL ledger admission
+    "text_hash_embed_4k",  # r7: feature-hash embeddings at production dim 4096
 ]
+
+
+def _text_hash_embed_4k(spark, sf_dir: str):
+    """hashed_tf at dim 4096 (the production ANN-bridge shape, not the
+    dim-16 oracle spec): times the r7 Arrow scatter assembly — the JVM
+    map-probe form this replaced never finished at this dim."""
+    from radares_spark.io.tables import load_table
+    from radares_spark.operators.embed import hashed_tf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_tf(docs, dim=4096)
 
 LIBRARY_PLANS = {
     "radar_p85": radar.radar_p85,
     # moved out of the driver window (radar_bins_long covers it
     # transitively) but frozen here for round-over-round comparability
     "radar_histogram_build": radar.radar_histogram_build,
+    "text_hash_embed_4k": _text_hash_embed_4k,
 }
 
 
@@ -382,6 +395,14 @@ def main() -> None:
                 "calibration_cpu_s": calibration_cpu_s,
                 "value_per_calibration": round(total / calibration_s, 2)
                 if calibration_s
+                else None,
+                # second normalization lens: most headline queries are
+                # CPU-bound, and the two anchors can drift APART (r7
+                # observed scan +6% / CPU +48% vs the r5 judge session
+                # with byte-identical plans) — when they disagree, the
+                # truth for a given query sits between the two ratios
+                "value_per_cpu_calibration": round(total / calibration_cpu_s, 2)
+                if calibration_cpu_s
                 else None,
                 "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
                 "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),
