@@ -34,6 +34,9 @@ from radares_spark.operators.dedup import NORM_SQL, _md5, normalize_text
 from radares_spark.registry import QuerySpec
 
 EMBED_DIM = 16
+# dims at/above this spread the dense-assembly regroup explicitly —
+# see the DENSE_SPREAD_DIM comment in hashed_tf
+DENSE_SPREAD_DIM = 512
 
 
 def _bucket(tok: Column, dim: int) -> Column:
@@ -120,6 +123,20 @@ def hashed_tf(
     # Parity is bit-exact: cells are scattered and accumulated in
     # ascending index order, which equals the dense left-to-right
     # fold (interleaved zeros add exactly nothing to a float sum).
+    # The regroup + scatter's per-ROW cost scales with dim (a dense
+    # dim-width array is built per doc), but the post-agg cell frame is
+    # BYTE-small, so AQE coalesces its shuffle to ~1 partition and
+    # single-threads the whole assembly — measured 7.1 s vs 1.x s at
+    # dim=4096/sf0.1. Above DENSE_SPREAD_DIM the regroup is explicitly
+    # spread to the session shuffle width (explicit-count repartition
+    # on the group key: AQE never coalesces it, and the groupBy reuses
+    # the partitioning — no second Exchange). Below the threshold the
+    # extra Exchange would cost more than the scatter (the fixed-32-
+    # on-kilobytes lesson, io/tables.spread docstring), so dim-16
+    # oracle-spec plans are unchanged.
+    if dim >= DENSE_SPREAD_DIM:
+        cap = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        cells = cells.repartition(cap, "doc_id")
     ix = cells.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("i", "x"))).alias("ix")
     )
