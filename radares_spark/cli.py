@@ -164,14 +164,20 @@ def cmd_crawl_nightly(
     audits.
 
     Ordering is the delete-on-success analog (scrape.py:59-66's
-    ordering discipline): the ledger epoch appends LAST, after kept/
-    audit landed — a crash mid-run leaves the ledger unchanged, so the
-    re-run re-admits and overwrites the same outputs (idempotent); a
-    COMPLETED run's re-run admits nothing (every URL now in the
-    ledger) and fetches zero pages. At 100 TB the admission join is
-    the stage that pays hardest: every URL dropped here is a fetch, an
-    HTML parse, and a dedup shuffle that never happen
-    (operators/urls.py docstring)."""
+    ordering discipline): the ledger epoch appends LAST, after every
+    output AND every count landed — a crash anywhere before leaves the
+    ledger unchanged, so the re-run re-admits and rewrites the same
+    outputs (idempotent); a COMPLETED run's re-run admits nothing
+    (every URL now in the ledger), fetches zero pages, and PRESERVES
+    the night's existing kept/audit instead of overwriting them with
+    empty frames (review finding — ``out_dir`` is per night; the
+    zero-admission guard only skips the write when prior outputs
+    exist). Counts are derived from the parquet just written, never by
+    re-executing the admission join (a second full admission pass per
+    night at scale). At 100 TB the admission join is the stage that
+    pays hardest: every URL dropped here is a fetch, an HTML parse,
+    and a dedup shuffle that never happen (operators/urls.py
+    docstring)."""
     from pyspark.sql import functions as F
 
     from radares_spark.io import fs as iofs
@@ -186,13 +192,35 @@ def cmd_crawl_nightly(
     url_audit, append_rows = incremental_url_dedup(
         pages.select("doc_id", "url"), ledger
     )
-    admitted = url_audit.filter(F.col("outcome") == "kept").select("doc_id")
-    to_fetch = pages.join(admitted, "doc_id", "left_semi")
-
-    kept, audit = curate_crawl(to_fetch, max_per_domain=max_per_domain)
-    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "kept"))
-    audit.write.mode("overwrite").parquet(os.path.join(out_dir, "audit"))
     url_audit.write.mode("overwrite").parquet(os.path.join(out_dir, "url_audit"))
+    # counts read back from the written store — the plan ran exactly once
+    url_back = spark.read.parquet(os.path.join(out_dir, "url_audit"))
+    counts = {"discovered": url_back.count()}
+    for r in url_back.groupBy("outcome").count().collect():
+        if r["outcome"] == "kept":
+            counts["fetched"] = r["count"]
+        else:
+            counts[r["outcome"]] = r["count"]
+    counts.setdefault("fetched", 0)
+
+    kept_dir = os.path.join(out_dir, "kept")
+    if counts["fetched"] == 0 and iofs.has_parquet(spark, kept_dir):
+        # completed-night re-run: nothing admitted and real outputs
+        # already exist — leave them untouched
+        counts["outputs_preserved"] = 1
+    else:
+        admitted = url_back.filter(F.col("outcome") == "kept").select("doc_id")
+        to_fetch = pages.join(admitted, "doc_id", "left_semi")
+        kept, audit = curate_crawl(to_fetch, max_per_domain=max_per_domain)
+        kept.write.mode("overwrite").parquet(kept_dir)
+        audit.write.mode("overwrite").parquet(os.path.join(out_dir, "audit"))
+        for r in (
+            spark.read.parquet(os.path.join(out_dir, "audit"))
+            .groupBy("outcome")
+            .count()
+            .collect()
+        ):
+            counts[r["outcome"]] = r["count"]
 
     # ledger append LAST (see ordering note); next epoch = max + 1 so
     # ledger history reads like the stream's epoch partitions
@@ -205,17 +233,6 @@ def cmd_crawl_nightly(
         .partitionBy("epoch")
         .parquet(url_ledger_dir)
     )
-
-    counts = {"discovered": pages.count(), "fetched": to_fetch.count()}
-    for r in url_audit.filter(F.col("outcome") != "kept").groupBy("outcome").count().collect():
-        counts[r["outcome"]] = r["count"]
-    for r in (
-        spark.read.parquet(os.path.join(out_dir, "audit"))
-        .groupBy("outcome")
-        .count()
-        .collect()
-    ):
-        counts[r["outcome"]] = r["count"]
     return counts
 
 

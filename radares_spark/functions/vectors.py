@@ -70,32 +70,36 @@ def _term(a: str, b: str, i: int) -> str:
 UNROLL_MAX = 256
 
 
-def _fold_dot(a: str, b: str) -> Column:
+def _fold_dot(a: str, b: str, dim: int) -> Column:
     # left-to-right fold — zip_with + aggregate bracket ((t0+t1)+t2)...
-    # exactly like the unrolled chain and DuckDB's list_reduce
+    # exactly like the unrolled chain and DuckDB's list_reduce. The
+    # slice keeps the unrolled contract exactly: dim terms, no more —
+    # without it a dim=300 call on length-4096 arrays would silently
+    # sum all 4096 terms (review finding)
     return F.expr(
-        f"aggregate(zip_with({a}, {b},"
+        f"aggregate(zip_with(slice({a}, 1, {dim}), slice({b}, 1, {dim}),"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
 def dot(a: str, b: str, dim: int = DIM) -> Column:
-    """``a . b`` where a/b are COLUMN NAMES (optionally qualified like
-    ``x.v``). Built as one SQL string -> one py4j round trip; building
-    the same tree with Column operators costs hundreds of JVM calls
-    (~15 s of driver time per query at dim=64). Above UNROLL_MAX the
-    codegen'd unrolled chain gives way to an identical-bracketing HOF
-    fold (the parser rejects 4096-term chains)."""
+    """``a . b`` over the first ``dim`` dimensions, where a/b are
+    COLUMN NAMES (optionally qualified like ``x.v``). Built as one SQL
+    string -> one py4j round trip; building the same tree with Column
+    operators costs hundreds of JVM calls (~15 s of driver time per
+    query at dim=64). Above UNROLL_MAX the codegen'd unrolled chain
+    gives way to an identical-bracketing HOF fold (the parser rejects
+    4096-term chains)."""
     if dim <= UNROLL_MAX:
         return F.expr(" + ".join(_term(a, b, i) for i in range(dim)))
-    return _fold_dot(a, b)
+    return _fold_dot(a, b, dim)
 
 
 def l2norm(a: str, dim: int = DIM) -> Column:
     if dim <= UNROLL_MAX:
         return F.sqrt(F.expr(" + ".join(_term(a, a, i) for i in range(dim))))
-    return F.sqrt(_fold_dot(a, a))
+    return F.sqrt(_fold_dot(a, a, dim))
 
 
 # DuckDB mirror: normalized double vectors + norms per row.

@@ -86,6 +86,33 @@ def last_committed_epoch(spark: SparkSession, checkpoint: str) -> int | None:
     return max(ids) if ids else None
 
 
+def committed_view(
+    spark: SparkSession, led: DataFrame, checkpoint: str, compacted_epoch: int
+):
+    """The commit-watermark gate every epoch-ledger compactor shares
+    (one implementation, same rationale as fold_epochs): restrict a
+    ledger frame to its compacted partition plus epochs at or below
+    the checkpoint's last committed batch id. Returns
+    ``(filtered_ledger, committed_predicate)``, or ``None`` when no
+    batch has ever committed (nothing is safe to fold).
+
+    CHECKPOINT-RESET CAVEAT: the gate compares ledger epoch ids to the
+    CURRENT checkpoint's batch ids. After a checkpoint is deleted and
+    recreated, batch ids restart at 0 — old high-numbered epochs sit
+    above the new watermark and will not fold until ids catch up (and
+    new batches dynamically overwrite old epoch partitions as their
+    ids collide, the documented lost-checkpoint degradation). After a
+    reset, run ONE ungated compaction (``checkpoint=None``) with the
+    stream stopped to fold the orphaned history."""
+    w = last_committed_epoch(spark, checkpoint)
+    if w is None:
+        return None
+    filtered = led.filter(
+        (F.col("epoch") == compacted_epoch) | (F.col("epoch") <= F.lit(w))
+    )
+    return filtered, (lambda e: e <= w)
+
+
 def fold_epochs(
     spark: SparkSession,
     ledger_dir: str,
@@ -126,7 +153,14 @@ def fold_epochs(
     stale tmp from a crashed older fold; same-generation overlap is
     out of contract."""
     tmp = ledger_dir.rstrip("/") + f"__compact_tmp_e{new_epoch}"
-    delete(spark, tmp)
+    # GC every stale staging sibling, not just our own name: a crashed
+    # fold of ANOTHER generation (or the pre-r7 unsuffixed layout)
+    # would otherwise orphan a full ledger-sized copy forever
+    base = ledger_dir.rstrip("/")
+    parent, name = base.rsplit("/", 1) if "/" in base else (".", base)
+    for child in list_names(spark, parent):
+        if child.startswith(name + "__compact_tmp"):
+            delete(spark, f"{parent}/{child}")
     folded.write.mode("overwrite").parquet(tmp)
     (
         spark.read.parquet(tmp)

@@ -186,11 +186,14 @@ def train_bpe_batched(
     ``batch_size * candidate_factor`` candidates (TakeOrderedAndProject
     — a bounded heap per partition, never a full sort), walk them in
     rank order (cnt desc, l asc, r asc) and keep a pair only when it
-    shares NO symbol with any higher-ranked pick. Disjointness makes
-    the batch order-independent AND keeps every applied count exact:
-    merging (a,b) only changes counts of pairs touching a or b, so a
-    disjoint lower-ranked pick's count is exactly what a sequential
-    recount would have shown.
+    shares NO symbol with any higher-ranked pick — including the
+    symbol that pick CREATES (l+r may already exist from an earlier
+    round, and a candidate touching it would see occurrences minted
+    mid-batch). Disjointness makes the batch order-independent AND
+    keeps every applied count exact: merging (a,b) only changes counts
+    of pairs touching a, b, or the minted ab, so a disjoint
+    lower-ranked pick's count is exactly what a sequential recount
+    would have shown.
 
     What batching changes vs the sequential oracle: a merge CREATES a
     new symbol whose pairs can outrank stale candidates — sequential
@@ -233,7 +236,12 @@ def train_bpe_batched(
             if l in used or r in used:
                 continue
             picked.append((l, r))
-            used.update((l, r))
+            # block the CREATED symbol too: if an earlier-round merge
+            # already minted l+r, a lower-ranked candidate touching
+            # that symbol would see occurrences this pick creates —
+            # its stale count would no longer be exact and the batch
+            # would stop being order-independent (review finding)
+            used.update((l, r, l + r))
         if not picked:
             break  # no pair reaches min_freq — training converged
         for l, r in picked:

@@ -192,13 +192,10 @@ def compact_ledger(
         return  # nothing landed yet — compaction is a no-op, not an error
     led = spark.read.parquet(ledger_dir)
     if checkpoint is not None:
-        w = fs.last_committed_epoch(spark, checkpoint)
-        if w is None:
+        view = fs.committed_view(spark, led, checkpoint, COMPACTED_EPOCH)
+        if view is None:
             return  # nothing committed yet — nothing is safe to fold
-        led = led.filter(
-            (F.col("epoch") == COMPACTED_EPOCH) | (F.col("epoch") <= F.lit(w))
-        )
-        committed = lambda e: e <= w  # noqa: E731
+        led, committed = view
     else:
         committed = lambda e: True  # noqa: E731
     # stage/fold/GC ordering and its crash contract live in ONE place
@@ -215,8 +212,18 @@ def compact_ledger(
     if bucketed_table is not None:
         from radares_spark.io.bucketing import write_bucketed
 
+        # rebuild from the COMMITTED view, re-applying the gate to the
+        # post-fold directory: baking an uncommitted epoch's rows into
+        # the epoch-less bucketed table would hand the band join
+        # history no replay can excise (review finding) — the exact
+        # misclassification the watermark gate exists to prevent
+        rebuilt = spark.read.parquet(ledger_dir)
+        if checkpoint is not None:
+            rebuilt, _ = fs.committed_view(
+                spark, rebuilt, checkpoint, COMPACTED_EPOCH
+            )
         write_bucketed(
-            spark.read.parquet(ledger_dir).drop("epoch"),
+            rebuilt.drop("epoch").distinct(),
             bucketed_table,
             bucketed_path or ledger_dir.rstrip("/") + "__bucketed",
             ["band", "band_hash"],

@@ -120,11 +120,12 @@ def compact_url_ledger(
         return
     led = spark.read.parquet(ledger_dir)
     if checkpoint is not None:
-        w = fs.last_committed_epoch(spark, checkpoint)
-        if w is None:
+        # the gate lives in fs.committed_view — ONE implementation
+        # shared with compact_ledger, same rationale as fold_epochs
+        view = fs.committed_view(spark, led, checkpoint, -1)
+        if view is None:
             return  # nothing committed yet — nothing is safe to fold
-        led = led.filter((F.col("epoch") == -1) | (F.col("epoch") <= F.lit(w)))
-        committed = lambda e: e <= w  # noqa: E731
+        led, committed = view
     else:
         committed = lambda e: True  # noqa: E731
     fs.fold_epochs(

@@ -111,7 +111,7 @@ def _ref_train_batched(
             if l in used or r in used:
                 continue
             picked.append((l, r))
-            used.update((l, r))
+            used.update((l, r, l + r))  # created symbol blocks too
         if not picked:
             break
         for l, r in picked:

@@ -249,3 +249,19 @@ def test_crawl_nightly_three_night_recrawl(spark, tmp_path, capsys):
         "https://b.example.com/y",
         "https://c.example.com/fresh",
     }
+
+    # re-running a COMPLETED night against its own out dir must not
+    # clobber the night's outputs with empty frames (review finding:
+    # the crash-recovery contract says re-run, so re-run must be safe
+    # on the other side of the crash window too)
+    rc = main(
+        ["crawl-nightly", "--pages", str(tmp_path / "pages3"),
+         "--url-ledger", ledger, "--out", str(out3)]
+    )
+    assert rc == 0
+    p3b = capsys.readouterr().out
+    assert "fetched: 0" in p3b and "outputs_preserved: 1" in p3b
+    kept3b = spark.read.parquet(str(out3 / "kept"))
+    assert {r["doc_id"] for r in kept3b.select("doc_id").collect()} == {21}
+    # and the ledger grew no new epoch (nothing admitted)
+    assert sorted(iofs.epoch_partitions(spark, ledger)) == [0, 1]

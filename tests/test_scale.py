@@ -305,3 +305,26 @@ def test_winnow_pairs_are_corpus_independent(spark):
         F.floor(F.col("doc_a") / 1_000_000) != F.floor(F.col("doc_b") / 1_000_000)
     ).count()
     assert crossing == 0
+
+
+def test_hashed_tf_is_corpus_independent_per_doc(spark):
+    """hashed_tf's scale law (plain TF): a doc's embedding is a pure
+    function of its own tokens — md5 buckets, signs, counts, and the
+    L2 norm involve no corpus statistics — so inflating the corpus 4x
+    must reproduce the original docs' vectors BIT-identically. That is
+    what keeps the operator one map-side-combined aggregate whose
+    shuffle grows linearly with the corpus and nothing else. (tf_idf
+    deliberately breaks this: IDF is a corpus statistic; its contract
+    is the separate parity + downweighting suite in test_embed.py.)"""
+    from radares_spark.operators.embed import hashed_tf
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    big = _inflate_docs(docs, INFLATE)
+    alone = {
+        r["doc_id"]: tuple(r["embedding"]) for r in hashed_tf(docs).collect()
+    }
+    inside = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in hashed_tf(big).filter(F.col("doc_id") < 1_000_000).collect()
+    }
+    assert alone and inside == alone
