@@ -379,6 +379,31 @@ def test_oov_encode_consistent_with_trained_table_on_corpus(spark, docs):
         assert enc[i] == trained[w], w
 
 
+def test_batched_matches_replica_at_sf01_production_shape(spark):
+    """The batched trainer at a production-ish shape: the full sf0.1
+    document corpus (5000 docs), 64 merges, batch_size=16 — replica
+    parity on merge list AND word table, with the round count pinned
+    well under the sequential trainer's 64 jobs. This is the scale
+    test for the path train_bpe's docstring routes 32k-vocab training
+    through."""
+    from radares_spark.io.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    texts = [r["text"] for r in docs.collect()]
+    wc = word_counts(docs)
+    merges, table, rounds = train_bpe_batched(wc, n_merges=64, batch_size=16)
+    ref_merges, ref_table, ref_rounds = _ref_train_batched(
+        _ref_word_counts(texts), n_merges=64, batch_size=16
+    )
+    assert merges == ref_merges
+    assert rounds == ref_rounds
+    assert rounds <= 12, rounds  # >= 5x fewer pair-aggregate jobs than 64
+    got = {r["word"]: tuple(r["syms"]) for r in table.collect()}
+    assert got == ref_table
+
+
 def test_encode_preserves_doc_spine_for_tokenless_docs(spark, docs):
     """r6 ADVICE: NULL / empty / whitespace-only docs must yield
     (doc_id, [], 0) rather than vanishing — downstream consumers join
