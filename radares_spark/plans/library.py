@@ -29,12 +29,12 @@ from radares_spark.operators import (
     text_ext,
     urls,
 )
-from radares_spark.pipeline import corpus, crawl
+from radares_spark.pipeline import corpus, crawl, snapshot
 from radares_spark.plans import radar, tpch_full
 from radares_spark.registry import QuerySpec
 
 ALL_LIBRARY_SPECS: dict[str, QuerySpec] = {}
-for _mod in (asof, dedup, dsir, embed, incremental, quantize, semdedup, skew, text_ext, urls, radar, corpus, crawl):
+for _mod in (asof, dedup, dsir, embed, incremental, quantize, semdedup, skew, text_ext, urls, radar, corpus, crawl, snapshot):
     for _name, _spec in _mod.LIBRARY_SPECS.items():
         assert _name not in ALL_LIBRARY_SPECS, f"duplicate library spec {_name}"
         ALL_LIBRARY_SPECS[_name] = _spec
