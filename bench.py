@@ -97,6 +97,7 @@ EXTRA = [
     "text_winnow_pairs",  # r6: MOSS match stage (fingerprint pair formation)
     "url_incremental_audit",  # r6: cross-run URL ledger admission
     "text_hash_embed_4k",  # r7: feature-hash embeddings at production dim 4096
+    "text_bpe_encode",  # r7: 64-merge BPE train (cold) + encode join (warm)
 ]
 
 
@@ -110,12 +111,31 @@ def _text_hash_embed_4k(spark, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return hashed_tf(docs, dim=4096)
 
+def _text_bpe_encode(spark, sf_dir: str):
+    """The production tokenizer path end to end: train a 64-merge BPE
+    table on the corpus (batched-disjoint trainer) and encode every
+    document through the word-table dictionary join. Training
+    localCheckpoints, so the pin spy flags this plan: COLD times
+    train+encode, WARM times the encode join alone — exactly the
+    steady-state split (a real deployment trains once, encodes every
+    batch)."""
+    from radares_spark.io.tables import load_table
+    from radares_spark.operators.bpe import bpe_encode, train_bpe_batched, word_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, word_syms, _rounds = train_bpe_batched(
+        word_counts(docs), n_merges=64, batch_size=16
+    )
+    return bpe_encode(docs, word_syms, merges=merges)
+
+
 LIBRARY_PLANS = {
     "radar_p85": radar.radar_p85,
     # moved out of the driver window (radar_bins_long covers it
     # transitively) but frozen here for round-over-round comparability
     "radar_histogram_build": radar.radar_histogram_build,
     "text_hash_embed_4k": _text_hash_embed_4k,
+    "text_bpe_encode": _text_bpe_encode,
 }
 
 

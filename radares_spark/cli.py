@@ -120,6 +120,35 @@ def cmd_corpus_health(spark: SparkSession, docs_path: str) -> DataFrame:
     return corpus_health_report(docs)
 
 
+def cmd_snapshot_diff(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    key: str = "doc_id",
+    cols: list[str] | None = None,
+    out_dir: str | None = None,
+) -> dict[str, int]:
+    """Recrawl delta between two parquet snapshots
+    (pipeline/snapshot.snapshot_diff): per-key
+    added/removed/changed/unchanged, optionally landed as parquet,
+    summary counts returned — the number a nightly report prints
+    before deciding whether downstream stages re-run."""
+    from radares_spark.pipeline.snapshot import snapshot_diff, snapshot_diff_summary
+
+    cols = cols or ["text"]
+    diff = snapshot_diff(
+        spark.read.parquet(old_path),
+        spark.read.parquet(new_path),
+        key=key,
+        content_cols=cols,
+    )
+    if out_dir:
+        diff.write.mode("overwrite").parquet(out_dir)
+        diff = spark.read.parquet(out_dir)  # summary reads the landed rows
+    rows = snapshot_diff_summary(diff).collect()
+    return {r["status"]: r["n_docs"] for r in rows}
+
+
 def cmd_curate_crawl(
     spark: SparkSession,
     pages_path: str,
@@ -262,6 +291,12 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--pages", required=True, help="parquet pages store (doc_id, url, html)")
     cc.add_argument("--out", required=True, help="output dir (kept/ + audit/)")
     cc.add_argument("--max-per-domain", type=int, default=None)
+    sd = sub.add_parser("snapshot-diff")
+    sd.add_argument("--old", required=True, help="previous snapshot parquet")
+    sd.add_argument("--new", required=True, help="tonight's snapshot parquet")
+    sd.add_argument("--key", default="doc_id")
+    sd.add_argument("--cols", default="text", help="comma-separated content columns")
+    sd.add_argument("--out", default=None, help="optional per-key delta parquet dir")
     cn = sub.add_parser("crawl-nightly")
     cn.add_argument("--pages", required=True, help="tonight's discovered pages (doc_id, url, html)")
     cn.add_argument("--url-ledger", required=True, help="cross-run canonical-URL ledger dir")
@@ -282,6 +317,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")
+        return 0
+    if args.cmd == "snapshot-diff":
+        counts = cmd_snapshot_diff(
+            spark,
+            args.old,
+            args.new,
+            key=args.key,
+            cols=[c for c in args.cols.split(",") if c],
+            out_dir=args.out,
+        )
+        for status in sorted(counts):
+            print(f"{status}: {counts[status]}")
         return 0
     if args.cmd == "curate-crawl":
         counts = cmd_curate_crawl(spark, args.pages, args.out, args.max_per_domain)

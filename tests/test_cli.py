@@ -265,3 +265,26 @@ def test_crawl_nightly_three_night_recrawl(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in kept3b.select("doc_id").collect()} == {21}
     # and the ledger grew no new epoch (nothing admitted)
     assert sorted(iofs.epoch_partitions(spark, ledger)) == [0, 1]
+
+
+def test_snapshot_diff_subcommand(spark, tmp_path, capsys):
+    """snapshot-diff compares two parquet snapshots from the CLI,
+    lands the per-key delta when --out is given, and prints summary
+    counts for every populated status."""
+    import pandas as pd
+
+    from radares_spark.cli import cmd_snapshot_diff
+
+    old = str(tmp_path / "snap_old")
+    new = str(tmp_path / "snap_new")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    ).write.parquet(old)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3, 4], "text": ["b", "c2", "d"]})
+    ).write.parquet(new)
+    out = str(tmp_path / "delta")
+    counts = cmd_snapshot_diff(spark, old, new, out_dir=out)
+    assert counts == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+    landed = {r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert landed == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
