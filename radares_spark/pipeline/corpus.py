@@ -80,6 +80,27 @@ def _quality_pass(docs: DataFrame) -> DataFrame:
     )
 
 
+def outcome_ladder(keep_langs: tuple[str, ...], sample_pct: int) -> Column:
+    """The stage-priority ladder shared by batch curation and the
+    incremental refresh: first failing stage wins. Expects columns
+    ``quality_pass``, ``pred_lang``, ``exact_keep``, ``near_drop``
+    (NULL near_drop == not dropped) and ``doc_id`` in scope; the
+    sample carve-out is the same doc_id md5 bucket the checks suite
+    audits."""
+    bucket = (
+        F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return (
+        F.when(~F.col("quality_pass"), DROP_QUALITY)
+        .when(~F.col("pred_lang").isin(*keep_langs), DROP_LANG)
+        .when(~F.col("exact_keep"), DROP_EXACT)
+        .when(F.col("near_drop"), DROP_NEAR)
+        .when(bucket >= sample_pct, DROP_SAMPLE)
+        .otherwise(KEPT)
+    )
+
+
 def near_dup_drops(
     docs: DataFrame,
     jaccard_threshold: float = 0.8,
@@ -121,7 +142,19 @@ def near_dup_drops(
         # pipeline is evaluated ONCE (the self-join provably ran it
         # twice — see bucket_pairs' docstring)
         pairs = bucket_pairs(bands)
-    cand = pairs.select("doc_a", "doc_b")
+    verified = verify_near_pairs(pairs.select("doc_a", "doc_b"), docs, jaccard_threshold)
+    return verified.select(F.col("doc_b").alias("doc_id")).distinct(), hot
+
+
+def verify_near_pairs(
+    cand: DataFrame, docs: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Exact-precision stage shared by batch curation and the
+    incremental refresh (pipeline/refresh.py): keep only candidate
+    ``(doc_a, doc_b)`` pairs whose EXACT word-3-shingle Jaccard is at
+    or above the threshold. ``docs`` must cover every pair member;
+    shingle cost is proportional to the docs frame handed in — the
+    refresh path passes only pair members, never the corpus."""
     sh = word_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.withColumnRenamed("doc_id", "doc_a")
@@ -134,15 +167,15 @@ def near_dup_drops(
     )
     na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
     nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
-    verified = (
+    return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(
             F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
             >= jaccard_threshold
         )
+        .select("doc_a", "doc_b")
     )
-    return verified.select(F.col("doc_b").alias("doc_id")).distinct(), hot
 
 
 def curate(
@@ -187,26 +220,13 @@ def curate(
     )
     near = near.withColumn("near_drop", F.lit(True))
 
-    bucket = (
-        F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-        % 100
-    )
     audit = (
         docs.select("doc_id")
         .join(quality, "doc_id")
         .join(lang, "doc_id")
         .join(exact, "doc_id")
         .join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(~F.col("quality_pass"), DROP_QUALITY)
-            .when(~F.col("pred_lang").isin(*keep_langs), DROP_LANG)
-            .when(~F.col("exact_keep"), DROP_EXACT)
-            .when(F.col("near_drop"), DROP_NEAR)
-            .when(bucket >= sample_pct, DROP_SAMPLE)
-            .otherwise(KEPT)
-            .alias("outcome"),
-        )
+        .select("doc_id", outcome_ladder(keep_langs, sample_pct).alias("outcome"))
     )
     curated = docs.join(audit.filter(F.col("outcome") == KEPT), "doc_id", "left_semi")
     return curated, audit, hot

@@ -1,0 +1,281 @@
+"""Incremental corpus refresh — re-curate only tonight's delta.
+
+Batch ``pipeline.corpus.curate`` costs one full pass over the corpus
+every run.  A nightly recrawl changes a sliver of a 100 TB corpus, so
+the production shape is: detect the delta (pipeline/snapshot.py),
+recompute per-doc features ONLY for changed/added docs, and propagate
+the two global effects a delta can have —
+
+1. **exact-dedup keeper churn**: removing/rewriting the keeper of a
+   content-hash group must resurrect the next-lowest doc_id; a new
+   lower-id doc must demote the old keeper.  Recomputed per AFFECTED
+   HASH only (hashes any delta/removed doc carried, old or new) over
+   the narrow (doc_id, text_hash) ledger — never the corpus text.
+2. **near-dup bucket churn**: a doc entering or leaving the
+   LSH-alive set (or changing content) invalidates exactly the
+   band-buckets its signature rows touch.  Outcomes are recomputed
+   only for docs sharing a bucket with a churned band row; their
+   candidate pairs are re-formed from those docs' buckets alone and
+   re-verified with the exact Jaccard (shingling only pair members).
+   One hop suffices: pair FORMATION depends on the pre-near alive
+   set, never on near outcomes, so near flips do not cascade.
+
+Everything else reuses the previous night's state: per-doc features
+(quality/lang/hashes), the band rows of alive docs, and the audit
+outcomes.  The refreshed audit is EQUIVALENT to running batch
+``curate`` on the new snapshot from scratch — pinned by
+tests/test_refresh.py across keeper-resurrection, bucket-churn,
+partner-removal and randomized three-night scenarios.
+
+State layout (parquet under a state dir):
+``features/`` (doc_id, text_hash, raw_hash, quality_pass, pred_lang,
+exact_keep) · ``bands/`` (doc_id, band, band_hash — stage-alive docs
+only) · ``audit/`` (doc_id, outcome).  Each refresh writes a NEW
+state dir (caller rotates nightly dirs; write-new-then-swap is the
+crash-safety story, as with ledger epochs).
+
+The curation knobs (keep_langs, sample_pct, jaccard_threshold) must
+match across nights — they are part of the state's meaning.
+``max_bucket`` hot-bucket capping is batch-only for now: the cap
+makes an outcome depend on bucket POPULATION, which churns
+non-locally; refresh supports the uncapped semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.operators.dedup import (
+    _md5,
+    bucket_pairs,
+    lsh_bands,
+    minhash_signatures,
+    normalize_text,
+)
+from radares_spark.operators.text import lang_id_per_doc
+from radares_spark.pipeline.corpus import (
+    _quality_pass,
+    outcome_ladder,
+    verify_near_pairs,
+)
+from radares_spark.pipeline.snapshot import content_fingerprint
+
+DROP_NEAR = "near_dup"
+
+
+def _features(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, raw_hash, quality_pass, pred_lang) — every
+    content-derived per-doc feature, same expressions as batch curate
+    (text_hash over normalized text feeds exact dedup; raw_hash is the
+    byte-level change detector — a case-only edit must re-enter the
+    pipeline even though its normalized hash is stable)."""
+    hashed = docs.select(
+        "doc_id",
+        _md5(normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias("text_hash"),
+        content_fingerprint(["text"]).alias("raw_hash"),
+    )
+    return hashed.join(_quality_pass(docs), "doc_id").join(lang_id_per_doc(docs), "doc_id")
+
+
+def _alive(feats: DataFrame, keep_langs: tuple[str, ...]):
+    return F.col("quality_pass") & F.col("pred_lang").isin(*keep_langs) & F.col("exact_keep")
+
+
+def _write_read(df: DataFrame, path: str) -> DataFrame:
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def init_state(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    keep_langs: tuple[str, ...] = ("en",),
+    sample_pct: int = 100,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Night zero: full batch curation, landing the reusable state.
+    Returns the audit (read back from the state dir)."""
+    feats = _features(docs)
+    keeper = feats.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    feats = (
+        feats.join(keeper, "text_hash")
+        .withColumn("exact_keep", F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    feats = _write_read(feats, f"{state_dir}/features")
+
+    alive_ids = feats.filter(_alive(feats, keep_langs)).select("doc_id")
+    bands = lsh_bands(minhash_signatures(docs.join(alive_ids, "doc_id", "left_semi")))
+    bands = _write_read(bands, f"{state_dir}/bands")
+
+    verified = verify_near_pairs(
+        bucket_pairs(bands).select("doc_a", "doc_b"),
+        docs.join(alive_ids, "doc_id", "left_semi"),
+        jaccard_threshold,
+    )
+    near = verified.select(F.col("doc_b").alias("doc_id")).distinct().withColumn(
+        "near_drop", F.lit(True)
+    )
+    audit = feats.join(near, "doc_id", "left").select(
+        "doc_id", outcome_ladder(keep_langs, sample_pct).alias("outcome")
+    )
+    return _write_read(audit, f"{state_dir}/audit")
+
+
+def refresh(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_in: str,
+    state_out: str,
+    keep_langs: tuple[str, ...] = ("en",),
+    sample_pct: int = 100,
+    jaccard_threshold: float = 0.8,
+) -> tuple[DataFrame, dict[str, int]]:
+    """One night of incremental curation: ``(audit, stats)`` for the
+    new snapshot, writing refreshed state to ``state_out``.
+
+    Per-doc text work (features, signatures, shingles) touches ONLY
+    delta docs, resurrected/demoted dedup members, and near-pair
+    members in churned buckets; the corpus-wide operations are narrow
+    ledger joins (ids + hashes).  ``stats`` reports exactly how much
+    was recomputed — a no-op night reports zeros across the board
+    (pinned in tests)."""
+    if state_in == state_out:
+        raise ValueError("state_out must differ from state_in (write-new-then-swap)")
+    prior_feats = spark.read.parquet(f"{state_in}/features")
+    prior_bands = spark.read.parquet(f"{state_in}/bands")
+    prior_audit = spark.read.parquet(f"{state_in}/audit")
+
+    # -- 1. delta detection on the raw-byte fingerprint ---------------
+    new_fp = new_docs.select("doc_id", content_fingerprint(["text"]).alias("raw_hash"))
+    old_fp = prior_feats.select("doc_id", F.col("raw_hash").alias("old_raw"))
+    fp = new_fp.join(old_fp, "doc_id", "full_outer")
+    delta_ids = fp.filter(
+        F.col("old_raw").isNull()  # added
+        | (F.col("raw_hash").isNotNull() & (F.col("raw_hash") != F.col("old_raw")))
+    ).select("doc_id")
+    removed_ids = fp.filter(F.col("raw_hash").isNull()).select("doc_id")
+    gone_ids = delta_ids.unionByName(removed_ids)  # rows whose OLD state is void
+
+    # -- 2. features: recompute delta, carry the rest -----------------
+    feats_delta = _features(new_docs.join(delta_ids, "doc_id", "left_semi"))
+    feats_stable = prior_feats.drop("exact_keep").join(gone_ids, "doc_id", "left_anti")
+
+    # -- 3. exact-dedup keeper churn, per affected hash ---------------
+    affected_hashes = (
+        feats_delta.select("text_hash")
+        .unionByName(
+            prior_feats.join(gone_ids, "doc_id", "left_semi").select("text_hash")
+        )
+        .distinct()
+    )
+    ledger = feats_stable.select("doc_id", "text_hash").unionByName(
+        feats_delta.select("doc_id", "text_hash")
+    )
+    new_keepers = (
+        ledger.join(affected_hashes, "text_hash", "left_semi")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    affected_rows = feats_stable.unionByName(feats_delta).join(
+        new_keepers, "text_hash", "left_semi"
+    )
+    recomputed = (
+        affected_rows.join(new_keepers, "text_hash")
+        .withColumn("exact_keep", F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    carried = (
+        feats_stable.join(affected_hashes, "text_hash", "left_anti")
+        .join(
+            prior_feats.select("doc_id", "exact_keep"), "doc_id"
+        )  # hash untouched => prior keeper decision stands
+    )
+    feats_new = _write_read(
+        carried.unionByName(recomputed), f"{state_out}/features"
+    )
+
+    # -- 4. aliveness churn (quality/lang flips ride delta_ids;
+    #       exact flips can hit ANY doc in an affected hash group) ----
+    alive_new = feats_new.filter(_alive(feats_new, keep_langs)).select("doc_id")
+    alive_old = prior_feats.filter(_alive(prior_feats, keep_langs)).select("doc_id")
+    enterers = alive_new.join(alive_old, "doc_id", "left_anti")
+    leavers = alive_old.join(alive_new, "doc_id", "left_anti")
+
+    # -- 5. band churn ------------------------------------------------
+    # state band rows void for: delta docs (content changed), leavers,
+    # removed docs. Fresh rows needed for: alive delta docs + enterers.
+    void_ids = gone_ids.unionByName(leavers).distinct()
+    need_bands = (
+        alive_new.join(delta_ids, "doc_id", "left_semi").unionByName(enterers).distinct()
+    )
+    fresh_bands = lsh_bands(
+        minhash_signatures(new_docs.join(need_bands, "doc_id", "left_semi"))
+    )
+    bands_new = _write_read(
+        prior_bands.join(void_ids, "doc_id", "left_anti").unionByName(fresh_bands),
+        f"{state_out}/bands",
+    )
+    churned = (
+        prior_bands.join(void_ids, "doc_id", "left_semi")
+        .select("band", "band_hash")
+        .unionByName(fresh_bands.select("band", "band_hash"))
+        .distinct()
+    )
+
+    # -- 6. near outcomes for affected docs only ----------------------
+    affected = (
+        bands_new.join(churned, ["band", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    cand_buckets = (
+        bands_new.join(affected, "doc_id", "left_semi")
+        .select("band", "band_hash")
+        .distinct()
+    )
+    pairs = (
+        bucket_pairs(bands_new.join(cand_buckets, ["band", "band_hash"], "left_semi"))
+        .select("doc_a", "doc_b")
+        .join(affected.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    member_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    verified = verify_near_pairs(
+        pairs, new_docs.join(member_ids, "doc_id", "left_semi"), jaccard_threshold
+    )
+    near_affected = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    # stable alive docs keep their prior near flag (outcome==near_dup)
+    near_carry = (
+        prior_audit.filter(F.col("outcome") == DROP_NEAR)
+        .select("doc_id")
+        .join(affected, "doc_id", "left_anti")
+        .join(alive_new, "doc_id", "left_semi")
+    )
+    near = (
+        near_affected.unionByName(near_carry)
+        .distinct()
+        .withColumn("near_drop", F.lit(True))
+    )
+
+    # -- 7. recompose the audit with the batch ladder -----------------
+    audit = feats_new.join(near, "doc_id", "left").select(
+        "doc_id", outcome_ladder(keep_langs, sample_pct).alias("outcome")
+    )
+    audit = _write_read(audit, f"{state_out}/audit")
+
+    stats = {
+        "n_delta": delta_ids.count(),
+        "n_removed": removed_ids.count(),
+        "n_affected_hashes": affected_hashes.count(),
+        "n_rebanded": need_bands.count(),
+        "n_near_affected": affected.count(),
+        "n_pairs_verified": verified.count(),
+    }
+    return audit, stats

@@ -1,0 +1,218 @@
+"""Incremental corpus refresh (pipeline/refresh.py).
+
+The contract: after any night's delta, the refreshed audit is
+EXACTLY batch ``curate``'s audit over the new snapshot — including
+the two non-local propagation effects (exact-keeper churn and
+near-dup bucket churn) — while per-doc text work stays
+delta-proportional (stats pinned)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from radares_spark.pipeline.corpus import curate
+from radares_spark.pipeline.refresh import init_state, refresh
+
+STOP = "the and is in of to it was for on"  # high-frequency english
+
+
+def mk_text(i: int, words: int = 40) -> str:
+    """Quality-passing english-ish text, unique per i."""
+    rng = random.Random(i)
+    stop = STOP.split()
+    body = []
+    for j in range(words):
+        if j % 3 == 0:
+            body.append(stop[rng.randrange(len(stop))])
+        else:
+            body.append(f"word{i}x{j}")
+    return " ".join(body)
+
+
+def near_variant(i: int, words: int = 40) -> str:
+    toks = mk_text(i, words).split()
+    toks[words // 2] = "tweaked"
+    return " ".join(toks)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _audit_map(audit_df):
+    return {r["doc_id"]: r["outcome"] for r in audit_df.collect()}
+
+
+def _assert_matches_batch(spark, docs, audit_df):
+    _, batch_audit, _ = curate(docs)
+    assert _audit_map(audit_df) == _audit_map(batch_audit)
+
+
+BASE = [
+    (1, mk_text(1)),
+    (2, mk_text(2)),
+    (3, mk_text(1)),          # exact dup of 1 (1 is keeper)
+    (4, near_variant(2)),     # near dup of 2 (4 dropped)
+    (5, mk_text(5)),
+    (6, "short text"),        # quality fail
+    (7, None),                # NULL text -> quality fail
+    (8, mk_text(8)),
+]
+
+
+def test_init_matches_batch_curate(spark, tmp_path):
+    docs = _df(spark, BASE)
+    audit = init_state(spark, docs, str(tmp_path / "s0"))
+    _assert_matches_batch(spark, docs, audit)
+    got = _audit_map(audit)
+    assert got[3] == "exact_dup" and got[4] == "near_dup"
+    assert got[6] == "quality" and got[7] == "quality"
+
+
+def test_noop_night_zero_recompute(spark, tmp_path):
+    docs = _df(spark, BASE)
+    init_state(spark, docs, str(tmp_path / "s0"))
+    audit, stats = refresh(
+        spark, docs, str(tmp_path / "s0"), str(tmp_path / "s1")
+    )
+    _assert_matches_batch(spark, docs, audit)
+    assert stats == {
+        "n_delta": 0,
+        "n_removed": 0,
+        "n_affected_hashes": 0,
+        "n_rebanded": 0,
+        "n_near_affected": 0,
+        "n_pairs_verified": 0,
+    }
+
+
+def test_keeper_removal_resurrects_exact_dup(spark, tmp_path):
+    """Doc 1 (keeper of the {1,3} hash group) disappears; doc 3 must
+    flip exact_dup -> kept via the affected-hash recompute."""
+    docs = _df(spark, BASE)
+    init_state(spark, docs, str(tmp_path / "s0"))
+    night2 = [r for r in BASE if r[0] != 1]
+    new_docs = _df(spark, night2)
+    audit, stats = refresh(
+        spark, new_docs, str(tmp_path / "s0"), str(tmp_path / "s1")
+    )
+    _assert_matches_batch(spark, new_docs, audit)
+    assert _audit_map(audit)[3] == "kept"
+    assert stats["n_delta"] == 0 and stats["n_removed"] == 1
+    # doc 3's resurrection enters it into the LSH set -> rebanded
+    assert stats["n_rebanded"] == 1
+
+
+def test_new_lower_id_demotes_old_keeper(spark, tmp_path):
+    """A new doc 0 with doc 5's content becomes the group keeper;
+    doc 5 must flip kept -> exact_dup."""
+    docs = _df(spark, BASE)
+    init_state(spark, docs, str(tmp_path / "s0"))
+    new_docs = _df(spark, [(0, mk_text(5))] + BASE)
+    audit, _ = refresh(
+        spark, new_docs, str(tmp_path / "s0"), str(tmp_path / "s1")
+    )
+    _assert_matches_batch(spark, new_docs, audit)
+    got = _audit_map(audit)
+    assert got[0] == "kept" and got[5] == "exact_dup"
+
+
+def test_partner_removal_resurrects_near_dup(spark, tmp_path):
+    """Doc 2 vanishes; its near-dup 4 (dropped as the higher id of the
+    verified pair) must resurrect via the churned-bucket recompute."""
+    docs = _df(spark, BASE)
+    init_state(spark, docs, str(tmp_path / "s0"))
+    night2 = [r for r in BASE if r[0] != 2]
+    new_docs = _df(spark, night2)
+    audit, stats = refresh(
+        spark, new_docs, str(tmp_path / "s0"), str(tmp_path / "s1")
+    )
+    _assert_matches_batch(spark, new_docs, audit)
+    assert _audit_map(audit)[4] == "kept"
+    assert stats["n_near_affected"] >= 1
+
+
+def test_changed_doc_forms_new_near_pair(spark, tmp_path):
+    """Doc 8 is rewritten into a near-variant of doc 5: the fresh
+    bands must collide, verify, and drop 8 (higher id)."""
+    docs = _df(spark, BASE)
+    init_state(spark, docs, str(tmp_path / "s0"))
+    night2 = [(i, t) if i != 8 else (8, near_variant(5)) for i, t in BASE]
+    new_docs = _df(spark, night2)
+    audit, stats = refresh(
+        spark, new_docs, str(tmp_path / "s0"), str(tmp_path / "s1")
+    )
+    _assert_matches_batch(spark, new_docs, audit)
+    assert _audit_map(audit)[8] == "near_dup"
+    assert stats["n_delta"] == 1 and stats["n_pairs_verified"] >= 1
+
+
+def test_delta_proportional_stats(spark, tmp_path):
+    """60-doc corpus, 2-doc delta: per-doc recompute counts stay
+    delta-sized, not corpus-sized."""
+    big = [(i, mk_text(i)) for i in range(100, 160)]
+    docs = _df(spark, big)
+    init_state(spark, docs, str(tmp_path / "s0"))
+    night2 = [(i, t) if i != 100 else (100, mk_text(999)) for i, t in big]
+    night2.append((200, mk_text(200)))
+    new_docs = _df(spark, night2)
+    audit, stats = refresh(
+        spark, new_docs, str(tmp_path / "s0"), str(tmp_path / "s1")
+    )
+    _assert_matches_batch(spark, new_docs, audit)
+    assert stats["n_delta"] == 2  # changed 100 + added 200
+    assert stats["n_rebanded"] == 2
+    # near recompute confined to buckets the two delta docs touch
+    assert stats["n_near_affected"] <= 10
+
+
+def test_three_nights_randomized_equivalence(spark, tmp_path):
+    """Seeded random add/remove/rewrite churn over three nights —
+    every night's incremental audit equals batch curate from scratch,
+    with state rotated through night-numbered dirs. Mutations are
+    biased toward the interacting cases (dup-group and near-pair
+    members)."""
+    rng = random.Random(7)
+    corpus: dict[int, str | None] = {i: mk_text(i) for i in range(300, 330)}
+    corpus[330] = mk_text(300)       # exact dup group {300, 330}
+    corpus[331] = near_variant(301)  # near pair (301, 331)
+    corpus[332] = None
+    corpus[333] = "too short"
+
+    def as_df():
+        return _df(spark, sorted(corpus.items()))
+
+    init_state(spark, as_df(), str(tmp_path / "n0"))
+    for night in range(1, 4):
+        for _ in range(4):
+            op = rng.choice(["add", "remove", "rewrite", "dup", "near"])
+            ids = sorted(corpus)
+            if op == "add":
+                corpus[max(ids) + 1] = mk_text(rng.randrange(1000, 2000))
+            elif op == "remove" and len(ids) > 5:
+                corpus.pop(rng.choice(ids))
+            elif op == "rewrite":
+                corpus[rng.choice(ids)] = mk_text(rng.randrange(2000, 3000))
+            elif op == "dup":
+                src = rng.choice([i for i in ids if corpus[i]])
+                corpus[max(ids) + 1] = corpus[src]
+            elif op == "near":
+                corpus[max(ids) + 1] = near_variant(rng.choice(range(300, 330)))
+        new_docs = as_df()
+        audit, _ = refresh(
+            spark,
+            new_docs,
+            str(tmp_path / f"n{night - 1}"),
+            str(tmp_path / f"n{night}"),
+        )
+        _assert_matches_batch(spark, new_docs, audit)
+
+
+def test_refresh_rejects_in_place_state(spark, tmp_path):
+    docs = _df(spark, BASE)
+    init_state(spark, docs, str(tmp_path / "s0"))
+    with pytest.raises(ValueError, match="state_out"):
+        refresh(spark, docs, str(tmp_path / "s0"), str(tmp_path / "s0"))
