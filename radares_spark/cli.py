@@ -149,6 +149,32 @@ def cmd_snapshot_diff(
     return {r["status"]: r["n_docs"] for r in rows}
 
 
+def cmd_corpus_refresh(
+    spark: SparkSession,
+    docs_path: str,
+    state_out: str,
+    state_in: str | None = None,
+) -> dict[str, int]:
+    """Nightly incremental curation (pipeline/refresh.py): without
+    ``--state-in`` runs the night-zero batch (init_state); with it,
+    refreshes only the delta against the prior night's state. Prints
+    per-outcome counts plus (refresh nights) the recompute stats that
+    show the night was delta-proportional."""
+    from radares_spark.pipeline.refresh import init_state, refresh
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    if state_in is None:
+        audit = init_state(spark, docs, state_out)
+        stats: dict[str, int] = {}
+    else:
+        audit, stats = refresh(spark, docs, state_in, state_out)
+    counts = {
+        r["outcome"]: r["count"]
+        for r in audit.groupBy("outcome").count().collect()
+    }
+    return {**counts, **stats}
+
+
 def cmd_curate_crawl(
     spark: SparkSession,
     pages_path: str,
@@ -291,6 +317,10 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--pages", required=True, help="parquet pages store (doc_id, url, html)")
     cc.add_argument("--out", required=True, help="output dir (kept/ + audit/)")
     cc.add_argument("--max-per-domain", type=int, default=None)
+    cr = sub.add_parser("corpus-refresh")
+    cr.add_argument("--docs", required=True, help="tonight's snapshot parquet")
+    cr.add_argument("--state-out", required=True, help="dir for tonight's state")
+    cr.add_argument("--state-in", default=None, help="prior night's state dir (omit for night zero)")
     sd = sub.add_parser("snapshot-diff")
     sd.add_argument("--old", required=True, help="previous snapshot parquet")
     sd.add_argument("--new", required=True, help="tonight's snapshot parquet")
@@ -315,6 +345,11 @@ def main(argv: list[str] | None = None) -> int:
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain
         )
+        for key in sorted(counts):
+            print(f"{key}: {counts[key]}")
+        return 0
+    if args.cmd == "corpus-refresh":
+        counts = cmd_corpus_refresh(spark, args.docs, args.state_out, args.state_in)
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")
         return 0

@@ -149,18 +149,30 @@ def refresh(
     prior_audit = spark.read.parquet(f"{state_in}/audit")
 
     # -- 1. delta detection on the raw-byte fingerprint ---------------
+    # Every small multi-consumer frame below is PINNED with an eager
+    # localCheckpoint: delta_ids alone feeds five consumers, and lazy
+    # composition would re-run the corpus fingerprint join (and later
+    # the delta signature chain) once per consumer — measured at
+    # sf0.1 with a 2% delta: 26.2 s lazy (2x the 13 s BATCH cost!)
+    # vs 7.2 s pinned; the residual is ~25 small-job overheads that
+    # amortize away at real corpus sizes. The
+    # pinned frames are delta-sized (ids, band rows, pairs); the one
+    # corpus-sized pin is fp, two hashes per doc, the frame the whole
+    # night keys off.
     new_fp = new_docs.select("doc_id", content_fingerprint(["text"]).alias("raw_hash"))
     old_fp = prior_feats.select("doc_id", F.col("raw_hash").alias("old_raw"))
-    fp = new_fp.join(old_fp, "doc_id", "full_outer")
+    fp = new_fp.join(old_fp, "doc_id", "full_outer").localCheckpoint()
     delta_ids = fp.filter(
         F.col("old_raw").isNull()  # added
         | (F.col("raw_hash").isNotNull() & (F.col("raw_hash") != F.col("old_raw")))
-    ).select("doc_id")
-    removed_ids = fp.filter(F.col("raw_hash").isNull()).select("doc_id")
+    ).select("doc_id").localCheckpoint()
+    removed_ids = fp.filter(F.col("raw_hash").isNull()).select("doc_id").localCheckpoint()
     gone_ids = delta_ids.unionByName(removed_ids)  # rows whose OLD state is void
 
     # -- 2. features: recompute delta, carry the rest -----------------
-    feats_delta = _features(new_docs.join(delta_ids, "doc_id", "left_semi"))
+    feats_delta = _features(
+        new_docs.join(delta_ids, "doc_id", "left_semi")
+    ).localCheckpoint()
     feats_stable = prior_feats.drop("exact_keep").join(gone_ids, "doc_id", "left_anti")
 
     # -- 3. exact-dedup keeper churn, per affected hash ---------------
@@ -170,6 +182,7 @@ def refresh(
             prior_feats.join(gone_ids, "doc_id", "left_semi").select("text_hash")
         )
         .distinct()
+        .localCheckpoint()
     )
     ledger = feats_stable.select("doc_id", "text_hash").unionByName(
         feats_delta.select("doc_id", "text_hash")
@@ -201,19 +214,22 @@ def refresh(
     #       exact flips can hit ANY doc in an affected hash group) ----
     alive_new = feats_new.filter(_alive(feats_new, keep_langs)).select("doc_id")
     alive_old = prior_feats.filter(_alive(prior_feats, keep_langs)).select("doc_id")
-    enterers = alive_new.join(alive_old, "doc_id", "left_anti")
-    leavers = alive_old.join(alive_new, "doc_id", "left_anti")
+    enterers = alive_new.join(alive_old, "doc_id", "left_anti").localCheckpoint()
+    leavers = alive_old.join(alive_new, "doc_id", "left_anti").localCheckpoint()
 
     # -- 5. band churn ------------------------------------------------
     # state band rows void for: delta docs (content changed), leavers,
     # removed docs. Fresh rows needed for: alive delta docs + enterers.
     void_ids = gone_ids.unionByName(leavers).distinct()
     need_bands = (
-        alive_new.join(delta_ids, "doc_id", "left_semi").unionByName(enterers).distinct()
+        alive_new.join(delta_ids, "doc_id", "left_semi")
+        .unionByName(enterers)
+        .distinct()
+        .localCheckpoint()
     )
     fresh_bands = lsh_bands(
         minhash_signatures(new_docs.join(need_bands, "doc_id", "left_semi"))
-    )
+    ).localCheckpoint()
     bands_new = _write_read(
         prior_bands.join(void_ids, "doc_id", "left_anti").unionByName(fresh_bands),
         f"{state_out}/bands",
@@ -230,6 +246,7 @@ def refresh(
         bands_new.join(churned, ["band", "band_hash"], "left_semi")
         .select("doc_id")
         .distinct()
+        .localCheckpoint()
     )
     cand_buckets = (
         bands_new.join(affected, "doc_id", "left_semi")
@@ -240,6 +257,7 @@ def refresh(
         bucket_pairs(bands_new.join(cand_buckets, ["band", "band_hash"], "left_semi"))
         .select("doc_a", "doc_b")
         .join(affected.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .localCheckpoint()
     )
     member_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -248,7 +266,7 @@ def refresh(
     )
     verified = verify_near_pairs(
         pairs, new_docs.join(member_ids, "doc_id", "left_semi"), jaccard_threshold
-    )
+    ).localCheckpoint()
     near_affected = verified.select(F.col("doc_b").alias("doc_id")).distinct()
 
     # stable alive docs keep their prior near flag (outcome==near_dup)

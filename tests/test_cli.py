@@ -288,3 +288,31 @@ def test_snapshot_diff_subcommand(spark, tmp_path, capsys):
     assert counts == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
     landed = {r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()}
     assert landed == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_corpus_refresh_subcommand_two_nights(spark, tmp_path, capsys):
+    """corpus-refresh: night zero (no --state-in) batch-curates and
+    lands state; night one refreshes against it, reporting the
+    delta-proportional stats alongside outcome counts."""
+    import pandas as pd
+
+    from radares_spark.cli import cmd_corpus_refresh
+    from tests.test_refresh import mk_text
+
+    rows = [(i, mk_text(i)) for i in range(10)] + [(10, mk_text(0))]
+    n0 = str(tmp_path / "docs_n0")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.parquet(n0)
+    c0 = cmd_corpus_refresh(spark, n0, str(tmp_path / "s0"))
+    assert c0["kept"] == 10 and c0["exact_dup"] == 1
+
+    n1 = str(tmp_path / "docs_n1")
+    spark.createDataFrame(
+        pd.DataFrame(rows[1:], columns=["doc_id", "text"])  # drop keeper 0
+    ).write.parquet(n1)
+    c1 = cmd_corpus_refresh(
+        spark, n1, str(tmp_path / "s1"), state_in=str(tmp_path / "s0")
+    )
+    assert c1["kept"] == 10 and "exact_dup" not in c1  # 10 resurrected
+    assert c1["n_removed"] == 1 and c1["n_delta"] == 0
