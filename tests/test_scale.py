@@ -328,3 +328,37 @@ def test_hashed_tf_is_corpus_independent_per_doc(spark):
         for r in hashed_tf(big).filter(F.col("doc_id") < 1_000_000).collect()
     }
     assert alone and inside == alone
+
+
+def test_refresh_recompute_is_corpus_independent(spark, tmp_path):
+    """Incremental refresh (pipeline/refresh.py): with a FIXED delta,
+    the per-doc recompute footprint must not grow with the corpus —
+    4x the corpus, same 3-doc delta => identical n_delta/n_rebanded
+    and near-affected counts bounded by bucket co-membership, not
+    corpus size. This is the structural form of the refresh promise
+    (delta-proportional work), immune to wall-clock noise."""
+    from radares_spark.pipeline.refresh import init_state, refresh
+    from tests.test_refresh import mk_text
+
+    footprints = []
+    for scale, tag in ((1, "a"), (4, "b")):
+        rows = [(i, mk_text(i)) for i in range(1000, 1000 + 30 * scale)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        s0 = str(tmp_path / f"{tag}0")
+        s1 = str(tmp_path / f"{tag}1")
+        init_state(spark, docs, s0)
+        night2 = [
+            (i, t if i != 1001 else mk_text(5001)) for i, t in rows if i != 1002
+        ] + [(9000, mk_text(9000))]
+        _, stats = refresh(
+            spark, spark.createDataFrame(night2, ["doc_id", "text"]), s0, s1
+        )
+        footprints.append(stats)
+    small, big = footprints
+    assert big["n_delta"] == small["n_delta"] == 2
+    assert big["n_removed"] == small["n_removed"] == 1
+    assert big["n_rebanded"] == small["n_rebanded"] == 2
+    # affected near-docs may pick up coincidental bucket co-members,
+    # but must stay delta-neighborhood-sized, not corpus-sized
+    assert big["n_near_affected"] <= small["n_near_affected"] + 8
+    assert big["n_near_affected"] < 30  # << the 120-doc corpus
