@@ -98,6 +98,7 @@ EXTRA = [
     "url_incremental_audit",  # r6: cross-run URL ledger admission
     "text_hash_embed_4k",  # r7: feature-hash embeddings at production dim 4096
     "text_bpe_encode",  # r7: 64-merge BPE train (cold) + encode join (warm)
+    "corpus_snapshot_diff",  # r7: recrawl delta via narrow fingerprint join
 ]
 
 

@@ -297,3 +297,85 @@ def refresh(
         "n_pairs_verified": verified.count(),
     }
     return audit, stats
+
+
+# --- incremental kept-store materialization --------------------------
+
+N_STORE_BUCKETS = 64
+KEPT = "kept"
+
+
+def _store_bucket(n_buckets: int):
+    return (F.col("doc_id") % n_buckets).cast("int").alias("part_bucket")
+
+
+def init_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    store_dir: str,
+    n_buckets: int = N_STORE_BUCKETS,
+) -> None:
+    """Night zero of the curated-corpus store: land every kept doc
+    under ``store_dir`` partitioned by a deterministic doc_id bucket.
+    The bucket is the REWRITE UNIT for refresh nights: at 100 TB,
+    ``n_buckets`` is sized so one bucket is an acceptable rewrite
+    (churning b buckets rewrites b/n of the store, never all of it)."""
+    audit = spark.read.parquet(f"{state_dir}/audit")
+    kept = docs.join(
+        audit.filter(F.col("outcome") == KEPT), "doc_id", "left_semi"
+    ).withColumn("part_bucket", _store_bucket(n_buckets))
+    kept.write.mode("overwrite").partitionBy("part_bucket").parquet(store_dir)
+
+
+def apply_refresh_to_store(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_in: str,
+    state_out: str,
+    store_dir: str,
+    n_buckets: int = N_STORE_BUCKETS,
+) -> dict[str, int]:
+    """Bring the materialized kept-store in line with a refreshed
+    state, rewriting ONLY churned buckets via dynamic partition
+    overwrite — untouched bucket partitions keep their files byte for
+    byte (pinned in tests via the file listing).
+
+    A bucket churns when any of its docs changed kept-membership
+    between the two audits, or stayed kept with different content
+    (raw_hash from the features state — no text comparison). Returns
+    ``{"n_churned_docs": ..., "n_buckets_rewritten": ...}``."""
+    audit_old = spark.read.parquet(f"{state_in}/audit")
+    audit_new = spark.read.parquet(f"{state_out}/audit")
+    kept_old = audit_old.filter(F.col("outcome") == KEPT).select("doc_id")
+    kept_new = audit_new.filter(F.col("outcome") == KEPT).select("doc_id")
+    membership = kept_old.join(kept_new, "doc_id", "left_anti").unionByName(
+        kept_new.join(kept_old, "doc_id", "left_anti")
+    )  # symmetric difference: entered or left the kept set
+    fp_old = spark.read.parquet(f"{state_in}/features").select(
+        "doc_id", F.col("raw_hash").alias("old_raw")
+    )
+    fp_new = spark.read.parquet(f"{state_out}/features").select("doc_id", "raw_hash")
+    rewritten = (
+        kept_new.join(kept_old, "doc_id", "left_semi")
+        .join(fp_old, "doc_id")
+        .join(fp_new, "doc_id")
+        .filter(F.col("raw_hash") != F.col("old_raw"))
+        .select("doc_id")
+    )
+    churned = membership.unionByName(rewritten).distinct().localCheckpoint()
+    buckets = churned.select(_store_bucket(n_buckets)).distinct().localCheckpoint()
+    n_docs, n_buckets_hit = churned.count(), buckets.count()
+    if n_buckets_hit:
+        rows = (
+            new_docs.join(kept_new, "doc_id", "left_semi")
+            .withColumn("part_bucket", _store_bucket(n_buckets))
+            .join(buckets, "part_bucket", "left_semi")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rows.write.mode("overwrite").partitionBy("part_bucket").parquet(store_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"n_churned_docs": n_docs, "n_buckets_rewritten": n_buckets_hit}

@@ -216,3 +216,78 @@ def test_refresh_rejects_in_place_state(spark, tmp_path):
     init_state(spark, docs, str(tmp_path / "s0"))
     with pytest.raises(ValueError, match="state_out"):
         refresh(spark, docs, str(tmp_path / "s0"), str(tmp_path / "s0"))
+
+
+# --- incremental kept-store materialization --------------------------
+
+
+def _store_files(path):
+    import glob
+    import os
+
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part_bucket=*/*.parquet")
+    }
+
+
+def test_store_init_and_incremental_apply(spark, tmp_path):
+    """Night zero materializes the kept set; a refresh night rewrites
+    ONLY buckets containing churned docs (untouched partitions keep
+    their files byte-for-byte by mtime+path), and the store always
+    equals batch curate's kept set."""
+    from radares_spark.pipeline.refresh import (
+        apply_refresh_to_store,
+        init_store,
+        init_state,
+        refresh,
+    )
+
+    docs = _df(spark, BASE)
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    store = str(tmp_path / "store")
+    init_state(spark, docs, s0)
+    init_store(spark, docs, s0, store, n_buckets=4)
+    curated0, _, _ = curate(docs)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    ) == sorted(r["doc_id"] for r in curated0.collect())
+
+    before = _store_files(store)
+    # night 2: remove keeper 1 (resurrects 3: bucket 3%4), others stable
+    night2 = [r for r in BASE if r[0] != 1]
+    new_docs = _df(spark, night2)
+    refresh(spark, new_docs, s0, s1)
+    stats = apply_refresh_to_store(spark, new_docs, s0, s1, store, n_buckets=4)
+    # doc 1 left kept (bucket 1), doc 3 entered kept (bucket 3)
+    assert stats == {"n_churned_docs": 2, "n_buckets_rewritten": 2}
+    after = _store_files(store)
+    churned_buckets = {f"part_bucket={1 % 4}", f"part_bucket={3 % 4}"}
+    for f, mtime in before.items():
+        bucket = f.split("/")[-2]
+        if bucket not in churned_buckets:
+            assert f in after and after[f] == mtime, f
+    curated2, _, _ = curate(new_docs)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    ) == sorted(r["doc_id"] for r in curated2.collect())
+
+
+def test_store_noop_night_rewrites_nothing(spark, tmp_path):
+    from radares_spark.pipeline.refresh import (
+        apply_refresh_to_store,
+        init_store,
+        init_state,
+        refresh,
+    )
+
+    docs = _df(spark, BASE)
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    store = str(tmp_path / "store")
+    init_state(spark, docs, s0)
+    init_store(spark, docs, s0, store, n_buckets=4)
+    before = _store_files(store)
+    refresh(spark, docs, s0, s1)
+    stats = apply_refresh_to_store(spark, docs, s0, s1, store, n_buckets=4)
+    assert stats == {"n_churned_docs": 0, "n_buckets_rewritten": 0}
+    assert _store_files(store) == before
