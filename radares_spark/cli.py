@@ -154,20 +154,36 @@ def cmd_corpus_refresh(
     docs_path: str,
     state_out: str,
     state_in: str | None = None,
+    store_dir: str | None = None,
 ) -> dict[str, int]:
     """Nightly incremental curation (pipeline/refresh.py): without
     ``--state-in`` runs the night-zero batch (init_state); with it,
-    refreshes only the delta against the prior night's state. Prints
-    per-outcome counts plus (refresh nights) the recompute stats that
-    show the night was delta-proportional."""
-    from radares_spark.pipeline.refresh import init_state, refresh
+    refreshes only the delta against the prior night's state. With
+    ``--store`` the materialized kept-corpus parquet is kept in line
+    too — full write on night zero, churned-bucket-only rewrite on
+    refresh nights. Prints per-outcome counts plus (refresh nights)
+    the recompute/rewrite stats that show the night was
+    delta-proportional."""
+    from radares_spark.pipeline.refresh import (
+        apply_refresh_to_store,
+        init_state,
+        init_store,
+        refresh,
+    )
 
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
     if state_in is None:
         audit = init_state(spark, docs, state_out)
         stats: dict[str, int] = {}
+        if store_dir:
+            init_store(spark, docs, state_out, store_dir)
     else:
         audit, stats = refresh(spark, docs, state_in, state_out)
+        if store_dir:
+            stats = {
+                **stats,
+                **apply_refresh_to_store(spark, docs, state_in, state_out, store_dir),
+            }
     counts = {
         r["outcome"]: r["count"]
         for r in audit.groupBy("outcome").count().collect()
@@ -321,6 +337,7 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--docs", required=True, help="tonight's snapshot parquet")
     cr.add_argument("--state-out", required=True, help="dir for tonight's state")
     cr.add_argument("--state-in", default=None, help="prior night's state dir (omit for night zero)")
+    cr.add_argument("--store", default=None, help="optional kept-corpus parquet to maintain incrementally")
     sd = sub.add_parser("snapshot-diff")
     sd.add_argument("--old", required=True, help="previous snapshot parquet")
     sd.add_argument("--new", required=True, help="tonight's snapshot parquet")
@@ -349,7 +366,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{key}: {counts[key]}")
         return 0
     if args.cmd == "corpus-refresh":
-        counts = cmd_corpus_refresh(spark, args.docs, args.state_out, args.state_in)
+        counts = cmd_corpus_refresh(
+            spark, args.docs, args.state_out, args.state_in, args.store
+        )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")
         return 0

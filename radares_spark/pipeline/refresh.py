@@ -59,6 +59,7 @@ from radares_spark.pipeline.corpus import (
     outcome_ladder,
     verify_near_pairs,
 )
+from radares_spark.io.fs import delete as fs_delete
 from radares_spark.pipeline.snapshot import content_fingerprint
 
 DROP_NEAR = "near_dup"
@@ -371,6 +372,7 @@ def apply_refresh_to_store(
             new_docs.join(kept_new, "doc_id", "left_semi")
             .withColumn("part_bucket", _store_bucket(n_buckets))
             .join(buckets, "part_bucket", "left_semi")
+            .localCheckpoint()
         )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -378,4 +380,16 @@ def apply_refresh_to_store(
             rows.write.mode("overwrite").partitionBy("part_bucket").parquet(store_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # written data — a churned bucket whose kept set emptied out
+        # (all its docs removed/dropped) must be vacated explicitly
+        still_populated = rows.select("part_bucket").distinct()
+        emptied = [
+            r["part_bucket"]
+            for r in buckets.join(
+                still_populated, "part_bucket", "left_anti"
+            ).collect()
+        ]
+        for b in emptied:
+            fs_delete(spark, f"{store_dir}/part_bucket={b}")
     return {"n_churned_docs": n_docs, "n_buckets_rewritten": n_buckets_hit}

@@ -316,3 +316,36 @@ def test_corpus_refresh_subcommand_two_nights(spark, tmp_path, capsys):
     )
     assert c1["kept"] == 10 and "exact_dup" not in c1  # 10 resurrected
     assert c1["n_removed"] == 1 and c1["n_delta"] == 0
+
+
+def test_corpus_refresh_store_flag(spark, tmp_path):
+    """--store maintains the kept-corpus parquet across nights: full
+    write on night zero, churned-bucket rewrite stats on night one,
+    store content tracking the kept set."""
+    import pandas as pd
+
+    from radares_spark.cli import cmd_corpus_refresh
+    from tests.test_refresh import mk_text
+
+    rows = [(i, mk_text(i)) for i in range(8)]
+    n0 = str(tmp_path / "docs_n0")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.parquet(n0)
+    store = str(tmp_path / "store")
+    c0 = cmd_corpus_refresh(spark, n0, str(tmp_path / "s0"), store_dir=store)
+    assert c0["kept"] == 8
+    assert spark.read.parquet(store).count() == 8
+
+    n1 = str(tmp_path / "docs_n1")
+    spark.createDataFrame(
+        pd.DataFrame(rows[2:], columns=["doc_id", "text"])
+    ).write.parquet(n1)
+    c1 = cmd_corpus_refresh(
+        spark, n1, str(tmp_path / "s1"),
+        state_in=str(tmp_path / "s0"), store_dir=store,
+    )
+    assert c1["kept"] == 6 and c1["n_churned_docs"] == 2
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    ) == list(range(2, 8))
