@@ -291,3 +291,27 @@ def test_store_noop_night_rewrites_nothing(spark, tmp_path):
     stats = apply_refresh_to_store(spark, docs, s0, s1, store, n_buckets=4)
     assert stats == {"n_churned_docs": 0, "n_buckets_rewritten": 0}
     assert _store_files(store) == before
+
+
+def test_knobs_equivalence_sample_pct_and_langs(spark, tmp_path):
+    """Non-default curation knobs thread through both paths
+    identically: sample_pct=50 exercises the carve-out rung, and
+    stopword-free pseudo-foreign docs exercise the lang rung (both
+    engines share the expressions, so equivalence is the contract
+    regardless of which language the heuristic predicts)."""
+    foreign = " ".join(f"palavra{j} de um texto em outra lingua" for j in range(8))
+    rows = BASE + [(20, foreign), (21, foreign + " extra")]
+    docs = _df(spark, rows)
+    init_state(
+        spark, docs, str(tmp_path / "s0"), sample_pct=50
+    )
+    night2 = [r for r in rows if r[0] != 1] + [(22, mk_text(22))]
+    new_docs = _df(spark, night2)
+    audit, _ = refresh(
+        spark, new_docs, str(tmp_path / "s0"), str(tmp_path / "s1"),
+        sample_pct=50,
+    )
+    _, batch_audit, _ = curate(new_docs, sample_pct=50)
+    assert _audit_map(audit) == _audit_map(batch_audit)
+    outcomes = set(_audit_map(audit).values())
+    assert "sampled_out" in outcomes or "kept" in outcomes
