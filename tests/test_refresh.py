@@ -315,3 +315,40 @@ def test_knobs_equivalence_sample_pct_and_langs(spark, tmp_path):
     assert _audit_map(audit) == _audit_map(batch_audit)
     outcomes = set(_audit_map(audit).values())
     assert "sampled_out" in outcomes or "kept" in outcomes
+
+
+def test_sf01_recrawl_night_equivalence(spark, tmp_path):
+    """The production-shape gate: the full sf0.1 document corpus
+    (5000 docs) through init_state, then a modulo-derived recrawl
+    night (1% rewrites, 0.5% removals, 25 adds) through refresh —
+    audit equals batch curate() on the new snapshot, and the
+    recompute footprint stays delta-sized."""
+    from pyspark.sql import functions as F
+
+    from radares_spark.io.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    init_state(spark, docs, s0)
+    changed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 100 == 7,
+            F.concat(F.col("text"), F.lit(" night-two rewrite")),
+        ).otherwise(F.col("text")),
+    )
+    new_docs = (
+        changed.filter(F.col("doc_id") % 200 != 11)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 200 == 13).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint()
+    )
+    audit, stats = refresh(spark, new_docs, s0, s1)
+    _assert_matches_batch(spark, new_docs, audit)
+    n = new_docs.count()
+    assert stats["n_delta"] < n // 20 and stats["n_rebanded"] < n // 20
