@@ -327,6 +327,13 @@ def init_store(
         audit.filter(F.col("outcome") == KEPT), "doc_id", "left_semi"
     ).withColumn("part_bucket", _store_bucket(n_buckets))
     kept.write.mode("overwrite").partitionBy("part_bucket").parquet(store_dir)
+    # _-prefixed dir => invisible to Spark reads of store_dir; pins the
+    # bucket count so a later apply with a different n_buckets (which
+    # would mismap docs to partitions and strand stale copies) fails
+    # fast instead of corrupting the store
+    spark.createDataFrame([(n_buckets,)], ["n_buckets"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/_meta")
 
 
 def apply_refresh_to_store(
@@ -346,6 +353,12 @@ def apply_refresh_to_store(
     between the two audits, or stayed kept with different content
     (raw_hash from the features state — no text comparison). Returns
     ``{"n_churned_docs": ..., "n_buckets_rewritten": ...}``."""
+    stored = spark.read.parquet(f"{store_dir}/_meta").head()["n_buckets"]
+    if stored != n_buckets:
+        raise ValueError(
+            f"store was initialized with n_buckets={stored}, got {n_buckets}: "
+            "a mismatched bucket count would rewrite the wrong partitions"
+        )
     audit_old = spark.read.parquet(f"{state_in}/audit")
     audit_new = spark.read.parquet(f"{state_out}/audit")
     kept_old = audit_old.filter(F.col("outcome") == KEPT).select("doc_id")

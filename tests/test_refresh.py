@@ -352,3 +352,24 @@ def test_sf01_recrawl_night_equivalence(spark, tmp_path):
     _assert_matches_batch(spark, new_docs, audit)
     n = new_docs.count()
     assert stats["n_delta"] < n // 20 and stats["n_rebanded"] < n // 20
+
+
+def test_store_rejects_mismatched_bucket_count(spark, tmp_path):
+    """A mismatched n_buckets would mismap docs to partitions and
+    strand stale copies — the _meta sidecar written at init makes the
+    apply fail fast instead."""
+    from radares_spark.pipeline.refresh import (
+        apply_refresh_to_store,
+        init_store,
+        init_state,
+        refresh,
+    )
+
+    docs = _df(spark, BASE)
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    store = str(tmp_path / "store")
+    init_state(spark, docs, s0)
+    init_store(spark, docs, s0, store, n_buckets=4)
+    refresh(spark, docs, s0, s1)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        apply_refresh_to_store(spark, docs, s0, s1, store, n_buckets=8)
