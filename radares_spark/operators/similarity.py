@@ -103,15 +103,25 @@ def build_ivf_index(
             .select("cell", "cv", l2norm("cv", dim).alias("cn"))
         )
 
+    return assign_to_centroids(normed, centroids), centroids
+
+
+def assign_to_centroids(normed: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid assignment by cosine against
+    a FIXED centroid table (one broadcast against the vectors; ties
+    break to the lowest cell, same rule as training). Shared by
+    build_ivf_index's final pass and the incremental store refresh,
+    so a delta vector lands in exactly the cell a full rebuild with
+    the same centroids would give it."""
+    assign_w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     sim = pair_dot("v", "cv") / (F.col("nrm") * F.col("cn"))
-    assignment = (
+    return (
         normed.crossJoin(F.broadcast(centroids))
         .select("vec_id", "cell", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
-    return assignment, centroids
 
 
 def _route_probes(
@@ -188,6 +198,110 @@ def write_ivf_layout(
         sort_col="vec_id",
         max_records_per_file=max_records_per_file,
     )
+
+
+def write_ivf_store(
+    spark: SparkSession,
+    normed: DataFrame,
+    assignment: DataFrame,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """:func:`write_ivf_layout` plus the sidecars an INCREMENTAL store
+    needs: ``_assignment`` (vec_id -> cell, so a later delta can find
+    which cell partitions its removed/changed vectors live in without
+    scanning the store) and ``_centroids`` (the frozen quantizer the
+    delta assigns against). ``_``-prefixed dirs are invisible to Spark
+    reads of ``path``, so probes see only the cell partitions."""
+    write_ivf_layout(normed, assignment, path)
+    assignment.write.mode("overwrite").parquet(f"{path}/_assignment")
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def refresh_ivf_store(
+    spark: SparkSession,
+    delta_normed: DataFrame,
+    removed_ids: DataFrame,
+    path: str,
+) -> dict[str, int]:
+    """Bring an IVF serving store in line with a vector delta,
+    rewriting ONLY the cell partitions the delta touches.
+
+    ``delta_normed``: (vec_id, v, nrm) rows that are new or changed;
+    ``removed_ids``: (vec_id) rows to drop (changed ids may appear in
+    both — the delta row wins). Delta vectors are assigned against the
+    store's FROZEN centroids (``_centroids`` sidecar) — identical cell
+    placement to a full rebuild with those centroids, pinned in tests.
+    Affected cells = cells of delta assignments + prior cells of
+    removed/changed ids (``_assignment`` sidecar — no store scan).
+    Untouched cell partitions keep their files byte for byte; emptied
+    cells are vacated explicitly (dynamic overwrite cannot clear a
+    partition absent from the written data).
+
+    Centroids do NOT drift here by design: assignment quality for the
+    delta matches the store's training distribution until a periodic
+    ``build_ivf_index`` retrain, the standard IVF serving contract.
+    Returns ``{"n_delta", "n_removed", "n_cells_rewritten"}``."""
+    from radares_spark.io.fs import delete as fs_delete
+
+    centroids = spark.read.parquet(f"{path}/_centroids")
+    prior_assign = spark.read.parquet(f"{path}/_assignment")
+    delta_assign = assign_to_centroids(delta_normed, centroids).localCheckpoint()
+    delta_ids = delta_assign.select("vec_id")
+    gone_ids = removed_ids.unionByName(delta_ids).distinct().localCheckpoint()
+    affected = (
+        delta_assign.select("cell")
+        .unionByName(prior_assign.join(gone_ids, "vec_id", "left_semi").select("cell"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_cells = affected.count()
+    if n_cells:
+        stored = spark.read.parquet(path)
+        # passthrough-generic: whatever payload columns the store
+        # carries (label, metadata, ...) the delta rows must carry too
+        data_cols = [c for c in stored.columns if c != "cell"]
+        missing = set(data_cols) - set(delta_normed.columns)
+        if missing:
+            raise ValueError(
+                f"delta rows lack store columns {sorted(missing)}; the "
+                "rewrite would null them out for every row in a touched cell"
+            )
+        survivors = (
+            stored.join(affected, "cell", "left_semi")
+            .join(gone_ids, "vec_id", "left_anti")
+            .select(*data_cols, "cell")
+        )
+        fresh = (
+            delta_normed.join(delta_assign, "vec_id")
+            .select(*data_cols, "cell")
+        )
+        rows = survivors.unionByName(fresh).localCheckpoint()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rows.repartition("cell").sortWithinPartitions("vec_id").write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        emptied = [
+            r["cell"]
+            for r in affected.join(
+                rows.select("cell").distinct(), "cell", "left_anti"
+            ).collect()
+        ]
+        for c in emptied:
+            fs_delete(spark, f"{path}/cell={c}")
+    assign_new = prior_assign.join(gone_ids, "vec_id", "left_anti").unionByName(
+        delta_assign
+    ).localCheckpoint()
+    assign_new.write.mode("overwrite").parquet(f"{path}/_assignment")
+    return {
+        "n_delta": delta_ids.count(),
+        "n_removed": removed_ids.count(),
+        "n_cells_rewritten": n_cells,
+    }
 
 
 def probe_stored_topk(

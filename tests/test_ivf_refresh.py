@@ -1,0 +1,142 @@
+"""Incremental IVF serving-store refresh (similarity.refresh_ivf_store):
+delta vectors assigned against the frozen centroids land exactly where
+a full rebuild would put them, only touched cell partitions rewrite,
+emptied cells vacate, and probes over the refreshed store match the
+in-memory probe over the new corpus."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.operators.similarity import (
+    TOP_K,
+    _normed,
+    assign_to_centroids,
+    build_ivf_index,
+    ivf_probe_topk,
+    probe_stored_topk,
+    refresh_ivf_store,
+    write_ivf_store,
+)
+from tests.conftest import SF_SMOKE
+
+N_CELLS = 8
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    normed = _normed(spark, SF_SMOKE).localCheckpoint()
+    assignment, centroids = build_ivf_index(normed, n_cells=N_CELLS, iters=3)
+    assignment = assignment.localCheckpoint()
+    centroids = centroids.localCheckpoint()
+    path = str(tmp_path_factory.mktemp("ivf") / "store")
+    write_ivf_store(spark, normed, assignment, centroids, path)
+    return normed, assignment, centroids, path
+
+
+def _files(path):
+    return {f: os.path.getmtime(f) for f in glob.glob(f"{path}/cell=*/*.parquet")}
+
+
+def test_refresh_matches_rebuild_and_preserves_untouched_cells(
+    spark, store, tmp_path
+):
+    normed, assignment, centroids, path = store
+    amap = {r["vec_id"]: r["cell"] for r in assignment.collect()}
+    # move one vector across cells by giving it another cell's vector,
+    # remove two ids, add one brand-new id (a copy of an existing row)
+    cells_of = {}
+    for vid, c in amap.items():
+        cells_of.setdefault(c, []).append(vid)
+    cell_a, cell_b = sorted(cells_of)[:2]
+    mover = cells_of[cell_a][0]
+    donor = cells_of[cell_b][0]
+    gone1, gone2 = cells_of[cell_b][1], cells_of[sorted(cells_of)[2]][0]
+    donor_row = normed.filter(F.col("vec_id") == donor)
+    delta = donor_row.select(
+        F.lit(mover).alias("vec_id"), "label", "v", "nrm"
+    ).unionByName(
+        donor_row.select((F.lit(900000)).alias("vec_id"), "label", "v", "nrm")
+    ).localCheckpoint()
+    removed = spark.createDataFrame(
+        [(gone1,), (gone2,)], ["vec_id"]
+    ).localCheckpoint()
+
+    before = _files(path)
+    stats = refresh_ivf_store(spark, delta, removed, path)
+    assert stats["n_delta"] == 2 and stats["n_removed"] == 2
+
+    # expected content: rebuild-with-same-centroids over the new corpus
+    new_normed = (
+        normed.filter(~F.col("vec_id").isin(mover, gone1, gone2))
+        .unionByName(delta)
+    )
+    want_assign = {
+        r["vec_id"]: r["cell"]
+        for r in assign_to_centroids(new_normed, centroids).collect()
+    }
+    stored = spark.read.parquet(path)
+    got_assign = {r["vec_id"]: r["cell"] for r in stored.collect()}
+    assert got_assign == want_assign
+    assert got_assign[mover] == amap[donor] and got_assign[900000] == amap[donor]
+
+    # untouched cell partitions keep their files byte for byte
+    touched = {
+        f"cell={c}"
+        for c in {amap[mover], amap[donor], amap[gone1], amap[gone2]}
+    }
+    after = _files(path)
+    for f, mtime in before.items():
+        if f.split("/")[-2] not in touched:
+            assert after.get(f) == mtime, f
+
+    # sidecar assignment tracks the refresh
+    side = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{path}/_assignment").collect()
+    }
+    assert side == want_assign
+
+    # probing the refreshed store == in-memory probe over the new corpus
+    queries = new_normed.filter(F.col("vec_id") % 97 == 1).limit(5).localCheckpoint()
+    assign_new = assign_to_centroids(new_normed, centroids)
+    got = {
+        tuple(r)
+        for r in probe_stored_topk(
+            spark, path, centroids, queries, n_probe=3, k=TOP_K
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivf_probe_topk(
+            new_normed, assign_new, centroids, queries, n_probe=3, k=TOP_K
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_refresh_vacates_emptied_cell(spark, store):
+    normed, assignment, centroids, path = store
+    amap = {r["vec_id"]: r["cell"] for r in assignment.collect()}
+    side = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{path}/_assignment").collect()
+    }
+    # empty the smallest cell still present in the store
+    from collections import Counter
+
+    target = Counter(side.values()).most_common()[-1][0]
+    victims = [vid for vid, c in side.items() if c == target]
+    removed = spark.createDataFrame([(v,) for v in victims], ["vec_id"])
+    empty_delta = spark.read.parquet(path).drop("cell").limit(0)
+    stats = refresh_ivf_store(spark, empty_delta, removed, path)
+    assert stats["n_cells_rewritten"] >= 1
+    assert not glob.glob(f"{path}/cell={target}/*.parquet")
+    assert target not in {
+        r["cell"] for r in spark.read.parquet(path).select("cell").distinct().collect()
+    }
