@@ -248,6 +248,7 @@ def refresh_ivf_store(
     prior_assign = spark.read.parquet(f"{path}/_assignment")
     delta_assign = assign_to_centroids(delta_normed, centroids).localCheckpoint()
     delta_ids = delta_assign.select("vec_id")
+    n_delta = delta_assign.count()
     gone_ids = removed_ids.unionByName(delta_ids).distinct().localCheckpoint()
     affected = (
         delta_assign.select("cell")
@@ -258,33 +259,33 @@ def refresh_ivf_store(
     n_cells = affected.count()
     if n_cells:
         stored = spark.read.parquet(path)
-        # passthrough-generic: whatever payload columns the store
-        # carries (label, metadata, ...) the delta rows must carry too
         data_cols = [c for c in stored.columns if c != "cell"]
-        missing = set(data_cols) - set(delta_normed.columns)
-        if missing:
-            raise ValueError(
-                f"delta rows lack store columns {sorted(missing)}; the "
-                "rewrite would null them out for every row in a touched cell"
-            )
         survivors = (
             stored.join(affected, "cell", "left_semi")
             .join(gone_ids, "vec_id", "left_anti")
             .select(*data_cols, "cell")
         )
-        fresh = (
-            delta_normed.join(delta_assign, "vec_id")
-            .select(*data_cols, "cell")
-        )
-        rows = survivors.unionByName(fresh).localCheckpoint()
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            rows.repartition("cell").sortWithinPartitions("vec_id").write.mode(
-                "overwrite"
-            ).partitionBy("cell").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if n_delta:
+            # passthrough-generic: whatever payload columns the store
+            # carries (label, metadata, ...) the delta rows must carry
+            # too; a removal-only refresh (empty delta) skips the
+            # requirement entirely
+            missing = set(data_cols) - set(delta_normed.columns)
+            if missing:
+                raise ValueError(
+                    f"delta rows lack store columns {sorted(missing)}; the "
+                    "rewrite would null them out for every row in a touched cell"
+                )
+            fresh = (
+                delta_normed.join(delta_assign, "vec_id")
+                .select(*data_cols, "cell")
+            )
+            rows = survivors.unionByName(fresh).localCheckpoint()
+        else:
+            rows = survivors.localCheckpoint()
+        rows.repartition("cell").sortWithinPartitions("vec_id").write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("cell").parquet(path)
         emptied = [
             r["cell"]
             for r in affected.join(
@@ -298,7 +299,7 @@ def refresh_ivf_store(
     ).localCheckpoint()
     assign_new.write.mode("overwrite").parquet(f"{path}/_assignment")
     return {
-        "n_delta": delta_ids.count(),
+        "n_delta": n_delta,
         "n_removed": removed_ids.count(),
         "n_cells_rewritten": n_cells,
     }

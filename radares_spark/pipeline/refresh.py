@@ -55,14 +55,14 @@ from radares_spark.operators.dedup import (
 )
 from radares_spark.operators.text import lang_id_per_doc
 from radares_spark.pipeline.corpus import (
+    DROP_NEAR,
+    KEPT,
     _quality_pass,
     outcome_ladder,
     verify_near_pairs,
 )
 from radares_spark.io.fs import delete as fs_delete
 from radares_spark.pipeline.snapshot import content_fingerprint
-
-DROP_NEAR = "near_dup"
 
 
 def _features(docs: DataFrame) -> DataFrame:
@@ -303,7 +303,6 @@ def refresh(
 # --- incremental kept-store materialization --------------------------
 
 N_STORE_BUCKETS = 64
-KEPT = "kept"
 
 
 def _store_bucket(n_buckets: int):
@@ -381,18 +380,28 @@ def apply_refresh_to_store(
     buckets = churned.select(_store_bucket(n_buckets)).distinct().localCheckpoint()
     n_docs, n_buckets_hit = churned.count(), buckets.count()
     if n_buckets_hit:
+        # same guard as refresh_ivf_store: a delta frame missing store
+        # payload columns would rewrite churned buckets with a narrower
+        # schema than their untouched neighbors
+        store_cols = [
+            c for c in spark.read.parquet(store_dir).columns if c != "part_bucket"
+        ]
+        missing = set(store_cols) - set(new_docs.columns)
+        if missing:
+            raise ValueError(
+                f"new_docs lacks store columns {sorted(missing)}; the "
+                "rewrite would drop them for every row in a churned bucket"
+            )
         rows = (
-            new_docs.join(kept_new, "doc_id", "left_semi")
+            new_docs.select(*store_cols)
+            .join(kept_new, "doc_id", "left_semi")
             .withColumn("part_bucket", _store_bucket(n_buckets))
             .join(buckets, "part_bucket", "left_semi")
             .localCheckpoint()
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            rows.write.mode("overwrite").partitionBy("part_bucket").parquet(store_dir)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        rows.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part_bucket").parquet(store_dir)
         # dynamic overwrite only replaces partitions PRESENT in the
         # written data — a churned bucket whose kept set emptied out
         # (all its docs removed/dropped) must be vacated explicitly

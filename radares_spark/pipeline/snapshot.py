@@ -37,11 +37,6 @@ from pyspark.sql import functions as F
 from radares_spark.io.tables import load_table
 from radares_spark.registry import QuerySpec
 
-# Unit separator between column slots.  A value containing 0x1f could
-# in principle imitate a different slot split, but a fingerprint is
-# only ever compared against one produced from the SAME column list,
-# so cross-arity imitation never decides a status.
-_SEP = "\x1f"
 
 ADDED = "added"
 REMOVED = "removed"
@@ -50,19 +45,25 @@ UNCHANGED = "unchanged"
 
 
 def content_fingerprint(cols: Sequence[str]) -> Column:
-    """md5 over NULL-tagged column slots: each column contributes
-    ``'V' || cast(col as string)`` or the bare tag ``'N'`` when NULL,
-    slots joined with the 0x1f unit separator.  The tag makes NULL
-    distinct from both ``''`` and the string ``'N'``; casting through
-    string keeps the expression one codegen'd projection for any
-    column type."""
+    """md5 over per-column md5 slots: each column contributes
+    ``md5('V' || cast(col as string))`` (or ``md5('N')`` when NULL),
+    and the fingerprint is the md5 of the fixed-width slots
+    concatenated.  Hash-of-hashes makes slot boundaries unambiguous —
+    a value containing any separator-looking bytes cannot imitate a
+    different column split (a review catch: the earlier raw
+    0x1f-joined form collided ``("x\\x1fVy", NULL)`` with
+    ``("x", "y\\x1fN")``).  The V/N tag keeps NULL distinct from both
+    ``''`` and the literal string ``'N'``; casting through string
+    keeps the expression one codegen'd projection for any type."""
     slots = [
-        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
-            F.concat(F.lit("V"), F.col(c).cast("string"))
+        F.md5(
+            F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("V"), F.col(c).cast("string"))
+            )
         )
         for c in cols
     ]
-    return F.md5(F.concat_ws(_SEP, *slots))
+    return F.md5(F.concat(*slots))
 
 
 def snapshot_diff(
@@ -128,12 +129,12 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 DIFF_SQL = """
 WITH old_snap AS (
     SELECT doc_id,
-           md5(CASE WHEN text IS NULL THEN 'N' ELSE 'V' || text END) AS h
+           md5(md5(CASE WHEN text IS NULL THEN 'N' ELSE 'V' || text END)) AS h
     FROM documents WHERE doc_id % 11 <> 0
 ),
 new_snap AS (
     SELECT doc_id,
-           md5(CASE WHEN t IS NULL THEN 'N' ELSE 'V' || t END) AS h
+           md5(md5(CASE WHEN t IS NULL THEN 'N' ELSE 'V' || t END)) AS h
     FROM (
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS t

@@ -140,3 +140,27 @@ def test_refresh_vacates_emptied_cell(spark, store):
     assert target not in {
         r["cell"] for r in spark.read.parquet(path).select("cell").distinct().collect()
     }
+
+
+def test_removal_only_refresh_accepts_schema_minimal_empty_delta(
+    spark, tmp_path
+):
+    """A removal-only night shouldn't need the store's payload
+    columns on an empty delta frame (review finding): the guard
+    applies only when delta rows exist."""
+    normed = _normed(spark, SF_SMOKE).localCheckpoint()
+    assignment, centroids = build_ivf_index(normed, n_cells=4, iters=2)
+    path = str(tmp_path / "store")
+    write_ivf_store(
+        spark, normed, assignment.localCheckpoint(), centroids.localCheckpoint(), path
+    )
+    victim = normed.select("vec_id").head()["vec_id"]
+    removed = spark.createDataFrame([(victim,)], ["vec_id"])
+    minimal_empty = spark.createDataFrame(
+        [], "vec_id long, v array<double>, nrm double"
+    )
+    stats = refresh_ivf_store(spark, minimal_empty, removed, path)
+    assert stats == {"n_delta": 0, "n_removed": 1, "n_cells_rewritten": 1}
+    assert victim not in {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }

@@ -373,3 +373,28 @@ def test_store_rejects_mismatched_bucket_count(spark, tmp_path):
     refresh(spark, docs, s0, s1)
     with pytest.raises(ValueError, match="n_buckets=4"):
         apply_refresh_to_store(spark, docs, s0, s1, store, n_buckets=8)
+
+
+def test_store_rejects_schema_narrowed_new_docs(spark, tmp_path):
+    """Review finding parity with the IVF twin: rewriting churned
+    buckets from a new_docs frame missing store payload columns must
+    fail fast, not leave per-partition schema drift."""
+    from radares_spark.pipeline.refresh import (
+        apply_refresh_to_store,
+        init_store,
+        init_state,
+        refresh,
+    )
+
+    rows = [(i, mk_text(i), "web") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    store = str(tmp_path / "store")
+    init_state(spark, docs.select("doc_id", "text"), s0)
+    init_store(spark, docs, s0, store, n_buckets=4)
+    night2 = docs.filter("doc_id != 0")
+    refresh(spark, night2.select("doc_id", "text"), s0, s1)
+    with pytest.raises(ValueError, match="source"):
+        apply_refresh_to_store(
+            spark, night2.select("doc_id", "text"), s0, s1, store, n_buckets=4
+        )

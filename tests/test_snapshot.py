@@ -115,3 +115,16 @@ def test_bucketed_snapshots_diff_with_zero_exchange(spark, tmp_path):
         assert n == 220  # 0..219 union of keys
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_multi_column_fingerprint_separator_cannot_be_imitated(spark):
+    """Review finding: the raw separator-joined form collided
+    ('x\\x1fVy', NULL) with ('x', 'y\\x1fN'). Hash-of-hashes slots
+    must classify this pair as changed."""
+    cols = ["doc_id", "a", "b"]
+    old = spark.createDataFrame(
+        pd.DataFrame([(1, "x\x1fVy", None)], columns=cols)
+    )
+    new = spark.createDataFrame(pd.DataFrame([(1, "x", "y\x1fN")], columns=cols))
+    got = snapshot_diff(old, new, content_cols=["a", "b"]).collect()
+    assert got[0]["status"] == "changed"
