@@ -1,0 +1,339 @@
+"""Ranked keyword retrieval: Okapi BM25 over the documents corpus,
+plus a term-bucketed postings store for partition-pruned serving.
+
+Retrieval is a first-class curation primitive at 100 TB — eval-set
+mining ("find the training docs most similar to this benchmark
+prompt"), targeted subset selection (query-steered sampling a la
+importance resampling), and auditing near-matches that fuzzy dedup
+missed all reduce to "score the corpus against a small query set and
+keep top-k". BM25 (Robertson et al., Okapi at TREC-3, 1994) is the
+standard lexical scorer; the IDF here is Lucene's shifted form
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` which is non-negative for
+every df (the raw Robertson IDF goes negative for terms in more than
+half the corpus — poison for a synthetic corpus with a tiny shared
+vocabulary).
+
+Scale shape (mirrors the hashed_tf / DSIR gram-stream discipline):
+
+- **postings build** — ONE tokenize pass, one (doc_id, tok) aggregate
+  for tf, one window for dl. The df table and the (n_docs, avgdl)
+  scalars are corpus-wide aggregates computed once per build, not per
+  query.
+- **scoring** — the query term set is genuinely small (queries x a
+  handful of terms), so it IS broadcast (same justification as
+  cosine_topk's broadcast query set — bounded by the caller, unlike a
+  vocabulary table). The df join stays hint-free: AQE decides, the
+  vocabulary can be web-scale. Per-query top-k is a
+  ``row_number() <= k`` filter => WindowGroupLimit, never a global
+  sort.
+- **serving** — ``build_postings_store`` denormalizes (tf, dl, df,
+  n_docs, avgdl) into posting rows partitioned by
+  ``bucket = hash(tok) % n_buckets``; ``bm25_topk_from_store``
+  reads ONLY the buckets containing query terms (static partition
+  pruning on a literal IN-list — the query terms are known before the
+  scan, no DPP round-trip needed), so a 3-term query touches 3/64ths
+  of the index regardless of corpus size. This is the inverted-index
+  discipline: Lucene stores per-posting norms for the same reason.
+
+The DuckDB oracle replays tokenize -> tf/dl/df -> score -> rank
+verbatim; scores are rounded to 6 decimals AFTER the per-(query, doc)
+sum (the dsir_logweight precedent) and ranks order by the ROUNDED
+score (tie-break doc_id) so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.operators.dedup import NORM_SQL, _docs, normalize_text
+from radares_spark.registry import QuerySpec
+
+K1 = 1.2
+B = 0.75
+TOP_K = 5
+N_QUERY_DOCS = 6  # doc_id < 6 seed the spec's query set
+QUERY_LEN = 4  # first 4 tokens of each seed doc form its query
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) token stream under the corpus-wide normalize_text
+    alphabet ([a-z0-9 ] — the same cross-engine-safe normalization
+    every dedup/DSIR/embed operator uses). Docs whose normalized text
+    is empty produce no rows (no doc spine — rejoin downstream)."""
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        docs.select("doc_id", norm.alias("__t"))
+        .filter(F.col("__t") != "")
+        .select("doc_id", F.explode(F.split("__t", " ")).alias("tok"))
+    )
+
+
+def corpus_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok, tf, dl) — the in-doc term frequencies plus the
+    document length (total tokens), the per-posting payload BM25's
+    length normalization needs. One aggregate on (doc_id, tok) then
+    one doc-keyed window for dl: two shuffles total, both on keys the
+    downstream score join reuses."""
+    tf = (
+        tokenize(docs, text_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+
+
+def _corpus_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(df_tab, stats): per-term document frequency and the one-row
+    (n_docs, avgdl) frame. postings is unique per (doc_id, tok), so
+    df is a plain count."""
+    df_tab = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return df_tab, stats
+
+
+def _bm25_term_score(k1: float, b: float):
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return idf * tf_part
+
+
+def query_terms(queries: DataFrame, text_col: str = "qtext") -> DataFrame:
+    """(query_id, tok) DISTINCT query terms (the Lucene convention:
+    query term frequency is ignored). Callers pass a small frame —
+    this side gets broadcast in bm25_topk."""
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        queries.select("query_id", norm.alias("__t"))
+        .filter(F.col("__t") != "")
+        .select("query_id", F.explode(F.split("__t", " ")).alias("tok"))
+        .distinct()
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — top-k docs per query under
+    BM25. The corpus statistics are computed from ``docs`` itself;
+    for a pre-built index use bm25_topk_from_store."""
+    postings = corpus_postings(docs, text_col)
+    df_tab, stats = _corpus_stats(postings)
+    qterms = query_terms(queries)
+    scored = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(df_tab, "tok")  # vocabulary-sized: AQE decides, no hint
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(_bm25_term_score(k1, b)), 6).alias("score"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+# --- term-bucketed postings store (serving path) ----------------------------
+
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(tok, n_buckets: int):
+    # same md5-prefix integer recipe as embed._bucket — deterministic
+    # across engines and runs, so a store built today prunes correctly
+    # for every future query session
+    h = F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).cast("int")
+
+
+def build_postings_store(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = N_TERM_BUCKETS,
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index: posting rows (tok, doc_id, tf,
+    dl, df, n_docs, avgdl) written under ``path/postings`` partitioned
+    by ``bucket = hash(tok) % n_buckets``, plus a one-row
+    ``path/meta`` (n_docs, avgdl, n_buckets). df/dl/n_docs/avgdl are
+    DENORMALIZED into the posting row so serving reads nothing but the
+    pruned buckets + the kilobyte meta: the corpus-wide statistics are
+    frozen at build time (the standard index contract — refreshing
+    stats means rebuilding touched buckets, same as refresh_ivf_store).
+    """
+    postings = corpus_postings(docs, text_col)
+    df_tab, stats = _corpus_stats(postings)
+    full = (
+        postings.join(df_tab, "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bucket", _term_bucket(F.col("tok"), n_buckets))
+    )
+    (
+        full.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    meta = stats.withColumn("n_buckets", F.lit(n_buckets))
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+
+
+def bm25_topk_from_store(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Serve top-k from a build_postings_store index, reading ONLY the
+    term buckets the query set touches. The bucket IN-list is computed
+    driver-side from the (small, caller-bounded) query term set — a
+    static partition filter, visible as PartitionFilters in the scan,
+    no shuffle of the index outside the touched buckets."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    n_buckets = meta["n_buckets"]
+    qterms = query_terms(queries)
+    q_rows = qterms.withColumn(
+        "bucket", _term_bucket(F.col("tok"), n_buckets)
+    ).collect()  # query-sized: tens of rows, the serving work list
+    if not q_rows:
+        # no usable query terms: empty result with the contract schema
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int"
+        )
+    buckets = sorted({r["bucket"] for r in q_rows})
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(r["query_id"], r["tok"]) for r in q_rows],
+            "query_id long, tok string",
+        )
+    )
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("bucket").isin(buckets)
+    )
+    scored = (
+        postings.join(qdf, "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(_bm25_term_score(k1, b)), 6).alias("score"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+# --- library spec -----------------------------------------------------------
+
+
+def _seed_queries(docs: DataFrame) -> DataFrame:
+    """Deterministic spec queries: the first QUERY_LEN normalized
+    tokens of docs with doc_id < N_QUERY_DOCS (the vec_id < 8
+    convention from similarity.py, applied to text)."""
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        docs.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(norm, " "), 1, QUERY_LEN), " "
+            ).alias("qtext"),
+        )
+    )
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, _seed_queries(docs))
+
+
+BM25_SQL = f"""
+WITH norm AS (
+    SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+    FROM norm WHERE t <> ''
+),
+tf AS (
+    SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (
+    SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+),
+stats AS (
+    SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfq AS (
+    SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+),
+qterms AS (
+    SELECT DISTINCT doc_id AS query_id,
+           unnest(list_slice(string_split(t, ' '), 1, {QUERY_LEN})) AS tok
+    FROM norm WHERE doc_id < {N_QUERY_DOCS} AND t <> ''
+),
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * ({K1} + 1)
+               / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           ), 6) AS score
+    FROM tf p
+    JOIN qterms q USING (tok)
+    JOIN dfq d USING (tok)
+    JOIN dl l ON l.doc_id = p.doc_id
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank::INT AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "text_bm25_topk": QuerySpec(
+        name="text_bm25_topk",
+        fn=text_bm25_topk,
+        oracle=BM25_SQL,
+        survey="ranked keyword retrieval (Okapi BM25 — eval-set "
+        "mining / targeted subset selection)",
+        doc="Okapi BM25 top-5 per query (Lucene shifted IDF, k1=1.2, "
+        "b=0.75); queries are the first 4 normalized tokens of docs "
+        "0-5. One tokenize pass feeds tf/dl/df; query terms "
+        "broadcast; WindowGroupLimit top-k. The term-bucketed store "
+        "(build_postings_store) is the partition-pruned serving twin.",
+    ),
+}

@@ -24,6 +24,7 @@ from radares_spark.operators import (
     embed,
     incremental,
     quantize,
+    retrieval,
     semdedup,
     skew,
     text_ext,
@@ -34,7 +35,7 @@ from radares_spark.plans import radar, tpch_full
 from radares_spark.registry import QuerySpec
 
 ALL_LIBRARY_SPECS: dict[str, QuerySpec] = {}
-for _mod in (asof, dedup, dsir, embed, incremental, quantize, semdedup, skew, text_ext, urls, radar, corpus, crawl, snapshot):
+for _mod in (asof, dedup, dsir, embed, incremental, quantize, retrieval, semdedup, skew, text_ext, urls, radar, corpus, crawl, snapshot):
     for _name, _spec in _mod.LIBRARY_SPECS.items():
         assert _name not in ALL_LIBRARY_SPECS, f"duplicate library spec {_name}"
         ALL_LIBRARY_SPECS[_name] = _spec

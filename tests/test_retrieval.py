@@ -1,0 +1,160 @@
+"""BM25 ranked retrieval: hand-computed scores, planted relevance,
+store round-trip + partition pruning, and edge cases.
+
+The corpus-level oracle parity for ``text_bm25_topk`` runs in
+tests/test_oracle_parity.py via ALL_LIBRARY_SPECS; this file pins the
+math and the serving-store contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from radares_spark.operators.retrieval import (
+    B,
+    K1,
+    bm25_topk,
+    bm25_topk_from_store,
+    build_postings_store,
+    corpus_postings,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mk_queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, qtext string")
+
+
+# Four-doc corpus with fully hand-checkable statistics.
+_CORPUS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry cherry durian"),
+    (2, "apple apple apple apple"),
+    (3, "elderberry fig grape durian"),
+]
+
+
+def _py_bm25(term_stats, n_docs, avgdl, k1=K1, b=B):
+    """Reference scorer: term_stats = [(tf, df, dl), ...] per matched
+    term of one (query, doc)."""
+    s = 0.0
+    for tf, df, dl in term_stats:
+        idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    return round(s, 6)
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = _mk_docs(spark, _CORPUS)
+    queries = _mk_queries(spark, [(100, "apple durian")])
+    got = {
+        (r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    # corpus stats: N=4, every doc has dl=4, avgdl=4.0
+    # df: apple=2, durian=2
+    n, avgdl = 4, 4.0
+    expect = {
+        0: _py_bm25([(2, 2, 4)], n, avgdl),  # apple tf=2
+        1: _py_bm25([(1, 2, 4)], n, avgdl),  # durian tf=1
+        2: _py_bm25([(4, 2, 4)], n, avgdl),  # apple tf=4
+        3: _py_bm25([(1, 2, 4)], n, avgdl),  # durian tf=1
+    }
+    assert set(got) == set(expect)
+    for d, sc in expect.items():
+        assert got[d][0] == pytest.approx(sc, abs=1e-6), d
+    # ranks: doc 2 (tf=4) > doc 0 (tf=2) > docs 1,3 (tied, doc_id asc)
+    ranks = {d: rk for d, (_, rk) in got.items()}
+    assert ranks == {2: 1, 0: 2, 1: 3, 3: 4}
+
+
+def test_rare_term_outranks_common(spark):
+    # "elderberry" appears in exactly one doc; "apple" in two with
+    # higher tf. For the two-term query the rare-term doc must win on
+    # IDF despite tf=1.
+    docs = _mk_docs(spark, _CORPUS + [(4, "apple banana"), (5, "apple cherry")])
+    queries = _mk_queries(spark, [(0, "elderberry")])
+    top = bm25_topk(docs, queries, k=1).collect()
+    assert [(r["doc_id"], r["rank"]) for r in top] == [(3, 1)]
+
+
+def test_query_term_frequency_ignored(spark):
+    # Lucene convention: duplicated query terms score identically to
+    # the deduplicated query.
+    docs = _mk_docs(spark, _CORPUS)
+    q1 = _mk_queries(spark, [(0, "apple")])
+    q2 = _mk_queries(spark, [(0, "apple apple apple")])
+    r1 = sorted((r["doc_id"], r["score"]) for r in bm25_topk(docs, q1).collect())
+    r2 = sorted((r["doc_id"], r["score"]) for r in bm25_topk(docs, q2).collect())
+    assert r1 == r2
+
+
+def test_empty_and_null_inputs(spark):
+    docs = _mk_docs(spark, _CORPUS + [(9, None), (10, "   ")])
+    queries = _mk_queries(spark, [(0, "apple"), (1, None), (2, "!!!")])
+    out = bm25_topk(docs, queries).collect()
+    # NULL / no-token docs and queries vanish; query 0 still works
+    assert {r["query_id"] for r in out} == {0}
+    assert all(r["doc_id"] in (0, 2) for r in out)
+
+
+def test_postings_payload(spark):
+    docs = _mk_docs(spark, _CORPUS)
+    p = {
+        (r["doc_id"], r["tok"]): (r["tf"], r["dl"])
+        for r in corpus_postings(docs).collect()
+    }
+    assert p[(0, "apple")] == (2, 4)
+    assert p[(2, "apple")] == (4, 4)
+    assert p[(3, "fig")] == (1, 4)
+
+
+def test_store_roundtrip_and_pruning(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "bm25_store")
+    build_postings_store(docs, path, n_buckets=16)
+    queries = _mk_queries(
+        spark, [(0, "spark table join"), (1, "vector stream")]
+    )
+    direct = sorted(
+        tuple(r) for r in bm25_topk(docs, queries, k=7).collect()
+    )
+    served = bm25_topk_from_store(spark, path, queries, k=7)
+    assert sorted(tuple(r) for r in served.collect()) == direct
+
+    # pruning: the bucket IN-list must reach the scan as a STATIC
+    # partition filter (inputFiles() can't see pruning — it lists the
+    # unfiltered base relation; the physical plan is the truth).
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "bucket#" in ln
+    ]
+    assert scan_lines, "postings store was never scanned"
+    for ln in scan_lines:
+        assert "PartitionFilters: [" in ln and "bucket" in ln.split(
+            "PartitionFilters:"
+        )[1].split("]")[0], ln
+
+
+def test_store_empty_query_contract(spark, tmp_path):
+    docs = _mk_docs(spark, _CORPUS)
+    path = str(tmp_path / "bm25_store_e")
+    build_postings_store(docs, path, n_buckets=4)
+    queries = _mk_queries(spark, [(0, None), (1, "   ")])
+    out = bm25_topk_from_store(spark, path, queries)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+    ]
