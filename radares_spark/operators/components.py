@@ -22,7 +22,7 @@ data, one scalar per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -81,6 +81,43 @@ def canonical_near_dup_drops(pairs: DataFrame) -> DataFrame:
     cc = connected_components(pairs)
     return cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
+    )
+
+
+def cluster_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(doc_id, component, score, rep_doc_id, keep) — pick ONE
+    representative per transitive duplicate group: the highest-score
+    member, tie-broken by minimum id. ``members`` is
+    ``connected_components`` output (node, component); ``scores`` maps
+    every member id to a quality signal (length for the SlimPajama
+    keep-longest policy, a classifier probability, PageRank of the
+    source host, ...).
+
+    min-id canonicalization (canonical_near_dup_drops) keeps an
+    ARBITRARY member; real pipelines keep the best one — dropping a
+    long original in favor of its truncated copy loses data for no
+    reason. One window per component (groups are near-dup cliques —
+    small by construction, no skew concern), emitted for every member
+    so the caller gets both the keep-list and the drop-list in one
+    frame."""
+    m = members.select(
+        F.col("node").alias(id_col), "component"
+    ).join(scores.select(id_col, score_col), id_col)
+    w = W.partitionBy("component").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return m.select(
+        id_col,
+        "component",
+        score_col,
+        F.first(id_col).over(w).alias("rep_doc_id"),
+    ).withColumn(
+        "keep", F.when(F.col(id_col) == F.col("rep_doc_id"), 1).otherwise(0)
     )
 
 

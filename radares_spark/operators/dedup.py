@@ -962,7 +962,56 @@ CONTAINMENT_SQL = f"""
 """
 
 
+def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection over the transitive
+    near-dup groups: keep the LONGEST member of each MinHash cluster
+    (the SlimPajama keep-longest policy), tie-break min doc_id —
+    min-id canonicalization keeps an arbitrary member and can drop a
+    long original in favor of its truncated copy."""
+    from radares_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    scores = docs.select("doc_id", F.length("text").alias("score"))
+    return cluster_representatives(cc, scores)
+
+
+BEST_OF_CLUSTER_SQL = f"""
+    {_PAIRS_RECURSIVE_CTE},
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    scored AS (
+        SELECT c.node AS doc_id, c.component, length(d.text) AS score
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT doc_id, component, score,
+           first_value(doc_id) OVER (
+               PARTITION BY component
+               ORDER BY score DESC NULLS LAST, doc_id ASC
+           ) AS rep_doc_id,
+           CASE WHEN doc_id = first_value(doc_id) OVER (
+               PARTITION BY component
+               ORDER BY score DESC NULLS LAST, doc_id ASC
+           ) THEN 1 ELSE 0 END AS keep
+    FROM scored
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "dedup_best_of_cluster": QuerySpec(
+        name="dedup_best_of_cluster",
+        fn=dedup_best_of_cluster,
+        oracle=BEST_OF_CLUSTER_SQL,
+        survey="D-fuzzy (quality-aware cluster representative — "
+        "keep-longest per transitive group)",
+        doc="MinHash pairs -> connected components -> argmax-length "
+        "representative per group (tie-break min doc_id), emitted "
+        "with keep/drop flags for every member. The oracle replays "
+        "the recursive-CTE closure plus the same window.",
+    ),
     "dedup_ngram_containment": QuerySpec(
         name="dedup_ngram_containment",
         fn=dedup_ngram_containment,

@@ -176,3 +176,30 @@ def test_pagerank_empty_graph_and_zero_weight_dangling(spark):
         for r in pagerank(spark.createDataFrame(edges), iters=10).collect()
     }
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_cluster_representatives_keeps_best_not_min(spark):
+    """Chain 1~2~3 is one transitive group; doc 3 is the longest so it
+    is the representative — min-id canonicalization would keep doc 1,
+    losing the long original. Separate pair (10, 11) ties on score and
+    falls back to min id."""
+    from radares_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 8), (3, 50), (10, 7), (11, 7)],
+        "doc_id long, score int",
+    )
+    cc = connected_components(pairs)
+    out = {
+        r["doc_id"]: (r["component"], r["rep_doc_id"], r["keep"])
+        for r in cluster_representatives(cc, scores).collect()
+    }
+    assert out[3] == (1, 3, 1) and out[1] == (1, 3, 0) and out[2] == (1, 3, 0)
+    # tie -> min id wins
+    assert out[10] == (10, 10, 1) and out[11] == (10, 10, 0)
