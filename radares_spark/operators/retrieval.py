@@ -93,7 +93,9 @@ def _corpus_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
     df_tab = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),  # refresh needs the exact sum
+        F.avg("dl").alias("avgdl"),
     )
     return df_tab, stats
 
@@ -172,20 +174,19 @@ def build_postings_store(
     text_col: str = "text",
 ) -> None:
     """Materialize the inverted index: posting rows (tok, doc_id, tf,
-    dl, df, n_docs, avgdl) written under ``path/postings`` partitioned
-    by ``bucket = hash(tok) % n_buckets``, plus a one-row
-    ``path/meta`` (n_docs, avgdl, n_buckets). df/dl/n_docs/avgdl are
-    DENORMALIZED into the posting row so serving reads nothing but the
-    pruned buckets + the kilobyte meta: the corpus-wide statistics are
-    frozen at build time (the standard index contract — refreshing
-    stats means rebuilding touched buckets, same as refresh_ivf_store).
-    """
+    dl, df) written under ``path/postings`` partitioned by
+    ``bucket = hash(tok) % n_buckets``, plus a one-row ``path/meta``
+    (n_docs, avgdl, n_buckets). Per-TERM statistics (df) are
+    denormalized into the posting row — serving a term needs them and
+    they live in the same bucket the term prunes to; corpus-GLOBAL
+    statistics (n_docs, avgdl) live ONLY in the kilobyte meta, read
+    once per query session, so an incremental refresh never leaves
+    stale globals inside untouched buckets (the Lucene discipline:
+    norms per posting, collection stats per segment header)."""
     postings = corpus_postings(docs, text_col)
     df_tab, stats = _corpus_stats(postings)
-    full = (
-        postings.join(df_tab, "tok")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("bucket", _term_bucket(F.col("tok"), n_buckets))
+    full = postings.join(df_tab, "tok").withColumn(
+        "bucket", _term_bucket(F.col("tok"), n_buckets)
     )
     (
         full.repartition("bucket")
@@ -214,6 +215,7 @@ def bm25_topk_from_store(
     no shuffle of the index outside the touched buckets."""
     meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
     n_buckets = meta["n_buckets"]
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     qterms = query_terms(queries)
     q_rows = qterms.withColumn(
         "bucket", _term_bucket(F.col("tok"), n_buckets)
@@ -235,6 +237,8 @@ def bm25_topk_from_store(
     )
     scored = (
         postings.join(qdf, "tok")
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(_bm25_term_score(k1, b)), 6).alias("score"))
     )
@@ -246,6 +250,137 @@ def bm25_topk_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def refresh_postings_store(
+    spark: SparkSession,
+    path: str,
+    add_docs: DataFrame | None = None,
+    remove_docs: DataFrame | None = None,
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Bring a postings store in line with a corpus delta, rewriting
+    ONLY the term buckets the delta touches. The refreshed store is
+    row-identical to ``build_postings_store`` over
+    ``old corpus - removed + added`` (pinned in tests), because every
+    per-term statistic lives in the touched buckets and the globals
+    live in meta:
+
+    - touched terms = every token of added + removed docs (a term's
+      df changes, or gains/loses posting rows); touched buckets =
+      their hash buckets. df inside a touched bucket is patched as
+      ``old_df + (docs gained) - (docs lost)``; untouched buckets
+      keep their files byte for byte.
+    - meta's (n_docs, sum_dl, avgdl) update from delta counts alone —
+      the reason build stores sum_dl, and the reason global stats are
+      NOT denormalized into posting rows.
+
+    ``remove_docs`` must carry the removed docs AS INDEXED (doc_id +
+    text) — the snapshot-diff contract: the recrawl delta knows the
+    old content, so removal costs no index scan (removal by bare id
+    from an inverted index is a full scan by construction; Lucene
+    pays tombstones + merges for the same reason). A CHANGED doc
+    appears in both frames: old text in remove_docs, new in add_docs.
+    Returns {"n_added", "n_removed", "n_buckets_rewritten"}.
+    """
+    from radares_spark.io.fs import delete as fs_delete
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    n_buckets = meta["n_buckets"]
+    empty = spark.createDataFrame([], "doc_id long, tok string, tf long, dl long")
+    add_p = (
+        corpus_postings(add_docs, text_col) if add_docs is not None else empty
+    ).localCheckpoint(eager=True)
+    rem_p = (
+        corpus_postings(remove_docs, text_col)
+        if remove_docs is not None
+        else empty
+    ).localCheckpoint(eager=True)
+
+    # per-term df delta (+docs gained, -docs lost); the key set IS the
+    # touched-term set even where the net delta is 0 (a changed doc
+    # still moves tf rows)
+    df_delta = (
+        add_p.select("tok").withColumn("d", F.lit(1))
+        .unionByName(rem_p.select("tok").withColumn("d", F.lit(-1)))
+        .groupBy("tok")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("bucket", _term_bucket(F.col("tok"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    touched = df_delta.select("bucket").distinct()
+    n_touched = touched.count()
+    rem_ids = rem_p.select("doc_id").distinct().localCheckpoint(eager=True)
+
+    if n_touched:
+        stored = spark.read.parquet(os.path.join(path, "postings")).join(
+            touched, "bucket", "left_semi"
+        )
+        old_df = stored.groupBy("tok").agg(F.first("df").alias("old_df"))
+        new_df = (
+            df_delta.join(old_df, "tok", "left")
+            .select(
+                "tok",
+                "bucket",
+                (F.coalesce("old_df", F.lit(0)) + F.col("d")).alias("df"),
+            )
+        )
+        # survivors: drop removed docs' rows; patch df where the delta
+        # names the term, keep the stored df for the bucket's other terms
+        survivors = (
+            stored.join(rem_ids, "doc_id", "left_anti")
+            .withColumnRenamed("df", "stored_df")
+            .join(new_df.select("tok", "df"), "tok", "left")
+            .select(
+                "tok",
+                "doc_id",
+                "tf",
+                "dl",
+                F.coalesce("df", "stored_df").alias("df"),
+                "bucket",
+            )
+        )
+        fresh = add_p.join(
+            new_df.select("tok", "bucket", "df"), "tok"
+        ).select("tok", "doc_id", "tf", "dl", "df", "bucket")
+        rows = survivors.unionByName(fresh).localCheckpoint(eager=True)
+        (
+            rows.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "postings"))
+        )
+        emptied = [
+            r["bucket"]
+            for r in touched.join(
+                rows.select("bucket").distinct(), "bucket", "left_anti"
+            ).collect()
+        ]
+        for bkt in emptied:
+            fs_delete(spark, os.path.join(path, "postings", f"bucket={bkt}"))
+
+    # globals from delta counts alone
+    add_stats = add_p.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).collect()[0]
+    rem_stats = rem_p.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).collect()[0]
+    n_docs = meta["n_docs"] + add_stats["n"] - rem_stats["n"]
+    sum_dl = meta["sum_dl"] + add_stats["s"] - rem_stats["s"]
+    new_meta = spark.createDataFrame(
+        [(n_docs, sum_dl, (sum_dl / n_docs) if n_docs else None, n_buckets)],
+        "n_docs long, sum_dl long, avgdl double, n_buckets int",
+    )
+    new_meta.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+    return {
+        "n_added": add_stats["n"],
+        "n_removed": rem_stats["n"],
+        "n_buckets_rewritten": n_touched,
+    }
 
 
 # --- library spec -----------------------------------------------------------

@@ -158,3 +158,110 @@ def test_store_empty_query_contract(spark, tmp_path):
         "score",
         "rank",
     ]
+
+
+def _store_state(spark, path):
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("bucket", "tok", "doc_id", "tf", "dl", "df")
+        .collect()
+    )
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return rows, (meta["n_docs"], meta["sum_dl"], meta["avgdl"], meta["n_buckets"])
+
+
+def test_refresh_equals_rebuild(spark, tmp_path):
+    """refresh(build(base), +added, -removed) is ROW-IDENTICAL to
+    build(base - removed + added): new-vocab terms, changed docs
+    (remove old text + add new), pure removals, df patches for
+    surviving docs sharing terms with the delta, and exact meta."""
+    from radares_spark.operators.retrieval import refresh_postings_store
+
+    base = _mk_docs(
+        spark,
+        [
+            (0, "apple banana apple cherry"),
+            (1, "banana cherry cherry durian"),
+            (2, "apple apple apple apple"),
+            (3, "elderberry fig grape durian"),
+            (4, "banana grape"),
+        ],
+    )
+    added = _mk_docs(
+        spark,
+        [
+            (5, "kumquat lychee kumquat"),  # brand-new vocabulary
+            (1, "banana mango"),  # changed doc: new text
+        ],
+    )
+    removed = _mk_docs(
+        spark,
+        [
+            (1, "banana cherry cherry durian"),  # old text of changed doc
+            (3, "elderberry fig grape durian"),  # pure removal
+        ],
+    )
+    inc = str(tmp_path / "inc")
+    build_postings_store(base, inc, n_buckets=8)
+    stats = refresh_postings_store(spark, inc, add_docs=added, remove_docs=removed)
+
+    target = _mk_docs(
+        spark,
+        [
+            (0, "apple banana apple cherry"),
+            (1, "banana mango"),
+            (2, "apple apple apple apple"),
+            (4, "banana grape"),
+            (5, "kumquat lychee kumquat"),
+        ],
+    )
+    full = str(tmp_path / "full")
+    build_postings_store(target, full, n_buckets=8)
+
+    assert _store_state(spark, inc) == _store_state(spark, full)
+    assert stats["n_added"] == 2 and stats["n_removed"] == 2
+    # the delta's vocabulary spans fewer buckets than the corpus's
+    assert 0 < stats["n_buckets_rewritten"] < 8
+
+    # serving equivalence through the refreshed store
+    q = _mk_queries(spark, [(0, "banana kumquat"), (1, "apple durian")])
+    got = sorted(tuple(r) for r in bm25_topk_from_store(spark, inc, q).collect())
+    want = sorted(tuple(r) for r in bm25_topk_from_store(spark, full, q).collect())
+    assert got == want
+    # durian left the corpus entirely with docs 1 and 3
+    assert all("durian" != r for _, r, *_ in got)
+
+
+def test_refresh_vacates_emptied_bucket(spark, tmp_path):
+    """Removing the only doc holding a bucket's terms must clear the
+    bucket directory (dynamic overwrite cannot vacate a partition
+    absent from the written frame)."""
+    import glob
+
+    from radares_spark.operators.retrieval import refresh_postings_store
+
+    docs = _mk_docs(spark, [(0, "solo"), (1, "alpha beta")])
+    path = str(tmp_path / "vac")
+    build_postings_store(docs, path, n_buckets=64)
+    before = {d.rsplit("=", 1)[1] for d in glob.glob(f"{path}/postings/bucket=*")}
+    refresh_postings_store(
+        spark, path, remove_docs=_mk_docs(spark, [(0, "solo")])
+    )
+    after = {d.rsplit("=", 1)[1] for d in glob.glob(f"{path}/postings/bucket=*")}
+    assert after < before
+    rebuilt = str(tmp_path / "vac_full")
+    build_postings_store(_mk_docs(spark, [(1, "alpha beta")]), rebuilt, n_buckets=64)
+    assert _store_state(spark, path) == _store_state(spark, rebuilt)
+
+
+def test_refresh_empty_delta_is_noop(spark, tmp_path):
+    from radares_spark.operators.retrieval import refresh_postings_store
+
+    docs = _mk_docs(spark, _CORPUS)
+    path = str(tmp_path / "noop")
+    build_postings_store(docs, path, n_buckets=8)
+    before = _store_state(spark, path)
+    stats = refresh_postings_store(spark, path)
+    assert stats == {"n_added": 0, "n_removed": 0, "n_buckets_rewritten": 0}
+    assert _store_state(spark, path) == before
