@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
 from radares_spark.operators.dedup import NORM_SQL, _docs, normalize_text
+from radares_spark.operators.embed import EMBED_DIM
 from radares_spark.registry import QuerySpec
 
 K1 = 1.2
@@ -383,6 +384,82 @@ def refresh_postings_store(
     }
 
 
+# --- hybrid retrieval: reciprocal rank fusion -------------------------------
+
+RRF_K0 = 60  # the Cormack et al. 2009 constant
+RRF_POOL = 20  # per-retriever candidate depth fed into fusion
+
+
+def sparse_cosine_topk(
+    emb: DataFrame, query_ids: DataFrame, k: int = RRF_POOL
+) -> DataFrame:
+    """(query_id, doc_id, cos, rank) — cosine top-k where both sides
+    are rows of ``emb`` (hashed_tf output: doc_id + unit-norm dense
+    ``embedding``) and the queries are the docs named by ``query_ids``.
+
+    The dot product runs SPARSELY: explode to nonzero (doc, bucket,
+    value) cells and equi-join query cells against corpus cells on the
+    bucket id — the inverted-index form of a sparse dot. No dense
+    array ever shuffles and docs sharing no bucket with a query are
+    never scored, which is exactly how sparse retrieval scales (the
+    dense pair_dot form pays |corpus| x dim regardless of overlap).
+    Unit norms make the dot the cosine directly. Scores round to 4
+    (the house cosine convention), ranks tie-break on doc_id."""
+    cells = emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "v")
+    ).filter(F.col("v") != 0)
+    qcells = (
+        cells.join(
+            F.broadcast(query_ids.select(F.col("query_id").alias("doc_id"))),
+            "doc_id",
+        )
+        .select(F.col("doc_id").alias("query_id"), "i", F.col("v").alias("qv"))
+    )
+    scored = (
+        cells.join(F.broadcast(qcells), "i")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("qv") * F.col("v")), 4).alias("cos"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "cos", "rank")
+    )
+
+
+def rrf_fuse(
+    rank_lists: list[DataFrame], k: int = TOP_K, k0: int = RRF_K0
+) -> DataFrame:
+    """(query_id, doc_id, rrf_score, rank) — reciprocal rank fusion
+    (Cormack et al. 2009): score(d) = sum over lists of
+    1 / (k0 + rank_in_list(d)), summed only where d appears. Rank
+    lists are any frames with (query_id, doc_id, rank); fusion sees
+    ranks only, so wildly different score scales (BM25 vs cosine)
+    need no calibration — the whole point of RRF."""
+    contribs = None
+    for rl in rank_lists:
+        c = rl.select(
+            "query_id", "doc_id", (1.0 / (k0 + F.col("rank"))).alias("c")
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf_score")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        )
+    )
+    return (
+        fused.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
+
+
 # --- library spec -----------------------------------------------------------
 
 
@@ -407,8 +484,25 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _seed_queries(docs))
 
 
-BM25_SQL = f"""
-WITH norm AS (
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical + dense retrieval: BM25 over the corpus fused
+    with sparse-cosine over hashed_tf vectors via RRF. Query docs are
+    doc_id < N_QUERY_DOCS; the lexical query is the doc's first
+    QUERY_LEN tokens, the dense query is the doc's own vector (the
+    standard more-like-this setup — the seed doc itself fusing to
+    rank 1 is the sanity signal, callers drop it)."""
+    from radares_spark.operators.embed import EMBED_DIM, hashed_tf
+
+    docs = _docs(spark, sf_dir)
+    lex = bm25_topk(docs, _seed_queries(docs), k=RRF_POOL)
+    qids = docs.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id")
+    )
+    dense = sparse_cosine_topk(hashed_tf(docs, EMBED_DIM), qids, k=RRF_POOL)
+    return rrf_fuse([lex, dense], k=TOP_K)
+
+
+_BM25_CTES = f"""norm AS (
     SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t
     FROM documents
 ),
@@ -446,13 +540,74 @@ scored AS (
     JOIN dl l ON l.doc_id = p.doc_id
     CROSS JOIN stats s
     GROUP BY 1, 2
-)
+)"""
+
+BM25_SQL = f"""
+WITH {_BM25_CTES}
 SELECT query_id, doc_id, score, rank::INT AS rank
 FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, doc_id ASC
     ) AS rank
     FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+HYBRID_RRF_SQL = f"""
+WITH {_BM25_CTES},
+lex AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {RRF_POOL}
+),
+cells AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % {EMBED_DIM} AS i,
+           sum(CASE WHEN ('0x' || substr(md5('sgn:' || tok), 1, 8))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END) AS x
+    FROM toks GROUP BY doc_id, i
+),
+nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS n FROM cells GROUP BY doc_id),
+unit AS (
+    SELECT c.doc_id, c.i, c.x / n.n AS v
+    FROM cells c JOIN nrm n USING (doc_id) WHERE n.n > 0
+),
+qunit AS (
+    SELECT doc_id AS query_id, i, v FROM unit
+    WHERE doc_id < {N_QUERY_DOCS}
+),
+cos_scored AS (
+    SELECT q.query_id, u.doc_id, round(sum(q.v * u.v), 4) AS cos
+    FROM qunit q JOIN unit u USING (i)
+    GROUP BY 1, 2
+),
+dns AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, doc_id ASC
+        ) AS rank
+        FROM cos_scored
+    ) WHERE rank <= {RRF_POOL}
+),
+contrib AS (
+    SELECT query_id, doc_id, 1.0::DOUBLE / ({RRF_K0} + rank) AS c FROM lex
+    UNION ALL
+    SELECT query_id, doc_id, 1.0::DOUBLE / ({RRF_K0} + rank) AS c FROM dns
+),
+fused AS (
+    SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+    FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score, rank::INT AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+    ) AS rank
+    FROM fused
 )
 WHERE rank <= {TOP_K}
 """
@@ -470,5 +625,16 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "0-5. One tokenize pass feeds tf/dl/df; query terms "
         "broadcast; WindowGroupLimit top-k. The term-bucketed store "
         "(build_postings_store) is the partition-pruned serving twin.",
+    ),
+    "text_hybrid_rrf_topk": QuerySpec(
+        name="text_hybrid_rrf_topk",
+        fn=text_hybrid_rrf_topk,
+        oracle=HYBRID_RRF_SQL,
+        survey="hybrid retrieval (BM25 + dense cosine via reciprocal "
+        "rank fusion, Cormack 2009)",
+        doc="Fuses the BM25 top-20 with a sparse-cosine top-20 over "
+        "hashed_tf vectors (inverted-bucket sparse dot — no dense "
+        "array shuffles) by rrf = sum 1/(60+rank); rank-only fusion "
+        "needs no score calibration across retrievers.",
     ),
 }

@@ -265,3 +265,74 @@ def test_refresh_empty_delta_is_noop(spark, tmp_path):
     stats = refresh_postings_store(spark, path)
     assert stats == {"n_added": 0, "n_removed": 0, "n_buckets_rewritten": 0}
     assert _store_state(spark, path) == before
+
+
+def test_sparse_cosine_self_retrieval_and_symmetry(spark):
+    """A query doc scores cos 1.0 against itself; rank 1 therefore has
+    cos 1.0 (ties — e.g. sign-cancelled bags collapsing onto the same
+    bucket, REAL at dim 16 with a shared vocabulary — break by min
+    doc_id, so rank 1 need not BE the query doc). Cosine is symmetric
+    across query/corpus roles."""
+    from radares_spark.operators.embed import hashed_tf
+    from radares_spark.operators.retrieval import sparse_cosine_topk
+
+    docs = _mk_docs(spark, _CORPUS)
+    emb = hashed_tf(docs, 16)
+    qids = spark.createDataFrame([(0,), (2,)], "query_id long")
+    rows = sparse_cosine_topk(emb, qids, k=4).collect()
+    by_pair = {(r["query_id"], r["doc_id"]): r["cos"] for r in rows}
+    rank1 = {r["query_id"]: r["cos"] for r in rows if r["rank"] == 1}
+    assert by_pair[(0, 0)] == 1.0 and by_pair[(2, 2)] == 1.0
+    assert rank1 == {0: 1.0, 2: 1.0}
+    assert by_pair[(0, 2)] == by_pair[(2, 0)]  # symmetry
+
+
+def test_rrf_fuse_hand_math(spark):
+    """Doc in both lists scores 1/(60+r1) + 1/(60+r2); a doc in one
+    list scores its single term; ordering follows the fused score."""
+    from radares_spark.operators.retrieval import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2)], "query_id long, doc_id long, rank int"
+    )
+    l2 = spark.createDataFrame(
+        [(0, 101, 1), (0, 102, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([l1, l2], k=10).collect()
+    }
+    assert got[101] == (round(1 / 62 + 1 / 61, 6), 1)  # both lists
+    assert got[100] == (round(1 / 61, 6), 2)
+    assert got[102] == (round(1 / 62, 6), 3)
+
+
+def test_hybrid_fusion_ranks_related_doc_above_unrelated(spark):
+    """Planted distinct-vocabulary corpus: for the quantum query doc,
+    the other quantum doc must fuse above both gardening docs, and the
+    seed doc itself fuses first (it tops both retrievers here — no
+    shared-vocab cos-1.0 ties like the synthetic sf corpora have)."""
+    from radares_spark.operators.embed import hashed_tf
+    from radares_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        sparse_cosine_topk,
+    )
+
+    docs = _mk_docs(
+        spark,
+        [
+            (0, "quantum entanglement superposition qubit"),
+            (1, "quantum qubit decoherence experiment"),
+            (2, "gardening tomato soil compost"),
+            (3, "tomato sauce recipe basil"),
+        ],
+    )
+    queries = _mk_queries(spark, [(0, "quantum entanglement superposition qubit")])
+    lex = bm25_topk(docs, queries, k=4)
+    qids = spark.createDataFrame([(0,)], "query_id long")
+    dense = sparse_cosine_topk(hashed_tf(docs, 64), qids, k=4)
+    fused = {r["doc_id"]: r["rank"] for r in rrf_fuse([lex, dense], k=4).collect()}
+    assert fused[0] == 1  # self
+    assert fused[1] == 2  # shares quantum+qubit lexically AND densely
+    assert all(fused[1] < fused[d] for d in (2, 3) if d in fused)
