@@ -99,6 +99,8 @@ EXTRA = [
     "text_hash_embed_4k",  # r7: feature-hash embeddings at production dim 4096
     "text_bpe_encode",  # r7: 64-merge BPE train (cold) + encode join (warm)
     "corpus_snapshot_diff",  # r7: recrawl delta via narrow fingerprint join
+    "text_bm25_topk",  # r7: Okapi BM25 ranked retrieval
+    "text_hybrid_rrf_topk",  # r7: BM25 + sparse-cosine RRF fusion
 ]
 
 
