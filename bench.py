@@ -275,6 +275,12 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             n = frame.count()
             landing = os.path.join(root, f"{key}_landing")
             frame.repartition(STREAM_BATCHES, "doc_id").write.parquet(landing)
+            # epochs = files actually landed (hash-partitioning does not
+            # guarantee STREAM_BATCHES non-empty outputs; with
+            # maxFilesPerTrigger=1 each landed file IS one micro-batch)
+            epochs = len(
+                [f for f in os.listdir(landing) if f.endswith(".parquet")]
+            )
             t0 = time.perf_counter()
             runner(
                 spark,
@@ -286,11 +292,11 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             )
             t = time.perf_counter() - t0
             out[key] = {
-                "epochs": STREAM_BATCHES,
+                "epochs": epochs,
                 "rows": n,
                 "wall_s": round(t, 3),
                 "rows_per_s": round(n / t, 1),
-                "epochs_per_s": round(STREAM_BATCHES / t, 3),
+                "epochs_per_s": round(epochs / t, 3),
             }
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             out[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}

@@ -277,8 +277,17 @@ def cmd_crawl_nightly(
     kept_dir = os.path.join(out_dir, "kept")
     if counts["fetched"] == 0 and iofs.has_parquet(spark, kept_dir):
         # completed-night re-run: nothing admitted and real outputs
-        # already exist — leave them untouched
+        # already exist — leave them untouched, but read the preserved
+        # audit back so the re-run returns the same per-outcome shape
+        # as the original run (review finding: the two invocations of
+        # one night must report identically)
         counts["outputs_preserved"] = 1
+        audit_dir = os.path.join(out_dir, "audit")
+        if iofs.has_parquet(spark, audit_dir):
+            for r in (
+                spark.read.parquet(audit_dir).groupBy("outcome").count().collect()
+            ):
+                counts[r["outcome"]] = r["count"]
     else:
         admitted = url_back.filter(F.col("outcome") == "kept").select("doc_id")
         to_fetch = pages.join(admitted, "doc_id", "left_semi")

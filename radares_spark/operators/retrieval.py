@@ -48,7 +48,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from radares_spark.io.tables import load_table
 from radares_spark.operators.dedup import NORM_SQL, _docs, normalize_text
 from radares_spark.operators.embed import EMBED_DIM
 from radares_spark.registry import QuerySpec
@@ -570,6 +569,8 @@ cells AS (
            sum(CASE WHEN ('0x' || substr(md5('sgn:' || tok), 1, 8))::BIGINT % 2 = 0
                     THEN 1.0 ELSE -1.0 END) AS x
     FROM toks GROUP BY doc_id, i
+    HAVING sum(CASE WHEN ('0x' || substr(md5('sgn:' || tok), 1, 8))::BIGINT % 2 = 0
+               THEN 1.0 ELSE -1.0 END) <> 0
 ),
 nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS n FROM cells GROUP BY doc_id),
 unit AS (

@@ -261,6 +261,14 @@ def test_crawl_nightly_three_night_recrawl(spark, tmp_path, capsys):
     assert rc == 0
     p3b = capsys.readouterr().out
     assert "fetched: 0" in p3b and "outputs_preserved: 1" in p3b
+    # the preserved branch reads the night's audit back so the re-run
+    # reports the same per-outcome counts as the original run (review
+    # finding: output shape must not differ between the two)
+    audit3 = spark.read.parquet(str(out3 / "audit"))
+    for r in audit3.groupBy("outcome").count().collect():
+        assert f"{r['outcome']}: {r['count']}" in p3b, (
+            f"re-run dropped audit count {r['outcome']}={r['count']}"
+        )
     kept3b = spark.read.parquet(str(out3 / "kept"))
     assert {r["doc_id"] for r in kept3b.select("doc_id").collect()} == {21}
     # and the ledger grew no new epoch (nothing admitted)

@@ -336,3 +336,62 @@ def test_hybrid_fusion_ranks_related_doc_above_unrelated(spark):
     assert fused[0] == 1  # self
     assert fused[1] == 2  # shares quantum+qubit lexically AND densely
     assert all(fused[1] < fused[d] for d in (2, 3) if d in fused)
+
+
+def test_hybrid_oracle_drops_sign_cancelled_zero_cells(spark, tmp_path):
+    """Regression: the HYBRID_RRF_SQL oracle must mirror the Spark
+    side's v != 0 cell filter. Tokens 'aac'/'aae' hash to the same
+    embedding bucket with opposite signs, so a doc containing both once
+    has a sign-cancelled (zero) cell there; before the HAVING fix the
+    oracle kept that cell, emitted cos=0.0 candidate pairs for docs
+    whose ONLY bucket overlap with a query is the cancelled one, and
+    those phantom candidates outranked negative-cosine docs — shifting
+    every fused RRF rank below them."""
+    import duckdb
+
+    from radares_spark.operators.retrieval import (
+        HYBRID_RRF_SQL,
+        text_hybrid_rrf_topk,
+    )
+    from tests.oracle import compare_frames
+
+    # doc 0 is a query (doc_id < N_QUERY_DOCS); its query = first 4
+    # normalized tokens, hashing to buckets {10, 1, 2, 3}. Doc 10's
+    # 'aac'(+)/'aae'(-) cancel at bucket 10 and its live cells sit in
+    # buckets {4, 5} — so its ONLY embedding overlap with query 0 is
+    # the cancelled cell. Verified offline: the pre-fix oracle ranks
+    # doc 10 at dense rank 3 for query 0 (cos=0.0 phantom) and the
+    # fused top-5 diverges ((0,10,...,3) appears, (0,4,...) drops).
+    rows = [
+        (0, "aac abq adb abh extra words here"),
+        (1, "unrelated one two three"),
+        (2, "different four five six"),
+        (3, "another seven eight nine"),
+        (4, "more ten eleven twelve"),
+        (5, "last thirteen fourteen fifteen"),
+        (10, "aac aae aeh adh"),
+        (11, "aag aad aai"),
+        (12, "abq acs"),
+        (13, "adb filler stuff"),
+    ]
+    import pandas as pd
+
+    df = pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": "en",
+                "source": "test",
+                "n_chars": len(t),
+            }
+            for i, t in rows
+        ]
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", df)
+    oracle = con.execute(HYBRID_RRF_SQL).arrow()
+    got = text_hybrid_rrf_topk(spark, str(tmp_path))
+    ok, msg = compare_frames(got, oracle)
+    assert ok, msg
