@@ -34,11 +34,26 @@ only) · ``audit/`` (doc_id, outcome).  Each refresh writes a NEW
 state dir (caller rotates nightly dirs; write-new-then-swap is the
 crash-safety story, as with ledger epochs).
 
-The curation knobs (keep_langs, sample_pct, jaccard_threshold) must
-match across nights — they are part of the state's meaning.
-``max_bucket`` hot-bucket capping is batch-only for now: the cap
-makes an outcome depend on bucket POPULATION, which churns
-non-locally; refresh supports the uncapped semantics.
+The curation knobs (keep_langs, sample_pct, jaccard_threshold,
+max_bucket) must match across nights — they are part of the state's
+meaning, so ``init_state``/``refresh`` land them in a one-row
+``knobs`` meta under the state dir and ``refresh`` FAILS FAST when
+the caller's knobs differ from the state's (silently mixing
+semantics would corrupt every carried outcome).
+
+``max_bucket`` hot-bucket capping (the 100 TB guard against
+boilerplate mega-buckets) IS honored incrementally: the cap makes an
+outcome depend on bucket POPULATION, but population only changes in
+buckets that gained or lost band rows — exactly the CHURNED buckets
+whose members the refresh already recomputes. So cap-status flips
+(a bucket crossing the cap in either direction) always land inside
+the affected set, and the only addition the cap needs is to form the
+affected docs' candidate pairs under the CURRENT populations:
+recount the candidate buckets from the refreshed band ledger (narrow
+ids+hashes, delta-bounded by the semi-join) and exclude the hot ones
+from pair formation, mirroring ``operators/dedup.lsh_pairs_capped``.
+Unaffected docs' buckets kept both membership and population, so
+their carried outcomes remain cap-correct.
 """
 
 from __future__ import annotations
@@ -50,6 +65,7 @@ from radares_spark.operators.dedup import (
     _md5,
     bucket_pairs,
     lsh_bands,
+    lsh_pairs_capped,
     minhash_signatures,
     normalize_text,
 )
@@ -88,6 +104,66 @@ def _write_read(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def _write_knobs(
+    spark: SparkSession,
+    state_dir: str,
+    keep_langs: tuple[str, ...],
+    sample_pct: int,
+    jaccard_threshold: float,
+    max_bucket: int | None,
+) -> None:
+    """One-row knobs meta (the postings-store meta idiom): the knobs
+    are part of the state's meaning, so they travel with it."""
+    spark.createDataFrame(
+        [
+            (
+                ",".join(keep_langs),
+                int(sample_pct),
+                float(jaccard_threshold),
+                -1 if max_bucket is None else int(max_bucket),
+            )
+        ],
+        "keep_langs string, sample_pct int, jaccard_threshold double, max_bucket int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/knobs")
+
+
+def _check_knobs(
+    spark: SparkSession,
+    state_in: str,
+    keep_langs: tuple[str, ...],
+    sample_pct: int,
+    jaccard_threshold: float,
+    max_bucket: int | None,
+) -> None:
+    """Fail fast when the caller's knobs differ from the knobs the
+    state was built under — carried outcomes are only valid under the
+    SAME semantics. States predating the knobs meta skip the check."""
+    from radares_spark.io import fs as iofs
+
+    if not iofs.has_parquet(spark, f"{state_in}/knobs"):
+        return
+    row = spark.read.parquet(f"{state_in}/knobs").collect()[0]
+    want = (
+        ",".join(keep_langs),
+        int(sample_pct),
+        float(jaccard_threshold),
+        -1 if max_bucket is None else int(max_bucket),
+    )
+    got = (
+        row["keep_langs"],
+        row["sample_pct"],
+        row["jaccard_threshold"],
+        row["max_bucket"],
+    )
+    if want != got:
+        raise ValueError(
+            f"refresh knobs {want} differ from the state's knobs {got} "
+            "(keep_langs, sample_pct, jaccard_threshold, max_bucket); "
+            "carried outcomes are only valid under the state's semantics — "
+            "re-run init_state to change knobs"
+        )
+
+
 def init_state(
     spark: SparkSession,
     docs: DataFrame,
@@ -95,6 +171,7 @@ def init_state(
     keep_langs: tuple[str, ...] = ("en",),
     sample_pct: int = 100,
     jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Night zero: full batch curation, landing the reusable state.
     Returns the audit (read back from the state dir)."""
@@ -111,8 +188,12 @@ def init_state(
     bands = lsh_bands(minhash_signatures(docs.join(alive_ids, "doc_id", "left_semi")))
     bands = _write_read(bands, f"{state_dir}/bands")
 
+    if max_bucket is not None:
+        cand, _hot = lsh_pairs_capped(bands, max_bucket)
+    else:
+        cand = bucket_pairs(bands)
     verified = verify_near_pairs(
-        bucket_pairs(bands).select("doc_a", "doc_b"),
+        cand.select("doc_a", "doc_b"),
         docs.join(alive_ids, "doc_id", "left_semi"),
         jaccard_threshold,
     )
@@ -121,6 +202,9 @@ def init_state(
     )
     audit = feats.join(near, "doc_id", "left").select(
         "doc_id", outcome_ladder(keep_langs, sample_pct).alias("outcome")
+    )
+    _write_knobs(
+        spark, state_dir, keep_langs, sample_pct, jaccard_threshold, max_bucket
     )
     return _write_read(audit, f"{state_dir}/audit")
 
@@ -133,6 +217,7 @@ def refresh(
     keep_langs: tuple[str, ...] = ("en",),
     sample_pct: int = 100,
     jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """One night of incremental curation: ``(audit, stats)`` for the
     new snapshot, writing refreshed state to ``state_out``.
@@ -142,9 +227,16 @@ def refresh(
     members in churned buckets; the corpus-wide operations are narrow
     ledger joins (ids + hashes).  ``stats`` reports exactly how much
     was recomputed — a no-op night reports zeros across the board
-    (pinned in tests)."""
+    (pinned in tests).  ``max_bucket`` applies the hot-bucket cap
+    under CURRENT bucket populations (module docstring: population
+    changes are always bucket churn, so cap flips land inside the
+    affected set); it must match the knob the state was built with —
+    mismatches fail fast via the state's knobs meta."""
     if state_in == state_out:
         raise ValueError("state_out must differ from state_in (write-new-then-swap)")
+    _check_knobs(
+        spark, state_in, keep_langs, sample_pct, jaccard_threshold, max_bucket
+    )
     prior_feats = spark.read.parquet(f"{state_in}/features")
     prior_bands = spark.read.parquet(f"{state_in}/bands")
     prior_audit = spark.read.parquet(f"{state_in}/audit")
@@ -254,8 +346,28 @@ def refresh(
         .select("band", "band_hash")
         .distinct()
     )
+    # full membership of the candidate buckets — bands_new holds every
+    # row of each bucket, so the group-by below counts the GLOBAL
+    # population (delta-bounded work: the semi-join keeps only the
+    # affected docs' buckets)
+    bucket_rows = bands_new.join(cand_buckets, ["band", "band_hash"], "left_semi")
+    n_hot = 0
+    if max_bucket is not None:
+        hot = (
+            bucket_rows.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket)
+            .select("band", "band_hash")
+            .localCheckpoint()
+        )
+        n_hot = hot.count()
+        # same broadcast anti-join as lsh_pairs_capped: hot buckets
+        # never enter the quadratic pair explode
+        bucket_rows = bucket_rows.join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
+        )
     pairs = (
-        bucket_pairs(bands_new.join(cand_buckets, ["band", "band_hash"], "left_semi"))
+        bucket_pairs(bucket_rows)
         .select("doc_a", "doc_b")
         .join(affected.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
         .localCheckpoint()
@@ -288,6 +400,9 @@ def refresh(
         "doc_id", outcome_ladder(keep_langs, sample_pct).alias("outcome")
     )
     audit = _write_read(audit, f"{state_out}/audit")
+    _write_knobs(
+        spark, state_out, keep_langs, sample_pct, jaccard_threshold, max_bucket
+    )
 
     stats = {
         "n_delta": delta_ids.count(),
@@ -296,6 +411,7 @@ def refresh(
         "n_rebanded": need_bands.count(),
         "n_near_affected": affected.count(),
         "n_pairs_verified": verified.count(),
+        "n_hot_buckets": n_hot,
     }
     return audit, stats
 

@@ -86,6 +86,7 @@ def test_noop_night_zero_recompute(spark, tmp_path):
         "n_rebanded": 0,
         "n_near_affected": 0,
         "n_pairs_verified": 0,
+        "n_hot_buckets": 0,
     }
 
 
@@ -398,3 +399,128 @@ def test_store_rejects_schema_narrowed_new_docs(spark, tmp_path):
         apply_refresh_to_store(
             spark, night2.select("doc_id", "text"), s0, s1, store, n_buckets=4
         )
+
+
+# --- hot-bucket cap (max_bucket) under incremental refresh -----------
+
+
+def hot_variant(k: int, words: int = 60) -> str:
+    """Near-identical boilerplate family: one token differs per k, so
+    members are distinct (never exact dups) but pairwise Jaccard stays
+    far above 0.8 and they share (hence overpopulate) LSH buckets."""
+    toks = mk_text(9999, words).split()
+    toks[words // 2] = f"variant{k}"
+    return " ".join(toks)
+
+
+def _assert_matches_batch_capped(spark, docs, audit_df, max_bucket):
+    _, batch_audit, _ = curate(docs, max_bucket=max_bucket)
+    assert _audit_map(audit_df) == _audit_map(batch_audit)
+
+
+def test_capped_refresh_hot_bucket_churns_across_cap(spark, tmp_path):
+    """The r7 gap: max_bucket was batch-only. Planted boilerplate
+    family crosses the cap in BOTH directions across three nights —
+    night 1 removals cool the bucket below the cap (pairs must now
+    form and drop the higher ids), night 2 re-additions reheat it
+    (capped again: everyone readmitted). Every night's refreshed audit
+    equals batch curate(max_bucket=...) on that snapshot."""
+    from radares_spark.pipeline.corpus import curate as _curate
+
+    CAP = 3
+    base = {i: mk_text(i) for i in range(700, 706)}
+    hot = {i: hot_variant(i) for i in range(720, 725)}  # 5 members: hot
+    docs0 = _df(spark, sorted({**base, **hot}.items()))
+
+    # the scenario must actually exercise the cap: batch reports hot
+    # buckets on night 0 and the family is admitted wholesale
+    _, batch0, hot0 = _curate(docs0, max_bucket=CAP)
+    assert hot0.count() > 0, "planted family failed to overpopulate a bucket"
+    b0 = _audit_map(batch0)
+    assert all(b0[i] == "kept" for i in hot), b0
+
+    audit0 = init_state(spark, docs0, str(tmp_path / "n0"), max_bucket=CAP)
+    assert _audit_map(audit0) == b0
+
+    # night 1: two members leave -> population 3 <= CAP -> bucket goes
+    # COLD -> pairs form -> higher ids drop (keeper = lowest id)
+    corpus1 = {**base, **{i: hot[i] for i in (720, 721, 722)}}
+    docs1 = _df(spark, sorted(corpus1.items()))
+    audit1, stats1 = refresh(
+        spark, docs1, str(tmp_path / "n0"), str(tmp_path / "n1"), max_bucket=CAP
+    )
+    _assert_matches_batch_capped(spark, docs1, audit1, CAP)
+    a1 = _audit_map(audit1)
+    assert a1[720] == "kept" and a1[721] == "near_dup" and a1[722] == "near_dup", a1
+
+    # night 2: the two return -> population 5 > CAP -> HOT again ->
+    # pairs excluded -> the night-1 drops resurrect
+    docs2 = _df(spark, sorted({**base, **hot}.items()))
+    audit2, stats2 = refresh(
+        spark, docs2, str(tmp_path / "n1"), str(tmp_path / "n2"), max_bucket=CAP
+    )
+    _assert_matches_batch_capped(spark, docs2, audit2, CAP)
+    a2 = _audit_map(audit2)
+    assert all(a2[i] == "kept" for i in hot), a2
+    assert stats2["n_hot_buckets"] > 0  # the cap demonstrably fired
+
+
+def test_capped_refresh_randomized_churn(spark, tmp_path):
+    """Seeded random churn with the cap on, including hot-family
+    mutations, three nights — refresh == batch curate(max_bucket=...)
+    every night."""
+    rng = random.Random(13)
+    CAP = 3
+    corpus: dict[int, str | None] = {i: mk_text(i) for i in range(800, 815)}
+    for k in range(830, 835):
+        corpus[k] = hot_variant(k)  # hot family seed
+
+    def as_df():
+        return _df(spark, sorted(corpus.items()))
+
+    init_state(spark, as_df(), str(tmp_path / "c0"), max_bucket=CAP)
+    for night in range(1, 4):
+        for _ in range(3):
+            op = rng.choice(["add", "remove", "hot_add", "hot_remove", "rewrite"])
+            ids = sorted(corpus)
+            hot_ids = [i for i in ids if i >= 830]
+            if op == "add":
+                corpus[max(ids) + 1] = mk_text(rng.randrange(5000, 6000))
+            elif op == "remove" and len(ids) > 6:
+                corpus.pop(rng.choice([i for i in ids if i < 830]))
+            elif op == "hot_add":
+                corpus[max(max(ids) + 1, 836 + night * 10)] = hot_variant(
+                    rng.randrange(7000, 8000)
+                )
+            elif op == "hot_remove" and len(hot_ids) > 1:
+                corpus.pop(rng.choice(hot_ids))
+            elif op == "rewrite":
+                corpus[rng.choice([i for i in ids if i < 830])] = mk_text(
+                    rng.randrange(6000, 7000)
+                )
+        new_docs = as_df()
+        audit, _ = refresh(
+            spark,
+            new_docs,
+            str(tmp_path / f"c{night - 1}"),
+            str(tmp_path / f"c{night}"),
+            max_bucket=CAP,
+        )
+        _assert_matches_batch_capped(spark, new_docs, audit, CAP)
+
+
+def test_refresh_knob_mismatch_fails_fast(spark, tmp_path):
+    docs = _df(spark, BASE)
+    init_state(spark, docs, str(tmp_path / "k0"), max_bucket=4)
+    with pytest.raises(ValueError, match="knobs"):
+        refresh(spark, docs, str(tmp_path / "k0"), str(tmp_path / "k1"))
+    with pytest.raises(ValueError, match="knobs"):
+        refresh(
+            spark, docs, str(tmp_path / "k0"), str(tmp_path / "k1"),
+            max_bucket=4, jaccard_threshold=0.9,
+        )
+    # matching knobs proceed
+    audit, _ = refresh(
+        spark, docs, str(tmp_path / "k0"), str(tmp_path / "k1"), max_bucket=4
+    )
+    _assert_matches_batch_capped(spark, docs, audit, 4)
