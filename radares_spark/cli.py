@@ -155,35 +155,73 @@ def cmd_corpus_refresh(
     state_out: str,
     state_in: str | None = None,
     store_dir: str | None = None,
+    postings_dir: str | None = None,
+    ivf_dir: str | None = None,
 ) -> dict[str, int]:
     """Nightly incremental curation (pipeline/refresh.py): without
     ``--state-in`` runs the night-zero batch (init_state); with it,
-    refreshes only the delta against the prior night's state. With
-    ``--store`` the materialized kept-corpus parquet is kept in line
-    too — full write on night zero, churned-bucket-only rewrite on
-    refresh nights. Prints per-outcome counts plus (refresh nights)
-    the recompute/rewrite stats that show the night was
-    delta-proportional."""
+    refreshes only the delta against the prior night's state. One
+    snapshot diff then carries every serving store the caller opted
+    into: ``--store`` (kept-corpus parquet, churned-doc-bucket
+    rewrites), ``--postings-store`` (BM25 inverted index, touched-term
+    -bucket rewrites) and ``--ivf-store`` (ANN vector store,
+    affected-cell rewrites). ORDER MATTERS on refresh nights: the
+    postings refresh reads removed docs' OLD text from the kept store,
+    so it runs before the kept store is rewritten (the IVF refresh
+    removes by id and has no such dependency). Prints per-outcome
+    counts plus per-store rewrite stats (prefixed) that show the night
+    was delta-proportional."""
     from radares_spark.pipeline.refresh import (
+        apply_refresh_to_ivf_store,
+        apply_refresh_to_postings_store,
         apply_refresh_to_store,
+        init_ivf_from_state,
+        init_postings_from_state,
         init_state,
         init_store,
         refresh,
     )
 
+    if postings_dir and not store_dir:
+        raise ValueError(
+            "--postings-store requires --store: removing a doc from an "
+            "inverted index needs its text AS INDEXED, and the kept store "
+            "is where last night's kept text persists"
+        )
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
     if state_in is None:
         audit = init_state(spark, docs, state_out)
         stats: dict[str, int] = {}
         if store_dir:
             init_store(spark, docs, state_out, store_dir)
+        if postings_dir:
+            init_postings_from_state(spark, docs, state_out, postings_dir)
+        if ivf_dir:
+            init_ivf_from_state(spark, docs, state_out, ivf_dir)
     else:
         audit, stats = refresh(spark, docs, state_in, state_out)
+        if postings_dir:  # BEFORE the kept-store rewrite (old text)
+            stats.update(
+                {
+                    f"postings_{k}": v
+                    for k, v in apply_refresh_to_postings_store(
+                        spark, docs, state_in, state_out, store_dir, postings_dir
+                    ).items()
+                }
+            )
+        if ivf_dir:
+            stats.update(
+                {
+                    f"ivf_{k}": v
+                    for k, v in apply_refresh_to_ivf_store(
+                        spark, docs, state_in, state_out, ivf_dir
+                    ).items()
+                }
+            )
         if store_dir:
-            stats = {
-                **stats,
-                **apply_refresh_to_store(spark, docs, state_in, state_out, store_dir),
-            }
+            stats.update(
+                apply_refresh_to_store(spark, docs, state_in, state_out, store_dir)
+            )
     counts = {
         r["outcome"]: r["count"]
         for r in audit.groupBy("outcome").count().collect()
@@ -347,6 +385,8 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--state-out", required=True, help="dir for tonight's state")
     cr.add_argument("--state-in", default=None, help="prior night's state dir (omit for night zero)")
     cr.add_argument("--store", default=None, help="optional kept-corpus parquet to maintain incrementally")
+    cr.add_argument("--postings-store", default=None, help="optional BM25 postings index to maintain incrementally (requires --store)")
+    cr.add_argument("--ivf-store", default=None, help="optional IVF ANN vector store to maintain incrementally")
     sd = sub.add_parser("snapshot-diff")
     sd.add_argument("--old", required=True, help="previous snapshot parquet")
     sd.add_argument("--new", required=True, help="tonight's snapshot parquet")
@@ -376,7 +416,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "corpus-refresh":
         counts = cmd_corpus_refresh(
-            spark, args.docs, args.state_out, args.state_in, args.store
+            spark, args.docs, args.state_out, args.state_in, args.store,
+            args.postings_store, args.ivf_store,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

@@ -421,6 +421,44 @@ def refresh(
 N_STORE_BUCKETS = 64
 
 
+def _kept(spark: SparkSession, state_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{state_dir}/audit")
+        .filter(F.col("outcome") == KEPT)
+        .select("doc_id")
+    )
+
+
+def kept_churn(
+    spark: SparkSession, state_in: str, state_out: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(entered, left, rewritten)`` doc_id frames describing how the
+    KEPT set changed across one refresh — the single churn computation
+    every downstream serving store keys off (kept-corpus parquet,
+    postings index, IVF vector store): entered/left are the kept-set
+    symmetric difference (two anti-joins — a union-exceptAll would
+    double-count common ids), rewritten are docs kept on BOTH nights
+    whose raw content hash changed (features ledger — no text ever
+    compared). All three are audit/ledger-sized id joins, never
+    corpus text."""
+    kept_old = _kept(spark, state_in)
+    kept_new = _kept(spark, state_out)
+    entered = kept_new.join(kept_old, "doc_id", "left_anti")
+    left = kept_old.join(kept_new, "doc_id", "left_anti")
+    fp_old = spark.read.parquet(f"{state_in}/features").select(
+        "doc_id", F.col("raw_hash").alias("old_raw")
+    )
+    fp_new = spark.read.parquet(f"{state_out}/features").select("doc_id", "raw_hash")
+    rewritten = (
+        kept_new.join(kept_old, "doc_id", "left_semi")
+        .join(fp_old, "doc_id")
+        .join(fp_new, "doc_id")
+        .filter(F.col("raw_hash") != F.col("old_raw"))
+        .select("doc_id")
+    )
+    return entered, left, rewritten
+
+
 def _store_bucket(n_buckets: int):
     return (F.col("doc_id") % n_buckets).cast("int").alias("part_bucket")
 
@@ -474,25 +512,10 @@ def apply_refresh_to_store(
             f"store was initialized with n_buckets={stored}, got {n_buckets}: "
             "a mismatched bucket count would rewrite the wrong partitions"
         )
-    audit_old = spark.read.parquet(f"{state_in}/audit")
-    audit_new = spark.read.parquet(f"{state_out}/audit")
-    kept_old = audit_old.filter(F.col("outcome") == KEPT).select("doc_id")
-    kept_new = audit_new.filter(F.col("outcome") == KEPT).select("doc_id")
-    membership = kept_old.join(kept_new, "doc_id", "left_anti").unionByName(
-        kept_new.join(kept_old, "doc_id", "left_anti")
-    )  # symmetric difference: entered or left the kept set
-    fp_old = spark.read.parquet(f"{state_in}/features").select(
-        "doc_id", F.col("raw_hash").alias("old_raw")
+    entered, left, rewritten = kept_churn(spark, state_in, state_out)
+    churned = (
+        entered.unionByName(left).unionByName(rewritten).distinct().localCheckpoint()
     )
-    fp_new = spark.read.parquet(f"{state_out}/features").select("doc_id", "raw_hash")
-    rewritten = (
-        kept_new.join(kept_old, "doc_id", "left_semi")
-        .join(fp_old, "doc_id")
-        .join(fp_new, "doc_id")
-        .filter(F.col("raw_hash") != F.col("old_raw"))
-        .select("doc_id")
-    )
-    churned = membership.unionByName(rewritten).distinct().localCheckpoint()
     buckets = churned.select(_store_bucket(n_buckets)).distinct().localCheckpoint()
     n_docs, n_buckets_hit = churned.count(), buckets.count()
     if n_buckets_hit:
@@ -510,7 +533,7 @@ def apply_refresh_to_store(
             )
         rows = (
             new_docs.select(*store_cols)
-            .join(kept_new, "doc_id", "left_semi")
+            .join(_kept(spark, state_out), "doc_id", "left_semi")
             .withColumn("part_bucket", _store_bucket(n_buckets))
             .join(buckets, "part_bucket", "left_semi")
             .localCheckpoint()
@@ -531,3 +554,121 @@ def apply_refresh_to_store(
         for b in emptied:
             fs_delete(spark, f"{store_dir}/part_bucket={b}")
     return {"n_churned_docs": n_docs, "n_buckets_rewritten": n_buckets_hit}
+
+
+# --- serving-store bridges: one snapshot diff drives every store ------
+
+
+def init_postings_from_state(
+    spark: SparkSession, docs: DataFrame, state_dir: str, postings_dir: str
+) -> None:
+    """Night zero of the retrieval index: BM25 postings over exactly
+    the kept docs (operators/retrieval.build_postings_store)."""
+    from radares_spark.operators.retrieval import build_postings_store
+
+    build_postings_store(
+        docs.join(_kept(spark, state_dir), "doc_id", "left_semi"), postings_dir
+    )
+
+
+def apply_refresh_to_postings_store(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_in: str,
+    state_out: str,
+    kept_store_dir: str,
+    postings_dir: str,
+) -> dict[str, int]:
+    """Bring the BM25 postings store in line with one night's kept-set
+    churn, rewriting only touched term buckets.
+
+    Removal from an inverted index needs the removed docs AS INDEXED
+    (retrieval.refresh_postings_store's contract — removal by bare id
+    is a full index scan by construction), and the only place last
+    night's kept text persists is the KEPT STORE, so this MUST run
+    BEFORE ``apply_refresh_to_store`` rewrites it for the same night
+    (the CLI orders the three stores accordingly). Changed docs appear
+    on both sides: old text removed, new text added."""
+    from radares_spark.operators.retrieval import refresh_postings_store
+
+    entered, left, rewritten = kept_churn(spark, state_in, state_out)
+    remove_ids = left.unionByName(rewritten).distinct()
+    add_ids = entered.unionByName(rewritten).distinct()
+    remove_docs = (
+        spark.read.parquet(kept_store_dir)
+        .select("doc_id", "text")
+        .join(remove_ids, "doc_id", "left_semi")
+    )
+    add_docs = new_docs.select("doc_id", "text").join(
+        add_ids, "doc_id", "left_semi"
+    )
+    return refresh_postings_store(
+        spark, postings_dir, add_docs=add_docs, remove_docs=remove_docs
+    )
+
+
+def _kept_vectors(docs: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, v, nrm) hashed_tf vectors for IVF serving — hashed_tf
+    L2-normalizes by construction, so nrm is exactly 1.0 (the
+    test_embed bridge idiom)."""
+    from radares_spark.operators.embed import hashed_tf
+
+    return hashed_tf(docs, dim).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+
+
+def init_ivf_from_state(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    ivf_dir: str,
+    dim: int | None = None,
+    n_cells: int = 8,
+) -> None:
+    """Night zero of the ANN serving store: hashed_tf vectors of the
+    kept docs through k-means training into the partition-pruned IVF
+    layout with refresh sidecars (similarity.write_ivf_store)."""
+    from radares_spark.operators.embed import EMBED_DIM
+    from radares_spark.operators.similarity import build_ivf_index, write_ivf_store
+
+    d = EMBED_DIM if dim is None else dim
+    normed = _kept_vectors(
+        docs.join(_kept(spark, state_dir), "doc_id", "left_semi"), d
+    ).localCheckpoint()
+    assignment, centroids = build_ivf_index(normed, n_cells=n_cells, dim=d)
+    write_ivf_store(spark, normed, assignment, centroids, ivf_dir)
+
+
+def apply_refresh_to_ivf_store(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_in: str,
+    state_out: str,
+    ivf_dir: str,
+    dim: int | None = None,
+) -> dict[str, int]:
+    """Bring the IVF store in line with one night's kept-set churn —
+    delta vectors (entered + rewritten kept docs, re-embedded from the
+    NEW snapshot) assigned against the store's frozen centroids,
+    removed ids (left + rewritten) dropped; only affected cell
+    partitions rewrite (similarity.refresh_ivf_store). Needs no old
+    content — vector removal is by id — so it has no ordering
+    dependency on the kept store."""
+    from radares_spark.operators.embed import EMBED_DIM
+    from radares_spark.operators.similarity import refresh_ivf_store
+
+    d = EMBED_DIM if dim is None else dim
+    entered, left, rewritten = kept_churn(spark, state_in, state_out)
+    delta = _kept_vectors(
+        new_docs.join(
+            entered.unionByName(rewritten).distinct(), "doc_id", "left_semi"
+        ),
+        d,
+    )
+    removed = left.unionByName(rewritten).distinct().withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return refresh_ivf_store(spark, delta, removed, ivf_dir)

@@ -357,3 +357,146 @@ def test_corpus_refresh_store_flag(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(store).collect()
     ) == list(range(2, 8))
+
+
+def test_corpus_refresh_all_stores_three_nights(spark, tmp_path):
+    """One corpus-refresh invocation carries ALL THREE serving stores
+    (kept corpus, BM25 postings, IVF vectors) from one snapshot diff.
+    Pins per night: each store equals its full rebuild over the kept
+    set, and a no-op night rewrites ZERO buckets/cells/files in every
+    store (mtime listings byte-stable)."""
+    import glob
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from radares_spark.cli import cmd_corpus_refresh
+    from radares_spark.operators.retrieval import build_postings_store
+    from radares_spark.operators.similarity import assign_to_centroids
+    from radares_spark.pipeline.refresh import _kept, _kept_vectors
+    from tests.test_refresh import mk_text
+
+    kst = str(tmp_path / "kept_store")
+    pst = str(tmp_path / "postings")
+    ivf = str(tmp_path / "ivf")
+
+    def write_docs(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        ).write.parquet(p)
+        return p
+
+    def postings_rows(path):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/postings")
+            .select("tok", "doc_id", "tf", "dl", "df", "bucket")
+            .collect()
+        }
+
+    def assert_postings_equals_rebuild(docs_path, state_dir):
+        kept = (
+            spark.read.parquet(docs_path)
+            .select("doc_id", "text")
+            .join(_kept(spark, state_dir), "doc_id", "left_semi")
+        )
+        rb = str(tmp_path / "postings_rebuild")
+        build_postings_store(kept, rb)
+        assert postings_rows(pst) == postings_rows(rb)
+        got = spark.read.parquet(f"{pst}/meta").collect()[0]
+        want = spark.read.parquet(f"{rb}/meta").collect()[0]
+        assert (got["n_docs"], got["sum_dl"]) == (want["n_docs"], want["sum_dl"])
+
+    def ivf_rows(path):
+        return {
+            (r["vec_id"], r["cell"], tuple(round(x, 9) for x in r["v"]))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def assert_ivf_equals_rebuild(docs_path, state_dir):
+        """Rebuild-with-same-centroids: the store's frozen quantizer
+        over tonight's full kept vector set."""
+        kept = (
+            spark.read.parquet(docs_path)
+            .select("doc_id", "text")
+            .join(_kept(spark, state_dir), "doc_id", "left_semi")
+        )
+        vecs = _kept_vectors(kept, 16)
+        cents = spark.read.parquet(f"{ivf}/_centroids")
+        want = {
+            (r["vec_id"], r["cell"], tuple(round(x, 9) for x in r["v"]))
+            for r in vecs.join(assign_to_centroids(vecs, cents), "vec_id").collect()
+        }
+        assert ivf_rows(ivf) == want
+
+    def files(path, pat):
+        return {f: os.path.getmtime(f) for f in glob.glob(f"{path}/{pat}")}
+
+    # night 0: 10 kept docs incl. an exact-dup pair
+    rows0 = [(i, mk_text(i)) for i in range(10)] + [(20, mk_text(0))]
+    d0 = write_docs("d0", rows0)
+    c0 = cmd_corpus_refresh(
+        spark, d0, str(tmp_path / "s0"),
+        store_dir=kst, postings_dir=pst, ivf_dir=ivf,
+    )
+    assert c0["kept"] == 10
+    assert_postings_equals_rebuild(d0, str(tmp_path / "s0"))
+    assert_ivf_equals_rebuild(d0, str(tmp_path / "s0"))
+
+    # night 1: churn — doc 3 rewritten, doc 5 removed, doc 30 added
+    rows1 = [
+        (i, mk_text(i + 100) if i == 3 else t)
+        for (i, t) in rows0
+        if i != 5
+    ] + [(30, mk_text(30))]
+    d1 = write_docs("d1", rows1)
+    c1 = cmd_corpus_refresh(
+        spark, d1, str(tmp_path / "s1"), state_in=str(tmp_path / "s0"),
+        store_dir=kst, postings_dir=pst, ivf_dir=ivf,
+    )
+    assert_postings_equals_rebuild(d1, str(tmp_path / "s1"))
+    assert_ivf_equals_rebuild(d1, str(tmp_path / "s1"))
+    # delta-proportional: each store reports bounded rewrites
+    assert 0 < c1["postings_n_buckets_rewritten"]
+    assert 0 < c1["ivf_n_cells_rewritten"]
+    assert 0 < c1["n_buckets_rewritten"]
+
+    # night 2: NO-OP — same snapshot; zero rewrites in all three stores
+    d2 = write_docs("d2", rows1)
+    before = {
+        "kept": files(kst, "part_bucket=*/*.parquet"),
+        "postings": files(pst, "postings/bucket=*/*.parquet"),
+        "ivf": files(ivf, "cell=*/*.parquet"),
+    }
+    c2 = cmd_corpus_refresh(
+        spark, d2, str(tmp_path / "s2"), state_in=str(tmp_path / "s1"),
+        store_dir=kst, postings_dir=pst, ivf_dir=ivf,
+    )
+    after = {
+        "kept": files(kst, "part_bucket=*/*.parquet"),
+        "postings": files(pst, "postings/bucket=*/*.parquet"),
+        "ivf": files(ivf, "cell=*/*.parquet"),
+    }
+    assert before == after, "no-op night must not touch any store file"
+    assert c2["postings_n_buckets_rewritten"] == 0
+    assert c2["ivf_n_cells_rewritten"] == 0
+    assert c2["n_buckets_rewritten"] == 0
+
+
+def test_corpus_refresh_postings_requires_store(spark, tmp_path):
+    import pandas as pd
+    import pytest as _pytest
+
+    from radares_spark.cli import cmd_corpus_refresh
+    from tests.test_refresh import mk_text
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame([(1, mk_text(1))], columns=["doc_id", "text"])
+    ).write.parquet(p)
+    with _pytest.raises(ValueError, match="requires --store"):
+        cmd_corpus_refresh(
+            spark, p, str(tmp_path / "s0"), postings_dir=str(tmp_path / "pst")
+        )
