@@ -501,6 +501,52 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], k=TOP_K)
 
 
+def hybrid_rrf_from_stores(
+    spark: SparkSession,
+    postings_path: str,
+    ivf_path: str,
+    queries_text: DataFrame,
+    query_vecs: DataFrame,
+    n_probe: int,
+    dim: int | None = None,
+    k: int = TOP_K,
+    pool: int = RRF_POOL,
+) -> DataFrame:
+    """The SERVING twin of :func:`text_hybrid_rrf_topk`: BM25 top-pool
+    from the term-bucketed postings store (static partition pruning —
+    only query-term buckets read) fused by RRF with an ANN top-pool
+    from the IVF store (DPP cell pruning — only probed cells read).
+    ``queries_text`` = (query_id, qtext); ``query_vecs`` = (vec_id, v,
+    nrm) sharing the same ids. The probe keeps self-rows
+    (exclude_self=False), matching the inline retrievers.
+
+    With ``n_probe`` = the store's cell count the dense side is the
+    EXACT cosine ranking, and the fused output matches the inline
+    hybrid wherever each query has >= pool positive-cosine neighbors
+    (the inline sparse path never surfaces zero-overlap candidates;
+    an exhaustive probe scores them at 0.0 — a difference only when
+    the candidate pool can't be filled with positive cosines, pinned
+    in tests at both settings). Smaller n_probe trades recall for
+    reading n_probe/n_cells of the store — the production serving
+    knob."""
+    from radares_spark.operators.embed import EMBED_DIM
+    from radares_spark.operators.similarity import probe_stored_topk
+
+    lex = bm25_topk_from_store(spark, postings_path, queries_text, k=pool)
+    centroids = spark.read.parquet(f"{ivf_path}/_centroids")
+    dns = probe_stored_topk(
+        spark,
+        ivf_path,
+        centroids,
+        query_vecs,
+        n_probe=n_probe,
+        k=pool,
+        dim=EMBED_DIM if dim is None else dim,
+        exclude_self=False,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex.select("query_id", "doc_id", "rank"), dns], k=k)
+
+
 _BM25_CTES = f"""norm AS (
     SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t
     FROM documents

@@ -313,20 +313,25 @@ def probe_stored_topk(
     n_probe: int = N_PROBE,
     k: int = TOP_K,
     dim: int = DIM,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k against a :func:`write_ivf_layout` store. The
     broadcast probe join's cell keys reach the scan as a
     DynamicPruningExpression in ``PartitionFilters`` (asserted in
     tests/test_ivf.py) — unprobed cells' files are never read, making
     "searched fraction = n_probe/n_cells" literal I/O, not just
-    row-filter arithmetic."""
+    row-filter arithmetic. ``exclude_self`` drops the query's own row
+    (the neighbor-search default); doc-seeded retrieval pools
+    (hybrid_rrf_from_stores) keep it, matching the inline retrievers
+    where a query doc ranks itself first."""
     probes = _route_probes(queries, centroids, n_probe, dim)
     stored = spark.read.parquet(path)
     cos = F.round(pair_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 4)
-    scored = (
-        stored.join(F.broadcast(probes), "cell")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    scored = stored.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    scored = scored.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
     )
     return _rank_topk(scored, k)
 
