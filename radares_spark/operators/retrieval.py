@@ -660,7 +660,12 @@ WHERE rank <= {TOP_K}
 """
 
 
-LIBRARY_SPECS: dict[str, QuerySpec] = {
+# Promoted to the driver's 50-entry window in r8 (plans/__init__.py
+# merges DRIVER_SPECS); LIBRARY_SPECS stays for this module's
+# unpromoted entries (none today).
+LIBRARY_SPECS: dict[str, QuerySpec] = {}
+
+DRIVER_SPECS: dict[str, QuerySpec] = {
     "text_bm25_topk": QuerySpec(
         name="text_bm25_topk",
         fn=text_bm25_topk,

@@ -152,7 +152,12 @@ FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
 """
 
 
-LIBRARY_SPECS: dict[str, QuerySpec] = {
+# Promoted to the driver's 50-entry window in r8 (plans/__init__.py
+# merges DRIVER_SPECS); LIBRARY_SPECS stays for this module's
+# unpromoted entries (none today).
+LIBRARY_SPECS: dict[str, QuerySpec] = {}
+
+DRIVER_SPECS: dict[str, QuerySpec] = {
     "corpus_snapshot_diff": QuerySpec(
         name="corpus_snapshot_diff",
         fn=corpus_snapshot_diff,

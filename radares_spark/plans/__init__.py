@@ -28,4 +28,19 @@ from radares_spark.plans import advanced  # noqa: E402,F401
 from radares_spark.plans import tpch_more  # noqa: E402,F401
 from radares_spark.plans import tpch_extra  # noqa: E402,F401
 
+# r8 window rotation: the retrieval/snapshot flagships enter the
+# 50-entry driver window via their DRIVER_SPECS (library-tier rows
+# q10/q19/q15 moved to LIBRARY_SPECS in their modules — each keeps a
+# same-SURVEY-id sibling registered: J4/A3/top-k via q3/q5/q7+q18,
+# F-disjunction via relational_checks_suite, A3 via q11).
+from radares_spark.operators import retrieval as _retrieval  # noqa: E402
+from radares_spark.pipeline import snapshot as _snapshot  # noqa: E402
+
+for _spec in (
+    *_snapshot.DRIVER_SPECS.values(),
+    *_retrieval.DRIVER_SPECS.values(),
+):
+    assert _spec.name not in REGISTRY, _spec.name
+    REGISTRY[_spec.name] = _spec
+
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -25,7 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.registry import register
+from radares_spark.registry import QuerySpec, register
+
+# Library tier: q15 demoted from the driver window in r8 (A3 coverage
+# retained by q11_important_stock); swept by test_oracle_parity.
+LIBRARY_SPECS: dict[str, QuerySpec] = {}
+
+
+def _library(name: str, oracle: str, survey: str, doc: str = ""):
+    def wrap(fn):
+        LIBRARY_SPECS[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc
+        )
+        return fn
+    return wrap
 
 Q11_ORACLE = """
 SELECT o_custkey, round(sum(o_totalprice), 2) AS value
@@ -75,7 +88,7 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
-@register(
+@_library(
     "q15_top_supplier",
     oracle=Q15_ORACLE,
     survey="derived view vs own MAX (Q15), ties surface",

@@ -36,7 +36,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.registry import register
+from radares_spark.registry import QuerySpec, register
+
+# Library tier (plans/library.py aggregates): demoted from the 50-entry
+# driver window in r8 to make room for the retrieval/snapshot flagships;
+# still swept by the same strict DuckDB comparison in test_oracle_parity.
+LIBRARY_SPECS: dict[str, QuerySpec] = {}
+
+
+def _library(name: str, oracle: str, survey: str, doc: str = ""):
+    def wrap(fn):
+        LIBRARY_SPECS[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc
+        )
+        return fn
+    return wrap
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -132,7 +146,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@_library(
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
@@ -225,7 +239,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@_library(
     "q19_disjunctive_pred",
     oracle="""
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

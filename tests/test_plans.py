@@ -25,6 +25,8 @@ from tests.conftest import SF_SMOKE
 #   similarity_ivf_topk     — few-row probe set (crossJoin with centroids)
 #   q11_important_stock     — single-row global-threshold broadcast
 #   q15_top_supplier        — single-row MAX-revenue broadcast
+#   text_bm25_topk          — single-row (n_docs, avgdl) stats broadcast
+#   text_hybrid_rrf_topk    — same stats broadcast inside its BM25 leg
 SANCTIONED_NESTED_LOOP = {
     "range_join_price_bands",
     "q22_idle_customers",
@@ -32,6 +34,8 @@ SANCTIONED_NESTED_LOOP = {
     "similarity_ivf_topk",
     "q11_important_stock",
     "q15_top_supplier",
+    "text_bm25_topk",
+    "text_hybrid_rrf_topk",
 }
 
 
