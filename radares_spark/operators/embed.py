@@ -171,17 +171,38 @@ def _dense_unit_udf(dim: int):
     # explicit-returnType style as functions/vectors.pair_dot
     @F.pandas_udf("array<double>")
     def dense(ii, xx):
-        out = []
-        for idx, vals in zip(ii, xx):
-            v = np.zeros(dim, dtype=np.float64)
-            acc = 0.0
-            for i, x in zip(idx, vals):  # ascending index order
-                v[i] = x
-                acc += x * x
-            if acc > 0:
-                out.append((v / np.sqrt(acc)).tolist())
-            else:
-                out.append(None)
+        # One flattened scatter for the whole batch (r8: the r7 form
+        # looped rows in Python). (row, index) pairs are unique —
+        # groupBy(doc_id, i) upstream — so plain fancy assignment
+        # scatters everything at once. The norm must stay the
+        # SEQUENTIAL ascending-index fold (np.sum/reduceat use
+        # pairwise summation — measurably different low bits, and the
+        # oracle's list_reduce is sequential), so it folds across the
+        # dense matrix's columns in index order: interleaved zeros add
+        # exactly nothing to a float sum, making the column fold
+        # bit-identical to the per-row fold over present cells only.
+        n = len(ii)
+        out = np.empty(n, dtype=object)
+        if n:
+            lens = np.fromiter((len(a) for a in ii), dtype=np.int64, count=n)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            mat = np.zeros((n, dim), dtype=np.float64)
+            if rows.size:
+                flat_i = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in ii]
+                )
+                flat_x = np.concatenate(
+                    [np.asarray(a, dtype=np.float64) for a in xx]
+                )
+                mat[rows, flat_i] = flat_x
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):  # vectorized over rows, sequential over index
+                col = mat[:, j]
+                acc += col * col
+            ok = acc > 0
+            mat[ok] /= np.sqrt(acc[ok])[:, None]
+            for r in np.flatnonzero(ok):
+                out[r] = mat[r]
         return pd.Series(out)
 
     return dense
