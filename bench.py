@@ -412,6 +412,13 @@ def main() -> None:
                 "cold_s": cold,
                 "streaming": streaming,
                 # --- scalar summary: keep LAST, see key-order note ---
+                # compact frozen-14 warm map (r7 verdict #8): the bulky
+                # per-query maps above are the first casualty of the
+                # driver's head-truncation, so the 14 floats that drive
+                # round-over-round comparison ride in the tail too
+                "warm_headline": {
+                    n: warm[n] for n in HEADLINE if n in warm
+                },
                 "unit": "sec",
                 "warm_reps": WARM_REPS,
                 # WARM medians for these plans measure a checkpoint

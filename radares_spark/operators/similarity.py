@@ -200,6 +200,32 @@ def write_ivf_layout(
     )
 
 
+# Retrain telemetry thresholds (refresh_ivf_store): the frozen-centroid
+# serving contract needs a SIGNAL for when the periodic build_ivf_index
+# retrain is due. Two orthogonal symptoms:
+# - DRIFT: the delta's mean assigned-cell cosine falls this far below
+#   the training-time mean — new content no longer resembles anything
+#   the quantizer was trained on, so probes route badly (recall decays
+#   even though every vector still lands in SOME cell).
+# - SKEW: max/mean cell population after the refresh — deltas piling
+#   into few cells turn "n_probe/n_cells of the store" into "most of
+#   the store" for queries routed there (partition pruning degrades).
+DRIFT_COS_DROP = 0.15
+SKEW_RATIO = 4.0
+
+
+def _assigned_cos(normed: DataFrame, assignment: DataFrame, centroids: DataFrame):
+    """One-row (mean assigned-cell cosine, count) over vectors whose
+    nearest cell is already known — a cell equi-join against the
+    broadcast centroids, NOT the argmin crossJoin."""
+    sim = pair_dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    return (
+        normed.join(assignment, "vec_id")
+        .join(F.broadcast(centroids), "cell")
+        .agg(F.avg(sim).alias("mean_cos"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def write_ivf_store(
     spark: SparkSession,
     normed: DataFrame,
@@ -210,12 +236,22 @@ def write_ivf_store(
     """:func:`write_ivf_layout` plus the sidecars an INCREMENTAL store
     needs: ``_assignment`` (vec_id -> cell, so a later delta can find
     which cell partitions its removed/changed vectors live in without
-    scanning the store) and ``_centroids`` (the frozen quantizer the
-    delta assigns against). ``_``-prefixed dirs are invisible to Spark
-    reads of ``path``, so probes see only the cell partitions."""
+    scanning the store), ``_centroids`` (the frozen quantizer the
+    delta assigns against) and ``_stats`` (the training-time mean
+    assigned-cell cosine — the drift anchor refresh compares deltas
+    against; frozen like the centroids it describes). ``_``-prefixed
+    dirs are invisible to Spark reads of ``path``, so probes see only
+    the cell partitions."""
     write_ivf_layout(normed, assignment, path)
     assignment.write.mode("overwrite").parquet(f"{path}/_assignment")
     centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+    (
+        _assigned_cos(normed, assignment, centroids)
+        .select(F.col("mean_cos").alias("train_mean_cos"), "n")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_stats")
+    )
 
 
 def refresh_ivf_store(
@@ -241,7 +277,10 @@ def refresh_ivf_store(
     Centroids do NOT drift here by design: assignment quality for the
     delta matches the store's training distribution until a periodic
     ``build_ivf_index`` retrain, the standard IVF serving contract.
-    Returns ``{"n_delta", "n_removed", "n_cells_rewritten"}``."""
+    Returns ``{"n_delta", "n_removed", "n_cells_rewritten"}`` plus
+    the retrain telemetry ``{"train_mean_cos", "delta_mean_cos",
+    "drift", "cell_skew", "retrain_due"}`` (see DRIFT_COS_DROP /
+    SKEW_RATIO)."""
     from radares_spark.io.fs import delete as fs_delete
 
     centroids = spark.read.parquet(f"{path}/_centroids")
@@ -298,10 +337,46 @@ def refresh_ivf_store(
         delta_assign
     ).localCheckpoint()
     assign_new.write.mode("overwrite").parquet(f"{path}/_assignment")
+
+    # --- retrain telemetry (r8): the frozen-centroid contract's drift
+    # signal. Drift = training-time mean assigned cosine (the _stats
+    # sidecar anchor) minus the DELTA's mean assigned cosine under the
+    # same frozen centroids; skew = max/mean cell population after the
+    # refresh (kilobyte aggregate over the _assignment ledger). Either
+    # symptom past its threshold sets retrain_due — the caller
+    # schedules a periodic build_ivf_index rebuild, the standard IVF
+    # serving playbook. Stores predating the _stats sidecar skip the
+    # drift half (fields None).
+    from radares_spark.io import fs as iofs
+
+    delta_mean_cos = None
+    train_mean_cos = None
+    drift = None
+    if n_delta and iofs.has_parquet(spark, f"{path}/_stats"):
+        train_mean_cos = spark.read.parquet(f"{path}/_stats").collect()[0][
+            "train_mean_cos"
+        ]
+        row = _assigned_cos(delta_normed, delta_assign, centroids).collect()[0]
+        delta_mean_cos = row["mean_cos"]
+        if train_mean_cos is not None and delta_mean_cos is not None:
+            drift = round(train_mean_cos - delta_mean_cos, 6)
+    pops = assign_new.groupBy("cell").count().agg(
+        F.max("count").alias("mx"), F.avg("count").alias("mean")
+    ).collect()[0]
+    skew = round(pops["mx"] / pops["mean"], 3) if pops["mx"] is not None else None
+    retrain_due = bool(
+        (drift is not None and drift > DRIFT_COS_DROP)
+        or (skew is not None and skew > SKEW_RATIO)
+    )
     return {
         "n_delta": n_delta,
         "n_removed": removed_ids.count(),
         "n_cells_rewritten": n_cells,
+        "train_mean_cos": train_mean_cos,
+        "delta_mean_cos": delta_mean_cos,
+        "drift": drift,
+        "cell_skew": skew,
+        "retrain_due": retrain_due,
     }
 
 

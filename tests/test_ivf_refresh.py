@@ -160,7 +160,70 @@ def test_removal_only_refresh_accepts_schema_minimal_empty_delta(
         [], "vec_id long, v array<double>, nrm double"
     )
     stats = refresh_ivf_store(spark, minimal_empty, removed, path)
-    assert stats == {"n_delta": 0, "n_removed": 1, "n_cells_rewritten": 1}
+    assert (stats["n_delta"], stats["n_removed"], stats["n_cells_rewritten"]) == (
+        0, 1, 1,
+    )
+    # no delta => no drift measurement (the anchor comparison needs
+    # delta vectors); skew still reported
+    assert stats["delta_mean_cos"] is None and stats["drift"] is None
+    assert stats["cell_skew"] is not None
     assert victim not in {
         r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
     }
+
+
+def test_drift_telemetry_trips_on_concentrated_delta(spark, tmp_path):
+    """r7 verdict #7: the frozen-centroid contract emits a retrain
+    signal. A same-distribution delta (copies of stored vectors under
+    new ids) measures drift ~ 0; a concentrated delta orthogonal to
+    every centroid (Gram-Schmidt residual) drops the assigned cosine
+    past DRIFT_COS_DROP and sets retrain_due."""
+    import numpy as np
+
+    from radares_spark.operators.similarity import DRIFT_COS_DROP
+
+    normed = _normed(spark, SF_SMOKE).localCheckpoint()
+    assignment, centroids = build_ivf_index(normed, n_cells=N_CELLS, iters=3)
+    path = str(tmp_path / "store")
+    write_ivf_store(
+        spark, normed, assignment.localCheckpoint(), centroids.localCheckpoint(), path
+    )
+    train_mean = spark.read.parquet(f"{path}/_stats").collect()[0]["train_mean_cos"]
+    assert train_mean is not None and train_mean > 0
+
+    # same-distribution: 5 stored vectors re-appear under new ids
+    sample = normed.limit(5).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "label", "v", "nrm"
+    )
+    none_removed = spark.createDataFrame([], "vec_id long")
+    s1 = refresh_ivf_store(spark, sample.localCheckpoint(), none_removed, path)
+    assert s1["drift"] is not None and s1["drift"] <= DRIFT_COS_DROP, s1
+    # copies of training vectors can't trip the drift half
+    assert s1["delta_mean_cos"] >= train_mean - DRIFT_COS_DROP
+
+    # concentrated drift: vectors orthogonal to EVERY centroid (exact
+    # Gram-Schmidt residual of a fresh direction against the centroid
+    # span), i.e. new content the quantizer has never seen
+    cents = np.array(
+        [r["cv"] for r in spark.read.parquet(f"{path}/_centroids").collect()]
+    )
+    dim = cents.shape[1]
+    rng = np.random.default_rng(7)
+    rows = []
+    for j in range(5):
+        v = rng.standard_normal(dim)
+        # project out the centroid span
+        for c in cents:
+            cn = c / np.linalg.norm(c)
+            v -= np.dot(v, cn) * cn
+        v /= np.linalg.norm(v)
+        rows.append((900000 + j, 999, [float(x) for x in v], 1.0))
+    weird = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>, nrm double"
+    )
+    s2 = refresh_ivf_store(spark, weird, none_removed, path)
+    # near-orthogonal to every centroid (sequential projection against
+    # a non-orthogonal span leaves a small residue) => assigned cosine
+    # collapses => the drop clears the threshold
+    assert abs(s2["delta_mean_cos"]) < 0.1, s2
+    assert s2["drift"] > DRIFT_COS_DROP and s2["retrain_due"], s2
