@@ -261,6 +261,8 @@ def cmd_crawl_nightly(
     url_ledger_dir: str,
     out_dir: str,
     max_per_domain: int | None = None,
+    semantic_store: str | None = None,
+    semantic_tau: float = 0.95,
 ) -> dict[str, int]:
     """The nightly recrawl loop as ONE command — the URL twin of
     ``cmd_backload``'s anti-join planner: tonight's discovered pages →
@@ -330,6 +332,41 @@ def cmd_crawl_nightly(
         admitted = url_back.filter(F.col("outcome") == "kept").select("doc_id")
         to_fetch = pages.join(admitted, "doc_id", "left_semi")
         kept, audit = curate_crawl(to_fetch, max_per_domain=max_per_domain)
+        if semantic_store:
+            # opt-in semantic gate: tonight's survivors against the
+            # KEPT corpus's IVF vector store (the one corpus-refresh
+            # --ivf-store maintains) — semantic twins of resident docs
+            # drop with outcome semantic_dup; the probe reads only the
+            # delta's assigned cell partitions (DPP-pruned)
+            from radares_spark.operators.embed import hashed_tf
+            from radares_spark.operators.semdedup import (
+                semdedup_admit_from_store,
+            )
+
+            dim = len(
+                spark.read.parquet(f"{semantic_store}/_centroids")
+                .head()["cv"]
+            )
+            vecs = hashed_tf(kept.select("doc_id", "text"), dim).select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("embedding").alias("v"),
+                F.lit(1.0).alias("nrm"),
+            )
+            sem = semdedup_admit_from_store(
+                spark, semantic_store, vecs, tau=semantic_tau
+            ).localCheckpoint()
+            sem_drop = sem.filter(F.col("outcome") == "semantic_dup").select(
+                F.col("vec_id").alias("doc_id")
+            )
+            kept = kept.join(sem_drop, "doc_id", "left_anti")
+            audit = audit.join(
+                sem_drop.withColumn("sem", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id",
+                F.when(F.col("sem"), F.lit("semantic_dup"))
+                .otherwise(F.col("outcome"))
+                .alias("outcome"),
+            )
         kept.write.mode("overwrite").parquet(kept_dir)
         audit.write.mode("overwrite").parquet(os.path.join(out_dir, "audit"))
         for r in (
@@ -398,6 +435,8 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--url-ledger", required=True, help="cross-run canonical-URL ledger dir")
     cn.add_argument("--out", required=True, help="output dir (kept/ + audit/ + url_audit/)")
     cn.add_argument("--max-per-domain", type=int, default=None)
+    cn.add_argument("--semantic-store", default=None, help="optional kept-corpus IVF store: drop admitted pages semantically duplicating resident docs")
+    cn.add_argument("--semantic-tau", type=float, default=0.95)
     args = p.parse_args(argv)
     if args.cmd == "verify" and not args.warehouse:
         p.error("verify requires --warehouse")
@@ -409,7 +448,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("radares-spark-cli")
     if args.cmd == "crawl-nightly":
         counts = cmd_crawl_nightly(
-            spark, args.pages, args.url_ledger, args.out, args.max_per_domain
+            spark, args.pages, args.url_ledger, args.out, args.max_per_domain,
+            args.semantic_store, args.semantic_tau,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

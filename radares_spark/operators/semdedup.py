@@ -116,6 +116,71 @@ def dedup_semantic(spark, sf_dir: str) -> DataFrame:
     return semdedup_audit(members, centroids, SEM_TAU)
 
 
+def semdedup_admit_from_store(
+    spark,
+    ivf_dir: str,
+    delta_normed: DataFrame,
+    tau: float = SEM_TAU,
+    n_probe: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic ADMISSION: audit a nightly delta against the kept
+    corpus's IVF serving store (the one ``corpus-refresh --ivf-store``
+    maintains) — a delta doc is ``semantic_dup`` when some stored
+    vector within its probed cells is at/above ``tau`` cosine, else
+    ``kept``. Returns (vec_id, outcome, match_id, match_cos);
+    match columns are NULL for kept docs with no scored neighbor.
+
+    This is SemDeDup's cluster-blocking applied at the GATE instead of
+    over the resident corpus: the delta assigns to its ``n_probe``
+    nearest frozen cells and exact-scores ONLY those cell partitions
+    (DPP-pruned scan — similarity.probe_stored_topk), so a nightly
+    admission reads n_probe/n_cells of the vector store rather than
+    brute-forcing 100 TB of embeddings. n_probe=1 is the paper's
+    within-cluster discipline (a true semantic twin lands in its
+    match's cell — pinned by the planted-twin test); raise it to trade
+    scan volume for boundary recall. ``exclude_self`` stays on: a
+    CHANGED doc re-embedded under its stored id must not match its own
+    stale vector (the refresh replaces it).
+
+    Composes with the store lifecycle: refresh_ivf_store's drift
+    telemetry (retrain_due) is the signal that this gate's recall is
+    decaying — same frozen-centroid contract, same remedy."""
+    from radares_spark.operators.similarity import probe_stored_topk
+
+    centroids = spark.read.parquet(f"{ivf_dir}/_centroids")
+    if dim is None:
+        # infer from the store itself — the dot's unrolled/HOF fold
+        # silently truncates on a wrong dim (build_ivf_index docstring)
+        dim = len(centroids.head()["cv"])
+    top1 = probe_stored_topk(
+        spark,
+        ivf_dir,
+        centroids,
+        delta_normed,
+        n_probe=n_probe,
+        k=1,
+        dim=dim,
+        exclude_self=True,
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("match_id"),
+        F.col("cos_sim").alias("match_cos"),
+    )
+    return (
+        delta_normed.select("vec_id")
+        .join(top1, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("match_cos") >= tau, F.lit("semantic_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("outcome"),
+            "match_id",
+            "match_cos",
+        )
+    )
+
+
 SEMDEDUP_SQL = f"""
     WITH {COSINE_SQL_CTE},
     labeled AS (
