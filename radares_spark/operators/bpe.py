@@ -391,3 +391,33 @@ def bpe_vocab(merges: list[tuple[str, str]], words: DataFrame) -> DataFrame:
         [(l + r,) for l, r in merges], "symbol string"
     ).distinct()
     return base.unionByName(merged).distinct()
+
+
+def save_tokenizer(
+    spark,
+    path: str,
+    word_syms: DataFrame,
+    merges: list[tuple[str, str]],
+) -> None:
+    """Persist a trained tokenizer (the word -> symbols table plus the
+    ORDERED merge list) so nightly jobs load the frozen artifact
+    instead of re-training. The merge order IS the tokenizer — it
+    drives OOV encoding rank — so it rides an explicit rank column;
+    the word table is vocabulary-sized parquet."""
+    word_syms.select("word", "syms").write.mode("overwrite").parquet(
+        f"{path}/word_syms"
+    )
+    spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)], ["rank", "l", "r"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+
+
+def load_tokenizer(spark, path: str) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Inverse of :func:`save_tokenizer` — the merge list re-collects
+    in rank order (kilobyte artifact, sanctioned collect)."""
+    word_syms = spark.read.parquet(f"{path}/word_syms")
+    merges = [
+        (r["l"], r["r"])
+        for r in spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    ]
+    return word_syms, merges

@@ -1,0 +1,420 @@
+"""Train-ready shard store: BPE token IDS packed into fixed-length
+sequences, stored APPEND-ONLY with a token frontier — the terminal
+artifact of the whole pipeline (crawl -> curate -> tokenize -> pack
+-> training shards).
+
+``corpus.pack_sequences`` / ``emit_sequences`` pack whitespace WORDS
+(the oracle-checkable packing semantics); a trainer consumes integer
+token ids under the trained tokenizer. This module closes that gap
+and adds the lifecycle piece none of the batch operators have: a
+nightly append that continues from the previous night's token
+frontier, so history is NEVER repacked and never even READ — a
+production corpus seals shards once and only re-shards on a tokenizer
+version bump (the same frozen-artifact contract as the IVF store's
+frozen centroids, with the same fail-fast when the contract breaks:
+the vocab fingerprint).
+
+Layout under ``shards_dir``::
+
+    epoch=K/               sealed sequences appended by night K
+    _frontier_K/           the partial tail after night K (< ctx_len
+                           tokens of placed rows, kilobytes)
+    _meta/                 ctx_len, vocab fingerprint, next epoch,
+                           global token offset — written LAST each
+                           night (crash => rerun is byte-identical)
+
+Sealed row: (seq_id, input_ids array<int>, n_docs, doc_spans
+array<struct<doc_id, begin, n>>) — doc_spans is the attention-mask /
+loss-mask manifest: piece ``s`` occupies ``[begin, begin+n)`` within
+the sequence, so a reader can reset attention at doc boundaries
+without re-deriving anything.
+
+Scale shape: encoding is ``bpe_encode``'s dictionary-join discipline
+with the sym -> id mapping applied at the WORD level (vocabulary-sized
+work — the corpus token stream never probes a map: Spark's map
+``element_at`` is a linear scan, so a per-token probe would be
+O(|vocab|) per token); placement is the same two-phase distributed
+prefix sum as ``corpus.pack_sequences`` (the only single-partition
+window is over 1024 bucket totals); a night's append touches the
+delta + the <= ctx_len-token frontier and writes one fresh epoch
+partition — prior epochs are not listed, read, or rewritten (pinned
+in tests by deleting night 1's epoch dir before night 2).
+
+Verification tier: pure-Python replica equivalence (the BPE /
+iterative-algorithm tier — token ids are not SQL-expressible), plus
+the manifest-reconstruction, crash-rerun, and history-independence
+pins in tests/test_shards.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from radares_spark.io.fs import delete as fs_delete
+from radares_spark.io.fs import list_names
+from radares_spark.operators.bpe import (
+    _apply_merges_udf,
+    _initial_symbols,
+    normalize_text,
+)
+from radares_spark.operators.dedup import _md5
+from radares_spark.pipeline.corpus import N_BUDGET_BUCKETS
+
+SHARD_CTX = 256
+UNK_ID = 0  # reserved: symbols outside the trained vocabulary
+
+
+def token_vocab(
+    word_syms: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """(sym, tok_id) — deterministic integer id per trained symbol,
+    lexicographic from 1 (0 is UNK). The symbol set is the union of
+    every symbol in the trained word table and, when ``merges`` is
+    given, every merge's inputs and output — a merge created at round
+    k and consumed by round k' can vanish from every trained word's
+    FINAL segmentation yet still be emitted by the OOV min-rank path,
+    so the table alone under-covers.
+
+    The ordering sort runs on one partition BY DESIGN: the symbol
+    vocabulary is a training knob (|merges| + alphabet, ~32-100k),
+    corpus-independent — same sanction as the <= 1025-row offsets
+    window in the prefix sums."""
+    syms = word_syms.select(F.explode("syms").alias("sym"))
+    if merges:
+        spark = word_syms.sparkSession
+        extra = {s for l, r in merges for s in (l, r, l + r)}
+        syms = syms.unionByName(
+            spark.createDataFrame([(s,) for s in sorted(extra)], ["sym"])
+        )
+    return syms.distinct().select(
+        "sym", F.row_number().over(W.orderBy("sym")).cast("int").alias("tok_id")
+    )
+
+
+def vocab_fingerprint(vocab: DataFrame) -> str:
+    """md5 over the (tok_id, sym) pairs in id order — the tokenizer
+    identity a shard store is sealed under. Kilobyte collect (the
+    vocabulary, never the corpus); symbols are [a-z0-9_] so the \\x00
+    / \\x01 slot separators cannot be imitated."""
+    rows = vocab.select("tok_id", "sym").orderBy("tok_id").collect()
+    blob = "\x00".join(f"{r['tok_id']}\x01{r['sym']}" for r in rows)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def encode_ids(
+    docs: DataFrame,
+    word_syms: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, input_ids array<int>, n_tokens) — ``bpe_encode``'s
+    exact tokenization contract (dictionary join for in-vocabulary
+    words, trained-merge application over the DISTINCT OOV vocabulary
+    when ``merges`` is given, char fallback otherwise, doc spine
+    preserved as (doc_id, [], 0)) with the sym -> integer-id mapping
+    composed in at the WORD level: each distinct word's symbol array
+    becomes an id array ONCE (vocabulary-sized explode + join +
+    positional regroup), and the corpus-level join then carries ids
+    directly — zero per-token map probes, zero Python on the corpus
+    token stream."""
+    if vocab is None:
+        vocab = token_vocab(word_syms, merges)
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    wtab = word_syms.select("word", "syms")
+    oov = toks.select("word").distinct().join(
+        wtab.select("word"), "word", "left_anti"
+    )
+    oov_syms = (
+        oov.select("word", _apply_merges_udf(merges)(F.col("word")).alias("syms"))
+        if merges is not None
+        else oov.select("word", _initial_symbols(F.col("word")).alias("syms"))
+    )
+    # word -> ids, resolved once per distinct word (no broadcast hint:
+    # the word table is vocabulary-sized, AQE decides — bpe_encode's
+    # contract)
+    wids = (
+        wtab.unionByName(oov_syms)
+        .select("word", F.posexplode("syms").alias("sp", "sym"))
+        .join(vocab, "sym", "left")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "sp",
+                            F.coalesce(
+                                F.col("tok_id"), F.lit(UNK_ID)
+                            ).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("wids")
+        )
+    )
+    agg = (
+        toks.join(wids, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wids"))),
+                    lambda s: s["wids"],
+                )
+            ).alias("input_ids")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("input_ids"), F.expr("cast(array() as array<int>)")
+            ).alias("input_ids"),
+        )
+        .select(
+            "doc_id", "input_ids", F.size("input_ids").cast("long").alias("n_tokens")
+        )
+    )
+
+
+def _placed(encoded: DataFrame, token_start: int) -> DataFrame:
+    """(doc_id, input_ids, n, off) — global token offsets in the
+    deterministic (hash-bucket, doc_id) corpus order starting at
+    ``token_start``; the two-phase distributed prefix sum of
+    ``corpus.pack_sequences`` (per-bucket parallel sums; the only
+    single-partition window covers the 1024 bucket totals)."""
+    bucketed = encoded.select(
+        "doc_id",
+        "input_ids",
+        F.col("n_tokens").alias("n"),
+        (
+            F.conv(F.substring(_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % N_BUDGET_BUCKETS
+        ).alias("__bucket"),
+    )
+    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("n").alias("__btok"))
+    off_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = per_bucket.select(
+        "__bucket",
+        (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset"),
+    )
+    in_w = (
+        W.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "off",
+            F.lit(token_start)
+            + F.col("__offset")
+            + F.sum("n").over(in_w)
+            - F.col("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("doc_id", "input_ids", "n", "off")
+    )
+
+
+def _sequences(placed: DataFrame, ctx_len: int) -> DataFrame:
+    """Cut ``ctx_len`` windows over placed rows: one row per sequence
+    the rows touch, with the piece manifest. Per-row arithmetic +
+    one group-by on seq_id — no corpus sort."""
+    spans = placed.select(
+        "doc_id",
+        "input_ids",
+        "n",
+        "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / ctx_len),
+                F.floor((F.col("off") + F.col("n") - 1) / ctx_len),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * ctx_len - F.col("off"), F.lit(0))
+    hi = F.least((F.col("seq_id") + 1) * ctx_len - F.col("off"), F.col("n"))
+    sliced = spans.select(
+        "seq_id",
+        (F.col("off") + lo - F.col("seq_id") * ctx_len)
+        .cast("int")
+        .alias("begin"),
+        F.slice(F.col("input_ids"), (lo + 1).cast("int"), (hi - lo).cast("int"))
+        .alias("piece"),
+        "doc_id",
+        (hi - lo).cast("int").alias("n_piece"),
+    )
+    return (
+        sliced.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("begin", "piece"))),
+                    lambda s: s["piece"],
+                )
+            ).alias("input_ids"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("begin", "doc_id", F.col("n_piece").alias("n"))
+                    )
+                ),
+                lambda s: F.struct(
+                    s["doc_id"].alias("doc_id"),
+                    s["begin"].alias("begin"),
+                    s["n"].alias("n"),
+                ),
+            ).alias("doc_spans"),
+        )
+    )
+
+
+def _meta_row(spark: SparkSession, shards_dir: str):
+    return spark.read.parquet(f"{shards_dir}/_meta").head()
+
+
+def _write_meta(
+    spark: SparkSession,
+    shards_dir: str,
+    ctx_len: int,
+    vocab_fp: str,
+    next_epoch: int,
+    next_token_offset: int,
+) -> None:
+    spark.createDataFrame(
+        [(ctx_len, vocab_fp, next_epoch, next_token_offset)],
+        ["ctx_len", "vocab_fp", "next_epoch", "next_token_offset"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{shards_dir}/_meta")
+
+
+def init_shards(
+    spark: SparkSession,
+    shards_dir: str,
+    vocab: DataFrame,
+    ctx_len: int = SHARD_CTX,
+) -> None:
+    """Night zero: an empty store sealed under ``vocab``'s
+    fingerprint. All content arrives via :func:`append_shards`."""
+    _write_meta(spark, shards_dir, ctx_len, vocab_fingerprint(vocab), 0, 0)
+
+
+def append_shards(
+    spark: SparkSession,
+    shards_dir: str,
+    delta_docs: DataFrame,
+    word_syms: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> dict[str, int]:
+    """One nightly append: encode ``delta_docs`` under the store's
+    tokenizer, lay their tokens after the stored global offset,
+    complete the carried frontier, seal every full sequence into this
+    night's ``epoch=K`` partition, and persist the new partial tail.
+
+    Write order is the crash-idempotency ladder (ledger-write-LAST,
+    the crawl-nightly recipe): sealed epoch partition (dynamic
+    overwrite of exactly ``epoch=K``) -> ``_frontier_K`` -> ``_meta``.
+    A night that dies anywhere reruns byte-identically because every
+    input it reads (meta, frontier K-1, the delta) is untouched until
+    the final meta write.
+
+    Fails fast when the tokenizer changed (vocab fingerprint mismatch
+    — sealed history would silently mix id spaces; re-sharding is the
+    remedy, exactly like an IVF retrain)."""
+    meta = _meta_row(spark, shards_dir)
+    ctx_len, epoch = int(meta["ctx_len"]), int(meta["next_epoch"])
+    prior_total = int(meta["next_token_offset"])
+    vocab = token_vocab(word_syms, merges).localCheckpoint()
+    fp = vocab_fingerprint(vocab)
+    if fp != meta["vocab_fp"]:
+        raise ValueError(
+            f"tokenizer changed (vocab fingerprint {fp} != sealed "
+            f"{meta['vocab_fp']}): sealed shards would mix id spaces — "
+            "re-shard under the new tokenizer instead"
+        )
+
+    encoded = encode_ids(delta_docs, word_syms, merges, vocab, text_col)
+    placed = _placed(encoded, prior_total).localCheckpoint()
+    n_delta_tokens = placed.agg(F.coalesce(F.sum("n"), F.lit(0))).head()[0]
+    n_delta_docs = placed.count()
+    if epoch > 0:
+        frontier = spark.read.parquet(f"{shards_dir}/_frontier_{epoch - 1}")
+        placed_all = frontier.unionByName(placed)
+    else:
+        placed_all = placed
+
+    total = prior_total + int(n_delta_tokens)
+    sealed_hi = total // ctx_len
+    seqs = _sequences(placed_all, ctx_len)
+    sealed = (
+        seqs.filter(F.col("seq_id") < sealed_hi)
+        .withColumn("epoch", F.lit(epoch))
+        .localCheckpoint()
+    )
+    n_sealed = sealed.count()
+    if n_sealed:
+        sealed.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(shards_dir)
+
+    # the partial tail: unsealed suffixes of rows crossing the new
+    # boundary, trimmed so the sidecar holds < ctx_len tokens total
+    start = F.greatest(F.col("off"), F.lit(sealed_hi * ctx_len))
+    frontier_new = placed_all.filter(
+        F.col("off") + F.col("n") > sealed_hi * ctx_len
+    ).select(
+        "doc_id",
+        F.slice(
+            F.col("input_ids"),
+            (start - F.col("off") + 1).cast("int"),
+            (F.col("off") + F.col("n") - start).cast("int"),
+        ).alias("input_ids"),
+        (F.col("off") + F.col("n") - start).alias("n"),
+        start.alias("off"),
+    )
+    frontier_new.coalesce(1).write.mode("overwrite").parquet(
+        f"{shards_dir}/_frontier_{epoch}"
+    )
+    _write_meta(spark, shards_dir, ctx_len, fp, epoch + 1, total)
+    if epoch > 0:
+        # now superseded; rerun-safety no longer needs it
+        fs_delete(spark, f"{shards_dir}/_frontier_{epoch - 1}")
+    return {
+        "epoch": epoch,
+        "n_delta_docs": int(n_delta_docs),
+        "n_delta_tokens": int(n_delta_tokens),
+        "n_sealed": int(n_sealed),
+        "n_total_tokens": total,
+    }
+
+
+def read_shards(spark: SparkSession, shards_dir: str) -> DataFrame:
+    """Every sealed sequence across all epochs (sidecars are
+    ``_``-prefixed and invisible to the partitioned read). Returns an
+    empty, correctly-typed frame for a store with no sealed epoch
+    yet."""
+    if not _has_epoch(spark, shards_dir):
+        return spark.createDataFrame(
+            [],
+            "seq_id long, n_docs int, input_ids array<int>, "
+            "doc_spans array<struct<doc_id:long,begin:int,n:int>>, epoch int",
+        )
+    return spark.read.parquet(shards_dir)
+
+
+def _has_epoch(spark: SparkSession, shards_dir: str) -> bool:
+    return any(n.startswith("epoch=") for n in list_names(spark, shards_dir))

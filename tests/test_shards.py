@@ -1,0 +1,333 @@
+"""Train-ready shard store (pipeline/shards.py): BPE token-id
+packing verified against an independent pure-Python replica (the
+iterative-algorithm tier — token ids are not SQL-expressible), plus
+the lifecycle pins: three-night append == replica, full/contiguous
+sealed sequences, history never read or rewritten, crash-rerun
+byte-equivalence, tokenizer-change fail-fast, empty-night no-op."""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.operators.bpe import EOW, train_bpe, word_counts
+from radares_spark.pipeline.shards import (
+    SHARD_CTX,
+    UNK_ID,
+    append_shards,
+    encode_ids,
+    init_shards,
+    read_shards,
+    token_vocab,
+)
+from tests.test_bpe import (
+    _ref_apply_bpe,
+    _ref_normalize,
+    _ref_syms,
+    _ref_train,
+    _ref_word_counts,
+)
+
+CTX = 16
+
+TRAIN = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "the new low price the low price",
+    "wider wide widest wider",
+]
+
+NIGHTS = [
+    [(10, "low lower the new price"), (11, "newest wide lowest"), (12, None)],
+    [
+        (20, "an unseen word zzz9 rides the oov path " * 3),
+        (21, "low " * 40),  # spans multiple ctx=16 sequences on its own
+        (22, ""),
+    ],
+    [(30, "price price price wider"), (31, "the the the the")],
+]
+
+
+# --- independent replica -------------------------------------------------
+
+
+def _ref_vocab(table: dict, merges: list) -> dict[str, int]:
+    syms = {s for ss in table.values() for s in ss}
+    syms |= {s for l, r in merges for s in (l, r, l + r)}
+    return {s: i + 1 for i, s in enumerate(sorted(syms))}
+
+
+def _ref_encode(text, table: dict, merges: list, vocab: dict) -> list[int]:
+    out: list[int] = []
+    norm = _ref_normalize(text or "")
+    if not norm:
+        return out
+    for w in norm.split(" "):
+        syms = table[w] if w in table else _ref_apply_bpe(w, merges)
+        out.extend(vocab.get(s, UNK_ID) for s in syms)
+    return out
+
+
+def _ref_bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1024
+
+
+def _ref_pack(nights, ctx, table, merges, vocab):
+    """Returns (sealed, frontier_toks): sealed = list per epoch of
+    (seq_id, input_ids, doc_spans) with doc_spans [(doc_id, begin,
+    n)]; the token stream is per-night (md5-bucket, doc_id) order."""
+    toks: list[int] = []
+    owner: list[int] = []
+    sealed_per_epoch = []
+    prior_sealed = 0
+    for night in nights:
+        for doc_id, text in sorted(
+            night, key=lambda d: (_ref_bucket(d[0]), d[0])
+        ):
+            ids = _ref_encode(text, table, merges, vocab)
+            toks.extend(ids)
+            owner.extend([doc_id] * len(ids))
+        hi = len(toks) // ctx
+        epoch_rows = []
+        for k in range(prior_sealed, hi):
+            ids = toks[k * ctx : (k + 1) * ctx]
+            own = owner[k * ctx : (k + 1) * ctx]
+            spans = []
+            i = 0
+            while i < ctx:
+                j = i
+                while j < ctx and own[j] == own[i]:
+                    j += 1
+                spans.append((own[i], i, j - i))
+                i = j
+            epoch_rows.append((k, ids, spans))
+        sealed_per_epoch.append(epoch_rows)
+        prior_sealed = hi
+    return sealed_per_epoch, toks[prior_sealed * ctx :]
+
+
+# --- fixtures ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tokenizer(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], ["doc_id", "text"]
+    )
+    merges, word_syms = train_bpe(word_counts(docs), n_merges=12)
+    return word_syms.localCheckpoint(), merges
+
+
+@pytest.fixture(scope="module")
+def replica(tokenizer):
+    merges_ref, table_ref = _ref_train(_ref_word_counts(TRAIN), 12)
+    _, merges = tokenizer
+    assert merges_ref == merges  # replica and engine agree on training
+    vocab = _ref_vocab(table_ref, merges_ref)
+    return table_ref, merges_ref, vocab
+
+
+def _night_df(spark, night):
+    return spark.createDataFrame(night, "doc_id long, text string")
+
+
+def _run_nights(spark, tmp_path, tokenizer, n_nights=3):
+    word_syms, merges = tokenizer
+    store = str(tmp_path / "shards")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    stats = [
+        append_shards(spark, store, _night_df(spark, night), word_syms, merges)
+        for night in NIGHTS[:n_nights]
+    ]
+    return store, stats
+
+
+# --- tests ---------------------------------------------------------------
+
+
+def test_encode_ids_matches_replica(spark, tokenizer, replica):
+    word_syms, merges = tokenizer
+    table, merges_ref, vocab = replica
+    all_docs = [d for night in NIGHTS for d in night]
+    got = {
+        r["doc_id"]: list(r["input_ids"])
+        for r in encode_ids(
+            _night_df(spark, all_docs), word_syms, merges
+        ).collect()
+    }
+    assert set(got) == {d[0] for d in all_docs}  # spine: empty docs stay
+    for doc_id, text in all_docs:
+        assert got[doc_id] == _ref_encode(text, table, merges_ref, vocab), doc_id
+
+
+def test_vocab_ids_deterministic_and_unk_reserved(spark, tokenizer, replica):
+    word_syms, merges = tokenizer
+    _, _, ref_vocab = replica
+    got = {r["sym"]: r["tok_id"] for r in token_vocab(word_syms, merges).collect()}
+    assert got == ref_vocab
+    assert UNK_ID not in got.values()
+
+
+def test_unseen_symbol_encodes_as_unk(spark, tokenizer):
+    word_syms, merges = tokenizer
+    # TRAIN has no digit words: a digit-only OOV word yields char
+    # symbols outside the trained vocabulary -> UNK ids
+    out = encode_ids(
+        _night_df(spark, [(1, "777")]), word_syms, merges
+    ).collect()[0]
+    assert UNK_ID in set(out["input_ids"])
+
+
+def test_three_night_append_matches_replica(spark, tmp_path, tokenizer, replica):
+    table, merges_ref, vocab = replica
+    store, stats = _run_nights(spark, tmp_path, tokenizer)
+    ref_sealed, ref_frontier = _ref_pack(NIGHTS, CTX, table, merges_ref, vocab)
+
+    rows = read_shards(spark, store).collect()
+    got = {
+        r["seq_id"]: (
+            list(r["input_ids"]),
+            [(s["doc_id"], s["begin"], s["n"]) for s in r["doc_spans"]],
+            r["epoch"],
+            r["n_docs"],
+        )
+        for r in rows
+    }
+    want = {
+        k: (ids, spans, epoch, len(spans))
+        for epoch, epoch_rows in enumerate(ref_sealed)
+        for (k, ids, spans) in epoch_rows
+    }
+    assert got == want
+    # frontier tokens in (off, doc) order == replica tail
+    fr = sorted(
+        spark.read.parquet(f"{store}/_frontier_2").collect(),
+        key=lambda r: r["off"],
+    )
+    assert [t for r in fr for t in r["input_ids"]] == ref_frontier
+    # stats recompose: sealed counts per night
+    assert [s["n_sealed"] for s in stats] == [len(e) for e in ref_sealed]
+    total = sum(len(_ref_encode(t, table, merges_ref, vocab)) for n in NIGHTS for _, t in n)
+    assert stats[-1]["n_total_tokens"] == total
+
+
+def test_sealed_sequences_full_and_contiguous(spark, tmp_path, tokenizer):
+    store, _ = _run_nights(spark, tmp_path, tokenizer)
+    rows = read_shards(spark, store).collect()
+    seq_ids = sorted(r["seq_id"] for r in rows)
+    assert seq_ids == list(range(len(rows)))
+    for r in rows:
+        assert len(r["input_ids"]) == CTX
+        assert sum(s["n"] for s in r["doc_spans"]) == CTX
+        # spans tile the sequence in order
+        pos = 0
+        for s in r["doc_spans"]:
+            assert s["begin"] == pos
+            pos += s["n"]
+
+
+def test_append_never_reads_or_rewrites_history(spark, tmp_path, tokenizer):
+    import os
+
+    word_syms, merges = tokenizer
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=1)
+    epoch0 = f"{store}/epoch=0"
+    before = {
+        f: os.stat(f"{epoch0}/{f}").st_mtime_ns for f in os.listdir(epoch0)
+    }
+    # a COPY with night 1's sealed partition deleted outright: night 2
+    # must still succeed -- the append provably never reads history
+    crippled = str(tmp_path / "crippled")
+    shutil.copytree(store, crippled)
+    shutil.rmtree(f"{crippled}/epoch=0")
+    out = append_shards(
+        spark, crippled, _night_df(spark, NIGHTS[1]), word_syms, merges
+    )
+    assert out["epoch"] == 1 and out["n_sealed"] > 0
+
+    append_shards(spark, store, _night_df(spark, NIGHTS[1]), word_syms, merges)
+    after = {
+        f: os.stat(f"{epoch0}/{f}").st_mtime_ns for f in os.listdir(epoch0)
+    }
+    assert after == before  # untouched partition byte-for-byte intact
+
+
+def test_crash_rerun_is_byte_equivalent(spark, tmp_path, tokenizer):
+    word_syms, merges = tokenizer
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=1)
+    # snapshot the inputs night 2 reads (meta + frontier 0)
+    saved = str(tmp_path / "saved")
+    shutil.copytree(f"{store}/_meta", f"{saved}/_meta")
+    shutil.copytree(f"{store}/_frontier_0", f"{saved}/_frontier_0")
+    append_shards(spark, store, _night_df(spark, NIGHTS[1]), word_syms, merges)
+    first = sorted(
+        (r["seq_id"], list(r["input_ids"]))
+        for r in spark.read.parquet(f"{store}/epoch=1").collect()
+    )
+    meta_first = spark.read.parquet(f"{store}/_meta").head().asDict()
+    # crash anywhere before the meta write => rerun sees the old
+    # meta/frontier and must reproduce the night exactly
+    shutil.rmtree(f"{store}/_meta")
+    shutil.copytree(f"{saved}/_meta", f"{store}/_meta")
+    shutil.copytree(f"{saved}/_frontier_0", f"{store}/_frontier_0")
+    append_shards(spark, store, _night_df(spark, NIGHTS[1]), word_syms, merges)
+    second = sorted(
+        (r["seq_id"], list(r["input_ids"]))
+        for r in spark.read.parquet(f"{store}/epoch=1").collect()
+    )
+    assert second == first
+    assert spark.read.parquet(f"{store}/_meta").head().asDict() == meta_first
+
+
+def test_tokenizer_change_fails_fast(spark, tmp_path, tokenizer):
+    word_syms, merges = tokenizer
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=1)
+    with pytest.raises(ValueError, match="tokenizer changed"):
+        append_shards(
+            spark,
+            store,
+            _night_df(spark, NIGHTS[1]),
+            word_syms,
+            merges[:-2],  # a different (shorter) merge list
+        )
+
+
+def test_empty_night_is_a_numbered_noop(spark, tmp_path, tokenizer):
+    word_syms, merges = tokenizer
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=1)
+    fr_before = sorted(
+        (r["doc_id"], list(r["input_ids"]), r["off"])
+        for r in spark.read.parquet(f"{store}/_frontier_0").collect()
+    )
+    out = append_shards(
+        spark,
+        store,
+        _night_df(spark, []).filter(F.lit(False)),
+        word_syms,
+        merges,
+    )
+    assert out["n_sealed"] == 0 and out["n_delta_tokens"] == 0
+    meta = spark.read.parquet(f"{store}/_meta").head()
+    assert meta["next_epoch"] == 2
+    fr_after = sorted(
+        (r["doc_id"], list(r["input_ids"]), r["off"])
+        for r in spark.read.parquet(f"{store}/_frontier_1").collect()
+    )
+    assert fr_after == fr_before
+
+
+def test_read_shards_empty_store(spark, tmp_path, tokenizer):
+    word_syms, merges = tokenizer
+    store = str(tmp_path / "virgin")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    df = read_shards(spark, store)
+    assert df.count() == 0
+    assert "input_ids" in df.columns and "doc_spans" in df.columns
+
+
+def test_default_ctx_is_sane():
+    assert SHARD_CTX == 256
