@@ -391,6 +391,61 @@ def cmd_crawl_nightly(
     return counts
 
 
+def cmd_tokenizer_train(
+    spark: SparkSession,
+    docs_path: str,
+    tok_dir: str,
+    n_merges: int = 64,
+    shards_dir: str | None = None,
+    ctx_len: int | None = None,
+) -> dict[str, int]:
+    """Train the corpus tokenizer ONCE and freeze it as an artifact
+    (``bpe.save_tokenizer``): nightly jobs load instead of re-training,
+    the same frozen-artifact contract as the IVF store's centroids.
+    With ``--shards``, also initializes an empty shard store sealed
+    under the trained vocab's fingerprint, so the nightly
+    ``shards-append`` fail-fasts if anyone swaps the tokenizer."""
+    from radares_spark.operators.bpe import save_tokenizer, train_bpe, word_counts
+    from radares_spark.pipeline.shards import (
+        SHARD_CTX,
+        init_shards,
+        token_vocab,
+    )
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    merges, word_syms = train_bpe(word_counts(docs), n_merges=n_merges)
+    word_syms = word_syms.localCheckpoint()
+    save_tokenizer(spark, tok_dir, word_syms, merges)
+    vocab = token_vocab(word_syms, merges)
+    out = {"n_merges": len(merges), "vocab_size": vocab.count()}
+    if shards_dir:
+        init_shards(spark, shards_dir, vocab, ctx_len=ctx_len or SHARD_CTX)
+        out["shards_initialized"] = 1
+    return out
+
+
+def cmd_shards_append(
+    spark: SparkSession,
+    docs_path: str,
+    tok_dir: str,
+    shards_dir: str,
+    night: str | None = None,
+) -> dict[str, int]:
+    """The terminal nightly stage — crawl-nightly's ``kept/`` parquet
+    (or any kept-docs delta) encoded under the FROZEN tokenizer and
+    appended to the train-ready shard store (``pipeline/shards.py``):
+    history is never read or rewritten; ``--night`` makes a completed
+    night's re-run a recognized no-op."""
+    from radares_spark.operators.bpe import load_tokenizer
+    from radares_spark.pipeline.shards import append_shards
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    word_syms, merges = load_tokenizer(spark, tok_dir)
+    return append_shards(
+        spark, shards_dir, docs, word_syms, merges, night=night
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -437,6 +492,17 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--max-per-domain", type=int, default=None)
     cn.add_argument("--semantic-store", default=None, help="optional kept-corpus IVF store: drop admitted pages semantically duplicating resident docs")
     cn.add_argument("--semantic-tau", type=float, default=0.95)
+    tt = sub.add_parser("tokenizer-train")
+    tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
+    tt.add_argument("--out", required=True, help="tokenizer artifact dir")
+    tt.add_argument("--n-merges", type=int, default=64)
+    tt.add_argument("--shards", default=None, help="optionally initialize a shard store sealed under the trained vocab")
+    tt.add_argument("--ctx-len", type=int, default=None)
+    sa = sub.add_parser("shards-append")
+    sa.add_argument("--docs", required=True, help="tonight's kept docs parquet (e.g. crawl-nightly out/kept)")
+    sa.add_argument("--tokenizer", required=True, help="frozen tokenizer dir (tokenizer-train --out)")
+    sa.add_argument("--shards", required=True, help="shard store dir")
+    sa.add_argument("--night", default=None, help="idempotency tag: re-running a completed night is a no-op")
     args = p.parse_args(argv)
     if args.cmd == "verify" and not args.warehouse:
         p.error("verify requires --warehouse")
@@ -446,6 +512,20 @@ def main(argv: list[str] | None = None) -> int:
         p.error(f"{args.cmd} requires --warehouse, --landing, --checkpoint")
 
     spark = get_spark("radares-spark-cli")
+    if args.cmd == "tokenizer-train":
+        counts = cmd_tokenizer_train(
+            spark, args.docs, args.out, args.n_merges, args.shards, args.ctx_len
+        )
+        for key in sorted(counts):
+            print(f"{key}: {counts[key]}")
+        return 0
+    if args.cmd == "shards-append":
+        counts = cmd_shards_append(
+            spark, args.docs, args.tokenizer, args.shards, args.night
+        )
+        for key in sorted(counts):
+            print(f"{key}: {counts[key]}")
+        return 0
     if args.cmd == "crawl-nightly":
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain,

@@ -20,8 +20,9 @@ Layout under ``shards_dir``::
     _frontier_K/           the partial tail after night K (< ctx_len
                            tokens of placed rows, kilobytes)
     _meta/                 ctx_len, vocab fingerprint, next epoch,
-                           global token offset — written LAST each
-                           night (crash => rerun is byte-identical)
+                           global token offset, last night tag —
+                           written LAST each night (crash => rerun
+                           is byte-identical)
 
 Sealed row: (seq_id, input_ids array<int>, n_docs, doc_spans
 array<struct<doc_id, begin, n>>) — doc_spans is the attention-mask /
@@ -294,10 +295,12 @@ def _write_meta(
     vocab_fp: str,
     next_epoch: int,
     next_token_offset: int,
+    last_night: str | None = None,
 ) -> None:
     spark.createDataFrame(
-        [(ctx_len, vocab_fp, next_epoch, next_token_offset)],
-        ["ctx_len", "vocab_fp", "next_epoch", "next_token_offset"],
+        [(ctx_len, vocab_fp, next_epoch, next_token_offset, last_night)],
+        "ctx_len int, vocab_fp string, next_epoch int, "
+        "next_token_offset long, last_night string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{shards_dir}/_meta")
 
 
@@ -319,6 +322,7 @@ def append_shards(
     word_syms: DataFrame,
     merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
+    night: str | None = None,
 ) -> dict[str, int]:
     """One nightly append: encode ``delta_docs`` under the store's
     tokenizer, lay their tokens after the stored global offset,
@@ -334,10 +338,26 @@ def append_shards(
 
     Fails fast when the tokenizer changed (vocab fingerprint mismatch
     — sealed history would silently mix id spaces; re-sharding is the
-    remedy, exactly like an IVF retrain)."""
+    remedy, exactly like an IVF retrain).
+
+    ``night`` is the operator-level idempotency tag (the crawl-nightly
+    completed-night discipline): the tag persists in ``_meta`` — which
+    writes LAST — so re-running a COMPLETED night is a recognized
+    no-op (``already_appended: 1``) instead of a double-append, while
+    a night that crashed anywhere earlier never recorded its tag and
+    reruns in full."""
     meta = _meta_row(spark, shards_dir)
     ctx_len, epoch = int(meta["ctx_len"]), int(meta["next_epoch"])
     prior_total = int(meta["next_token_offset"])
+    if night is not None and meta.asDict().get("last_night") == night:
+        return {
+            "already_appended": 1,
+            "epoch": epoch - 1,
+            "n_delta_docs": 0,
+            "n_delta_tokens": 0,
+            "n_sealed": 0,
+            "n_total_tokens": prior_total,
+        }
     vocab = token_vocab(word_syms, merges).localCheckpoint()
     fp = vocab_fingerprint(vocab)
     if fp != meta["vocab_fp"]:
@@ -389,7 +409,7 @@ def append_shards(
     frontier_new.coalesce(1).write.mode("overwrite").parquet(
         f"{shards_dir}/_frontier_{epoch}"
     )
-    _write_meta(spark, shards_dir, ctx_len, fp, epoch + 1, total)
+    _write_meta(spark, shards_dir, ctx_len, fp, epoch + 1, total, night)
     if epoch > 0:
         # now superseded; rerun-safety no longer needs it
         fs_delete(spark, f"{shards_dir}/_frontier_{epoch - 1}")

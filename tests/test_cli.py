@@ -500,3 +500,95 @@ def test_corpus_refresh_postings_requires_store(spark, tmp_path):
         cmd_corpus_refresh(
             spark, p, str(tmp_path / "s0"), postings_dir=str(tmp_path / "pst")
         )
+
+
+def test_tokenizer_train_and_shards_append_nightly(spark, tmp_path, capsys):
+    """The terminal lifecycle pair: ``tokenizer-train`` freezes the
+    tokenizer artifact and seals an empty shard store under its vocab
+    fingerprint; three ``shards-append`` nights (driven through
+    ``main``, i.e. the frozen artifact on disk, not in-memory frames)
+    produce EXACTLY the store the library path builds — which pins the
+    save/load round-trip end to end — and a completed night's re-run
+    with the same ``--night`` tag is a recognized no-op."""
+    from radares_spark.cli import main
+    from radares_spark.operators.bpe import train_bpe, word_counts
+    from radares_spark.pipeline.shards import (
+        append_shards,
+        init_shards,
+        read_shards,
+        token_vocab,
+    )
+
+    train = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "the new low price the low price",
+    ]
+    nights = [
+        [(10, "low lower the new price"), (11, "newest lowest")],
+        [(20, "price " * 30), (21, "the new new low")],
+        [(30, "lower newer wider")],
+    ]
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    ).write.parquet(corpus)
+    tok, store = str(tmp_path / "tok"), str(tmp_path / "shards")
+    rc = main(
+        [
+            "tokenizer-train", "--docs", corpus, "--out", tok,
+            "--n-merges", "8", "--shards", store, "--ctx-len", "16",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "n_merges: 8" in printed and "shards_initialized: 1" in printed
+
+    night_dirs = []
+    for k, night in enumerate(nights):
+        d = str(tmp_path / f"night{k}")
+        spark.createDataFrame(night, "doc_id long, text string").write.parquet(d)
+        night_dirs.append(d)
+        rc = main(
+            [
+                "shards-append", "--docs", d, "--tokenizer", tok,
+                "--shards", store, "--night", f"n{k}",
+            ]
+        )
+        assert rc == 0
+        assert f"epoch: {k}" in capsys.readouterr().out
+
+    # completed-night re-run: recognized no-op, store untouched
+    rc = main(
+        [
+            "shards-append", "--docs", night_dirs[-1], "--tokenizer", tok,
+            "--shards", store, "--night", "n2",
+        ]
+    )
+    assert rc == 0
+    assert "already_appended: 1" in capsys.readouterr().out
+
+    # library twin from the in-memory tokenizer — must match exactly
+    merges, word_syms = train_bpe(
+        word_counts(spark.read.parquet(corpus)), n_merges=8
+    )
+    twin = str(tmp_path / "twin")
+    init_shards(spark, twin, token_vocab(word_syms, merges), ctx_len=16)
+    for k, d in enumerate(night_dirs):
+        append_shards(
+            spark, twin, spark.read.parquet(d), word_syms, merges, night=f"n{k}"
+        )
+
+    def snap(path):
+        return sorted(
+            (
+                r["seq_id"],
+                list(r["input_ids"]),
+                [(s["doc_id"], s["begin"], s["n"]) for s in r["doc_spans"]],
+                r["epoch"],
+            )
+            for r in read_shards(spark, path).collect()
+        )
+
+    got, want = snap(store), snap(twin)
+    assert got == want and len(got) > 0

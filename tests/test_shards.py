@@ -320,6 +320,57 @@ def test_empty_night_is_a_numbered_noop(spark, tmp_path, tokenizer):
     assert fr_after == fr_before
 
 
+def test_completed_night_rerun_is_a_recognized_noop(spark, tmp_path, tokenizer):
+    import os
+
+    word_syms, merges = tokenizer
+    store = str(tmp_path / "shards")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    first = append_shards(
+        spark, store, _night_df(spark, NIGHTS[0]), word_syms, merges, night="n0"
+    )
+    assert "already_appended" not in first
+    epoch0 = f"{store}/epoch=0"
+    before = {
+        f: os.stat(f"{epoch0}/{f}").st_mtime_ns for f in os.listdir(epoch0)
+    }
+    meta_before = spark.read.parquet(f"{store}/_meta").head().asDict()
+    again = append_shards(
+        spark, store, _night_df(spark, NIGHTS[0]), word_syms, merges, night="n0"
+    )
+    assert again["already_appended"] == 1 and again["n_sealed"] == 0
+    assert again["epoch"] == first["epoch"]
+    assert again["n_total_tokens"] == first["n_total_tokens"]
+    after = {
+        f: os.stat(f"{epoch0}/{f}").st_mtime_ns for f in os.listdir(epoch0)
+    }
+    assert after == before
+    assert spark.read.parquet(f"{store}/_meta").head().asDict() == meta_before
+    # a DIFFERENT night proceeds normally
+    nxt = append_shards(
+        spark, store, _night_df(spark, NIGHTS[1]), word_syms, merges, night="n1"
+    )
+    assert "already_appended" not in nxt and nxt["epoch"] == 1
+
+
+def test_save_load_tokenizer_roundtrip(spark, tmp_path, tokenizer):
+    from radares_spark.operators.bpe import load_tokenizer, save_tokenizer
+
+    word_syms, merges = tokenizer
+    save_tokenizer(spark, str(tmp_path / "tok"), word_syms, merges)
+    ws2, merges2 = load_tokenizer(spark, str(tmp_path / "tok"))
+    assert merges2 == merges  # ORDER preserved — the tokenizer identity
+    want = {r["word"]: list(r["syms"]) for r in word_syms.collect()}
+    got = {r["word"]: list(r["syms"]) for r in ws2.collect()}
+    assert got == want
+    # the loaded artifact drives the same vocabulary => same fingerprint
+    from radares_spark.pipeline.shards import vocab_fingerprint
+
+    assert vocab_fingerprint(token_vocab(ws2, merges2)) == vocab_fingerprint(
+        token_vocab(word_syms, merges)
+    )
+
+
 def test_read_shards_empty_store(spark, tmp_path, tokenizer):
     word_syms, merges = tokenizer
     store = str(tmp_path / "virgin")
