@@ -101,6 +101,7 @@ EXTRA = [
     "corpus_snapshot_diff",  # r7: recrawl delta via narrow fingerprint join
     "text_bm25_topk",  # r7: Okapi BM25 ranked retrieval
     "text_hybrid_rrf_topk",  # r7: BM25 + sparse-cosine RRF fusion
+    "shards_pack",  # r8: token-id encode + fixed-ctx sequence packing
 ]
 
 
@@ -132,6 +133,24 @@ def _text_bpe_encode(spark, sf_dir: str):
     return bpe_encode(docs, word_syms, merges=merges)
 
 
+def _shards_pack(spark, sf_dir: str):
+    """The terminal training-shard stage at production shape: 64-merge
+    BPE train (localCheckpoints -> pin-spy-flagged; a deployment
+    trains once), then integer-id encoding resolved at the
+    DISTINCT-WORD tier + fixed-ctx sequence packing via the two-phase
+    bucketed prefix sum. WARM times encode+pack alone — the
+    steady-state nightly shards-append minus store I/O."""
+    from radares_spark.io.tables import load_table
+    from radares_spark.operators.bpe import train_bpe_batched, word_counts
+    from radares_spark.pipeline.shards import encode_ids, pack_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, word_syms, _rounds = train_bpe_batched(
+        word_counts(docs), n_merges=64, batch_size=16
+    )
+    return pack_ids(encode_ids(docs, word_syms, merges))
+
+
 LIBRARY_PLANS = {
     "radar_p85": radar.radar_p85,
     # moved out of the driver window (radar_bins_long covers it
@@ -139,6 +158,7 @@ LIBRARY_PLANS = {
     "radar_histogram_build": radar.radar_histogram_build,
     "text_hash_embed_4k": _text_hash_embed_4k,
     "text_bpe_encode": _text_bpe_encode,
+    "shards_pack": _shards_pack,
 }
 
 

@@ -446,6 +446,21 @@ def cmd_shards_append(
     )
 
 
+def cmd_shards_export(
+    spark: SparkSession,
+    shards_dir: str,
+    out_dir: str,
+    seed: int,
+    n_shards: int = 1024,
+) -> dict[str, int]:
+    """Materialize one training epoch from the sealed shard store:
+    deterministic seeded global shuffle, one ordered file per shard
+    (``pipeline/shards.py::export_training_shards``)."""
+    from radares_spark.pipeline.shards import export_training_shards
+
+    return export_training_shards(spark, shards_dir, out_dir, seed, n_shards)
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -503,6 +518,11 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--tokenizer", required=True, help="frozen tokenizer dir (tokenizer-train --out)")
     sa.add_argument("--shards", required=True, help="shard store dir")
     sa.add_argument("--night", default=None, help="idempotency tag: re-running a completed night is a no-op")
+    se = sub.add_parser("shards-export")
+    se.add_argument("--shards", required=True, help="sealed shard store dir")
+    se.add_argument("--out", required=True, help="training-epoch output dir (shard=S/ partitions)")
+    se.add_argument("--seed", type=int, required=True, help="epoch shuffle seed")
+    se.add_argument("--n-shards", type=int, default=1024)
     args = p.parse_args(argv)
     if args.cmd == "verify" and not args.warehouse:
         p.error("verify requires --warehouse")
@@ -522,6 +542,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "shards-append":
         counts = cmd_shards_append(
             spark, args.docs, args.tokenizer, args.shards, args.night
+        )
+        for key in sorted(counts):
+            print(f"{key}: {counts[key]}")
+        return 0
+    if args.cmd == "shards-export":
+        counts = cmd_shards_export(
+            spark, args.shards, args.out, args.seed, args.n_shards
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

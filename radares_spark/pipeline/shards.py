@@ -194,7 +194,20 @@ def _placed(encoded: DataFrame, token_start: int) -> DataFrame:
     deterministic (hash-bucket, doc_id) corpus order starting at
     ``token_start``; the two-phase distributed prefix sum of
     ``corpus.pack_sequences`` (per-bucket parallel sums; the only
-    single-partition window covers the 1024 bucket totals)."""
+    single-partition window covers the 1024 bucket totals).
+
+    Unlike ``pack_sequences`` (whose upstream is one cheap
+    projection), the upstream here is the FULL encode — two joins and
+    two regroups — so the per-bucket totals are derived from the
+    in-bucket running sum's OUTPUT (``max`` of a running total is the
+    bucket total) instead of a separate ``groupBy`` on the input:
+    both consumers then share the identical Exchange(__bucket) child,
+    so the encode subtree runs ONCE (a direct groupBy puts its partial
+    aggregate BELOW its own exchange, defeating reuse and re-running
+    the encode). Interleaved A/B at sf0.1: consistently faster but
+    only ~5-8% — packing is stage-latency-bound there, the arrays are
+    MBs; the reuse matters at corpus scale where a second encode pass
+    is a second full-corpus tokenize+join."""
     bucketed = encoded.select(
         "doc_id",
         "input_ids",
@@ -205,25 +218,23 @@ def _placed(encoded: DataFrame, token_start: int) -> DataFrame:
             % N_BUDGET_BUCKETS
         ).alias("__bucket"),
     )
-    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("n").alias("__btok"))
-    off_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    offsets = per_bucket.select(
-        "__bucket",
-        (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset"),
-    )
     in_w = (
         W.partitionBy("__bucket")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    win = bucketed.withColumn("__cum", F.sum("n").over(in_w))
+    per_bucket = win.groupBy("__bucket").agg(F.max("__cum").alias("__btok"))
+    off_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = per_bucket.select(
+        "__bucket",
+        (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset"),
+    )
     return (
-        bucketed.join(F.broadcast(offsets), "__bucket")
+        win.join(F.broadcast(offsets), "__bucket")
         .withColumn(
             "off",
-            F.lit(token_start)
-            + F.col("__offset")
-            + F.sum("n").over(in_w)
-            - F.col("n"),
+            F.lit(token_start) + F.col("__offset") + F.col("__cum") - F.col("n"),
         )
         .filter(F.col("n") > 0)
         .select("doc_id", "input_ids", "n", "off")
@@ -282,6 +293,91 @@ def _sequences(placed: DataFrame, ctx_len: int) -> DataFrame:
             ).alias("doc_spans"),
         )
     )
+
+
+def pack_ids(
+    encoded: DataFrame, ctx_len: int = SHARD_CTX, token_start: int = 0
+) -> DataFrame:
+    """The pure packing plan (no store I/O): encoded docs (doc_id,
+    input_ids, n_tokens) -> sequence rows (seq_id, n_docs, input_ids,
+    doc_spans), the last sequence possibly partial. ``append_shards``
+    is this plus the frontier/epoch lifecycle; exposed so benchmarks
+    and batch one-shot exports time/run packing alone."""
+    return _sequences(_placed(encoded, token_start), ctx_len)
+
+
+def training_order(
+    sealed: DataFrame, seed: int | str, n_shards: int = 1024
+) -> DataFrame:
+    """A deterministic per-epoch GLOBAL shuffle of sealed sequences
+    without a corpus-wide sort: adds (shard, pos) columns whose
+    lexicographic order (shard asc, pos asc) is the training order —
+    a pure function of (seed, seq_id set), independent of input
+    partitioning, different per seed.
+
+    Scale shape: shard = md5(seed:seq_id) bucket, pos = rank within
+    the shard by the same hash — ONE hash-partition shuffle plus a
+    shard-local window. A range sort (orderBy(rand)) would pay a
+    sampling pass + range exchange over the corpus and tie the order
+    to the partitioning; here every shard's window is ~|corpus|/
+    n_shards rows, embarrassingly parallel. A trainer lands this
+    ``partitionBy("shard")`` and streams shard files in pos order —
+    sequential reads, shuffled data."""
+    key = _md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col("seq_id").cast("string"))
+    )
+    return (
+        sealed.withColumn("__okey", key)
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring("__okey", 1, 8), 16, 10).cast("long")
+                % n_shards
+            ).cast("int"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(W.partitionBy("shard").orderBy("__okey", "seq_id"))
+            .cast("int"),
+        )
+        .drop("__okey")
+    )
+
+
+def export_training_shards(
+    spark: SparkSession,
+    shards_dir: str,
+    out_dir: str,
+    seed: int | str,
+    n_shards: int = 1024,
+) -> dict[str, int]:
+    """Materialize one training epoch: every sealed sequence, in the
+    seed's :func:`training_order`, landed as ``out_dir/shard=S/`` with
+    EXACTLY ONE file per shard whose row order is the training order —
+    a trainer streams shard dirs in name order, rows in file order,
+    and sees a deterministic global shuffle as pure sequential reads.
+
+    The single-file-per-shard guarantee without a global sort:
+    ``repartition(n, shard)`` co-locates each shard's rows in one
+    task (shards may share a task), ``sortWithinPartitions(shard,
+    pos)`` makes them contiguous and ordered inside it, and the
+    partitionBy writer then splits per shard value — so each shard
+    dir receives its rows from exactly one task, in order."""
+    sealed = read_shards(spark, shards_dir)
+    ordered = training_order(sealed, seed, n_shards)
+    (
+        ordered.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return {
+        "n_sequences": back.count(),
+        "n_shards_written": back.select("shard").distinct().count(),
+    }
 
 
 def _meta_row(spark: SparkSession, shards_dir: str):

@@ -592,3 +592,18 @@ def test_tokenizer_train_and_shards_append_nightly(spark, tmp_path, capsys):
 
     got, want = snap(store), snap(twin)
     assert got == want and len(got) > 0
+
+    # epoch export through main(): every sealed sequence lands once
+    epoch_out = str(tmp_path / "epoch0")
+    rc = main(
+        [
+            "shards-export", "--shards", store, "--out", epoch_out,
+            "--seed", "7", "--n-shards", "4",
+        ]
+    )
+    assert rc == 0
+    assert f"n_sequences: {len(got)}" in capsys.readouterr().out
+    back = spark.read.parquet(epoch_out)
+    assert {r["seq_id"] for r in back.select("seq_id").collect()} == {
+        s for s, _, _, _ in got
+    }

@@ -380,5 +380,133 @@ def test_read_shards_empty_store(spark, tmp_path, tokenizer):
     assert "input_ids" in df.columns and "doc_spans" in df.columns
 
 
+def test_pack_ids_equals_append_path(spark, tmp_path, tokenizer, replica):
+    """The pure packing plan == the store's sealed rows plus the
+    partial tail, on a single-night corpus."""
+    from radares_spark.pipeline.shards import encode_ids, pack_ids
+
+    word_syms, merges = tokenizer
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=1)
+    sealed = {
+        (r["seq_id"], tuple(r["input_ids"]))
+        for r in read_shards(spark, store).collect()
+    }
+    packed = pack_ids(
+        encode_ids(_night_df(spark, NIGHTS[0]), word_syms, merges), ctx_len=CTX
+    ).collect()
+    full = {
+        (r["seq_id"], tuple(r["input_ids"]))
+        for r in packed
+        if len(r["input_ids"]) == CTX
+    }
+    assert full == sealed
+    # exactly one partial row beyond the sealed set (this night's
+    # token count is not ctx-aligned), matching the frontier tokens
+    partial = [r for r in packed if len(r["input_ids"]) < CTX]
+    fr = sorted(
+        spark.read.parquet(f"{store}/_frontier_0").collect(),
+        key=lambda r: r["off"],
+    )
+    assert len(partial) == 1
+    assert list(partial[0]["input_ids"]) == [
+        t for r in fr for t in r["input_ids"]
+    ]
+
+
+def test_training_order_replica_and_determinism(spark, tmp_path, tokenizer):
+    import hashlib as _hl
+
+    from radares_spark.pipeline.shards import training_order
+
+    store, _ = _run_nights(spark, tmp_path, tokenizer)
+    sealed = read_shards(spark, store)
+    n_shards = 8
+
+    def key(seed, sid):
+        return _hl.md5(f"{seed}:{sid}".encode()).hexdigest()
+
+    got = {
+        r["seq_id"]: (r["shard"], r["pos"])
+        for r in training_order(sealed, seed=42, n_shards=n_shards).collect()
+    }
+    seq_ids = sorted(got)
+    # independent replica: bucket by md5 prefix, rank within shard
+    want: dict[int, tuple[int, int]] = {}
+    by_shard: dict[int, list] = {}
+    for sid in seq_ids:
+        k = key(42, sid)
+        by_shard.setdefault(int(k[:8], 16) % n_shards, []).append((k, sid))
+    for sh, rows in by_shard.items():
+        for pos, (_, sid) in enumerate(sorted(rows), start=1):
+            want[sid] = (sh, pos)
+    assert got == want
+    # a permutation: pos contiguous from 1 within each shard
+    for sh, rows in by_shard.items():
+        assert sorted(p for s, p in got.values() if s == sh) == list(
+            range(1, len(rows) + 1)
+        )
+    # partitioning-independent: same order after an adversarial reshuffle
+    re = {
+        r["seq_id"]: (r["shard"], r["pos"])
+        for r in training_order(
+            sealed.repartition(7), seed=42, n_shards=n_shards
+        ).collect()
+    }
+    assert re == got
+    # seed changes the order
+    other = {
+        r["seq_id"]: (r["shard"], r["pos"])
+        for r in training_order(sealed, seed=43, n_shards=n_shards).collect()
+    }
+    assert other != got
+
+
+def test_export_training_shards_one_ordered_file_per_shard(
+    spark, tmp_path, tokenizer
+):
+    """The epoch export contract: every sealed sequence exactly once;
+    one parquet file per shard dir; FILE ROW ORDER == training order
+    (read with no sort — the trainer streams bytes)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from radares_spark.pipeline.shards import (
+        export_training_shards,
+        training_order,
+    )
+
+    store, _ = _run_nights(spark, tmp_path, tokenizer)
+    out = str(tmp_path / "epoch42")
+    n_shards = 4
+    stats = export_training_shards(spark, store, out, seed=42, n_shards=n_shards)
+    sealed_ids = {r["seq_id"] for r in read_shards(spark, store).collect()}
+    assert stats["n_sequences"] == len(sealed_ids)
+
+    want = {
+        r["seq_id"]: (r["shard"], r["pos"])
+        for r in training_order(
+            read_shards(spark, store), seed=42, n_shards=n_shards
+        ).collect()
+    }
+    seen: set[int] = set()
+    for d in sorted(glob.glob(f"{out}/shard=*")):
+        shard = int(os.path.basename(d).split("=")[1])
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, f"shard {shard} must be exactly one file"
+        tbl = pq.read_table(files[0], columns=["seq_id", "pos"])
+        rows = list(zip(tbl["seq_id"].to_pylist(), tbl["pos"].to_pylist()))
+        # physical row order IS the training order
+        assert [p for _, p in rows] == list(range(1, len(rows) + 1))
+        for sid, pos in rows:
+            assert want[sid] == (shard, pos)
+            seen.add(sid)
+    assert seen == sealed_ids
+    assert stats["n_shards_written"] == len(
+        {s for s, _ in want.values()}
+    )
+
+
 def test_default_ctx_is_sane():
     assert SHARD_CTX == 256
