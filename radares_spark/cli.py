@@ -263,6 +263,7 @@ def cmd_crawl_nightly(
     max_per_domain: int | None = None,
     semantic_store: str | None = None,
     semantic_tau: float = 0.95,
+    content_ledger_dir: str | None = None,
 ) -> dict[str, int]:
     """The nightly recrawl loop as ONE command — the URL twin of
     ``cmd_backload``'s anti-join planner: tonight's discovered pages →
@@ -288,7 +289,20 @@ def cmd_crawl_nightly(
     night at scale). At 100 TB the admission join is the stage that
     pays hardest: every URL dropped here is a fetch, an HTML parse,
     and a dedup shuffle that never happen (operators/urls.py
-    docstring)."""
+    docstring).
+
+    ``content_ledger_dir`` closes the cross-night CONTENT hole the URL
+    ledger cannot: the same article re-syndicated at a NEW url passes
+    the URL ledger and within-night curation, and would accumulate a
+    duplicate every night. Tonight's survivors are admitted against a
+    cross-run hash+minhash ledger (``operators/incremental.py``) —
+    exact or near twins of any prior night's kept doc drop with the
+    admission outcomes. Crash discipline: the content ledger's epoch
+    number is the SAME night number the URL ledger is about to take,
+    its read EXCLUDES its own epoch (the streaming replay recipe — a
+    rerun after a crash between the two ledger appends must not dedup
+    tonight against itself), and its epoch write is a dynamic
+    overwrite, so every crash point reruns to the identical state."""
     from pyspark.sql import functions as F
 
     from radares_spark.io import fs as iofs
@@ -300,6 +314,11 @@ def cmd_crawl_nightly(
         ledger = spark.read.parquet(url_ledger_dir).drop("epoch")
     else:
         ledger = spark.createDataFrame([], "doc_id long, canonical_url string")
+    # tonight's night number, fixed up front: the URL ledger's next
+    # epoch. The content ledger reuses it so a crash between the two
+    # ledger appends reruns consistently (own-epoch exclusion below).
+    epochs = iofs.epoch_partitions(spark, url_ledger_dir)
+    next_epoch = (max(epochs) + 1) if epochs else 0
     url_audit, append_rows = incremental_url_dedup(
         pages.select("doc_id", "url"), ledger
     )
@@ -367,6 +386,38 @@ def cmd_crawl_nightly(
                 .otherwise(F.col("outcome"))
                 .alias("outcome"),
             )
+        c_append = None
+        if content_ledger_dir:
+            # cross-night content admission over the FINAL kept set
+            # (after the semantic gate), so the ledger rows appended
+            # below claim residency only for docs that actually kept
+            from radares_spark.operators.incremental import (
+                OUT_KEPT,
+                incremental_dedup,
+                ledger_rows,
+            )
+
+            if iofs.has_parquet(spark, content_ledger_dir):
+                cled = (
+                    spark.read.parquet(content_ledger_dir)
+                    .filter(F.col("epoch") < next_epoch)  # own-epoch exclusion
+                    .drop("epoch")
+                )
+            else:
+                cled = ledger_rows(
+                    spark.createDataFrame([], "doc_id long, text string")
+                )
+            c_audit, c_append = incremental_dedup(
+                kept.select("doc_id", "text"), cled
+            )
+            c_drop = c_audit.filter(F.col("outcome") != OUT_KEPT).select(
+                "doc_id", F.col("outcome").alias("__c_out")
+            )
+            kept = kept.join(c_drop.select("doc_id"), "doc_id", "left_anti")
+            audit = audit.join(c_drop, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("__c_out"), F.col("outcome")).alias("outcome"),
+            )
         kept.write.mode("overwrite").parquet(kept_dir)
         audit.write.mode("overwrite").parquet(os.path.join(out_dir, "audit"))
         for r in (
@@ -376,11 +427,20 @@ def cmd_crawl_nightly(
             .collect()
         ):
             counts[r["outcome"]] = r["count"]
+        if c_append is not None:
+            # content ledger at tonight's epoch, BEFORE the URL ledger
+            # (the admission above excluded this epoch, so a rerun
+            # after a crash between the two appends recomputes the
+            # identical night and dynamic-overwrites the same epoch)
+            (
+                c_append.withColumn("epoch", F.lit(next_epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(content_ledger_dir)
+            )
 
-    # ledger append LAST (see ordering note); next epoch = max + 1 so
-    # ledger history reads like the stream's epoch partitions
-    epochs = iofs.epoch_partitions(spark, url_ledger_dir)
-    next_epoch = (max(epochs) + 1) if epochs else 0
+    # URL ledger append LAST (see ordering note); epoch fixed up top
     (
         append_rows.withColumn("epoch", F.lit(next_epoch))
         .write.mode("overwrite")
@@ -507,6 +567,7 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--max-per-domain", type=int, default=None)
     cn.add_argument("--semantic-store", default=None, help="optional kept-corpus IVF store: drop admitted pages semantically duplicating resident docs")
     cn.add_argument("--semantic-tau", type=float, default=0.95)
+    cn.add_argument("--content-ledger", default=None, help="cross-run content hash+minhash ledger dir: drop pages exactly/nearly duplicating any prior night's kept doc")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -556,7 +617,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "crawl-nightly":
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain,
-            args.semantic_store, args.semantic_tau,
+            args.semantic_store, args.semantic_tau, args.content_ledger,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

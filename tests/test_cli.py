@@ -607,3 +607,122 @@ def test_tokenizer_train_and_shards_append_nightly(spark, tmp_path, capsys):
     assert {r["seq_id"] for r in back.select("seq_id").collect()} == {
         s for s, _, _, _ in got
     }
+
+
+def test_crawl_nightly_content_ledger_cross_night_dedup(spark, tmp_path, capsys):
+    """--content-ledger closes the cross-night CONTENT hole: the same
+    article re-syndicated at a NEW url passes the URL ledger but drops
+    against the cross-run hash+minhash ledger (exact AND near twins);
+    the ledger accumulates each night's final kept docs; a crash
+    between the content append and the URL append reruns to the
+    identical state (own-epoch exclusion); a completed night's re-run
+    preserves everything."""
+    import shutil
+
+    import pandas as pd
+
+    from radares_spark.cli import main
+    from radares_spark.io import fs as iofs
+
+    _PROSE = {
+        "alpha": "the quick brown fox jumps over the lazy dog while rain "
+        "falls on the plain and the morning train arrives at the station ",
+        "beta": "an entirely different article about the history of early "
+        "astronomy and the telescopes that mapped the sky for centuries ",
+        "gamma": "a long report on river navigation describing locks and "
+        "barges and the seasonal floods that shaped trade along the banks ",
+        "delta": "notes from a kitchen garden covering soil compost beds "
+        "and the slow patient work of growing vegetables through summer ",
+    }
+
+    def _body(tag, tail="ends here today"):
+        # bodies are template-disjoint so only the PLANTED twins are
+        # related; the tail knob turns a copy into a near twin
+        return (_PROSE[tag] * 5) + tail
+
+    def _pages(rows):  # rows: (doc_id, url, body)
+        return pd.DataFrame(
+            {
+                "doc_id": [i for i, _, _ in rows],
+                "url": [u for _, u, _ in rows],
+                "html": [f"<html><body><p>{b}</p></body></html>" for _, _, b in rows],
+            }
+        )
+
+    url_led = str(tmp_path / "url_ledger")
+    con_led = str(tmp_path / "content_ledger")
+
+    def _night(n, rows):
+        src = tmp_path / f"pages{n}"
+        spark.createDataFrame(_pages(rows)).write.parquet(str(src))
+        out = tmp_path / f"out{n}"
+        rc = main(
+            ["crawl-nightly", "--pages", str(src), "--url-ledger", url_led,
+             "--out", str(out), "--content-ledger", con_led]
+        )
+        assert rc == 0
+        return out, capsys.readouterr().out
+
+    A, B, C = _body("alpha"), _body("beta"), _body("gamma")
+
+    out1, p1 = _night(1, [(1, "https://a.example.com/1", A),
+                          (2, "https://b.example.com/2", B)])
+    assert "kept: 2" in p1
+    assert sorted(iofs.epoch_partitions(spark, con_led)) == [0]
+    assert {
+        r["doc_id"] for r in spark.read.parquet(con_led).select("doc_id").collect()
+    } == {1, 2}
+
+    # night 2: A verbatim at a NEW url (syndication), B with one word
+    # changed at a new url (near twin), C genuinely new
+    B_near = _body("beta", tail="ends here tomorrow")
+    out2, p2 = _night(2, [(10, "https://c.example.com/10", A),
+                          (11, "https://d.example.com/11", B_near),
+                          (12, "https://e.example.com/12", C)])
+    assert "exact_dup_corpus: 1" in p2
+    assert "near_dup_corpus: 1" in p2
+    assert "kept: 1" in p2
+    kept2 = {r["doc_id"] for r in spark.read.parquet(str(out2 / "kept")).collect()}
+    assert kept2 == {12}
+    assert sorted(iofs.epoch_partitions(spark, con_led)) == [0, 1]
+    led_ids = {
+        r["doc_id"] for r in spark.read.parquet(con_led).select("doc_id").collect()
+    }
+    assert led_ids == {1, 2, 12}  # only FINAL kept docs claim residency
+
+    # crash between the content append and the URL append: night 2's
+    # URL epoch vanishes, content epoch 1 remains — the rerun must
+    # reproduce the same outputs and NOT dedup tonight against itself
+    shutil.rmtree(f"{url_led}/epoch=1")
+    out2b, p2b = _night("2b", [(10, "https://c.example.com/10", A),
+                               (11, "https://d.example.com/11", B_near),
+                               (12, "https://e.example.com/12", C)])
+    assert "exact_dup_corpus: 1" in p2b and "kept: 1" in p2b
+    assert {
+        r["doc_id"] for r in spark.read.parquet(str(out2b / "kept")).collect()
+    } == {12}
+    assert sorted(iofs.epoch_partitions(spark, con_led)) == [0, 1]
+    assert {
+        r["doc_id"] for r in spark.read.parquet(con_led).select("doc_id").collect()
+    } == {1, 2, 12}
+
+    # completed-night re-run: all URLs in the ledger, outputs preserved,
+    # content ledger untouched
+    out2c, p2c = _night("2c", [(10, "https://c.example.com/10", A),
+                               (11, "https://d.example.com/11", B_near),
+                               (12, "https://e.example.com/12", C)])
+    assert "fetched: 0" in p2c
+    assert sorted(iofs.epoch_partitions(spark, con_led)) == [0, 1]
+
+    # night 3: C's text at yet another url — caught by the residency
+    # night 2 added; a fresh doc keeps
+    D = _body("delta")
+    out3, p3 = _night(3, [(20, "https://f.example.com/20", C),
+                          (21, "https://g.example.com/21", D)])
+    assert "exact_dup_corpus: 1" in p3 and "kept: 1" in p3
+    assert {
+        r["doc_id"] for r in spark.read.parquet(str(out3 / "kept")).collect()
+    } == {21}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(con_led).select("doc_id").collect()
+    } == {1, 2, 12, 21}
