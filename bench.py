@@ -338,6 +338,50 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         ),
         run_url_admission_stream,
     )
+    # r8: the shards stream — tokenize + fixed-ctx pack per micro-batch
+    # against the frozen tokenizer artifact. One-time setup (train +
+    # freeze + init store) is excluded from the timed window: that is
+    # the production shape (a deployment trains once, appends forever).
+    try:
+        from radares_spark.operators.bpe import (
+            save_tokenizer,
+            train_bpe_batched,
+            word_counts,
+        )
+        from radares_spark.pipeline.shards import init_shards, token_vocab
+        from radares_spark.streaming.shards_stream import run_shards_stream
+
+        d = docs.select("doc_id", "text")
+        merges, word_syms, _rounds = train_bpe_batched(
+            word_counts(d), n_merges=64, batch_size=16
+        )
+        tok = os.path.join(root, "shards_tok")
+        save_tokenizer(spark, tok, word_syms, merges)
+        store = os.path.join(root, "shards_store")
+        init_shards(spark, store, token_vocab(word_syms, merges))
+        landing = os.path.join(root, "shards_landing")
+        d.repartition(STREAM_BATCHES, "doc_id").write.parquet(landing)
+        epochs = len([f for f in os.listdir(landing) if f.endswith(".parquet")])
+        n = d.count()
+        t0 = time.perf_counter()
+        run_shards_stream(
+            spark,
+            landing,
+            tok,
+            store,
+            os.path.join(root, "shards_ckpt"),
+            max_files_per_trigger=1,
+        )
+        t = time.perf_counter() - t0
+        out["shards_append"] = {
+            "epochs": epochs,
+            "rows": n,
+            "wall_s": round(t, 3),
+            "rows_per_s": round(n / t, 1),
+            "epochs_per_s": round(epochs / t, 3),
+        }
+    except Exception as exc:  # noqa: BLE001 — isolation is the point
+        out["shards_append"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     shutil.rmtree(root, ignore_errors=True)
     return out
 

@@ -1,0 +1,85 @@
+"""Streaming shards-append — the train-ready shard store
+(``pipeline/shards.py``) as a Structured Streaming sink: curated
+document files land, each micro-batch tokenizes under the FROZEN
+tokenizer artifact and appends sealed sequences, so training shards
+grow continuously instead of waiting for a nightly batch.
+
+Exactly-once story — leaner than the admission/URL streams because
+the store's own lifecycle already provides the replay guard:
+
+- the checkpoint's file log gives each landed file to exactly one
+  micro-batch (the admission-stream recipe);
+- ``append_shards`` writes its ``_meta`` LAST carrying a night tag of
+  ``epoch-<id>``. A replayed micro-batch (crash between the append
+  completing and the checkpoint commit) is recognized by the tag and
+  no-ops; a batch that crashed MID-append left ``_meta`` untouched,
+  so its replay re-reads the same meta/frontier and reruns
+  byte-identically (pinned batch-side in tests/test_shards.py's
+  crash-rerun test). No epoch-partition overwrite dance is needed —
+  the meta-write-last ladder IS the idempotency mechanism.
+
+Sequencing: ``append_shards`` is inherently serial (each night reads
+the meta the previous one wrote). foreachBatch delivers micro-batches
+serially by contract, so the stream satisfies the store's
+single-writer requirement for free; do not run a second writer (CLI
+``shards-append`` or another stream) against the same store
+concurrently.
+
+Scale: per micro-batch cost is the ``append_shards`` contract — the
+delta plus the < ctx_len-token frontier sidecar; sealed history is
+never listed, read, or rewritten, so epochs stay O(batch) forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from radares_spark.io import fs
+from radares_spark.operators.bpe import load_tokenizer
+from radares_spark.pipeline.shards import append_shards
+from radares_spark.streaming.admission_stream import stream_docs
+
+
+def run_shards_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    tok_dir: str,
+    shards_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """One AvailableNow pass: every new landed file's docs encoded and
+    appended to the shard store, stop. Re-runnable; the store must be
+    initialized first (``tokenizer-train --shards`` / ``init_shards``)
+    so appends fail fast on a tokenizer swap instead of mixing id
+    spaces."""
+    if not fs.has_parquet(spark, f"{shards_dir}/_meta"):
+        raise ValueError(
+            f"shard store {shards_dir!r} is not initialized — run "
+            "tokenizer-train --shards (init_shards) before streaming"
+        )
+    word_syms, merges = load_tokenizer(spark, tok_dir)
+    # reused by EVERY micro-batch: pin once per run, not per epoch
+    word_syms = word_syms.localCheckpoint(eager=True)
+    docs = stream_docs(spark, landing_dir, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        append_shards(
+            batch.sparkSession,
+            shards_dir,
+            batch,
+            word_syms,
+            merges,
+            night=f"epoch-{epoch_id}",
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
