@@ -264,6 +264,7 @@ def cmd_crawl_nightly(
     semantic_store: str | None = None,
     semantic_tau: float = 0.95,
     content_ledger_dir: str | None = None,
+    max_bucket: int | None = None,
 ) -> dict[str, int]:
     """The nightly recrawl loop as ONE command — the URL twin of
     ``cmd_backload``'s anti-join planner: tonight's discovered pages →
@@ -350,7 +351,9 @@ def cmd_crawl_nightly(
     else:
         admitted = url_back.filter(F.col("outcome") == "kept").select("doc_id")
         to_fetch = pages.join(admitted, "doc_id", "left_semi")
-        kept, audit = curate_crawl(to_fetch, max_per_domain=max_per_domain)
+        kept, audit = curate_crawl(
+            to_fetch, max_per_domain=max_per_domain, max_bucket=max_bucket
+        )
         if semantic_store:
             # opt-in semantic gate: tonight's survivors against the
             # KEPT corpus's IVF vector store (the one corpus-refresh
@@ -568,6 +571,7 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--semantic-store", default=None, help="optional kept-corpus IVF store: drop admitted pages semantically duplicating resident docs")
     cn.add_argument("--semantic-tau", type=float, default=0.95)
     cn.add_argument("--content-ledger", default=None, help="cross-run content hash+minhash ledger dir: drop pages exactly/nearly duplicating any prior night's kept doc")
+    cn.add_argument("--max-bucket", type=int, default=None, help="hot-LSH-bucket cap for within-night near-dup (the 100TB boilerplate guard; capped buckets route through the exact stage)")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -618,6 +622,7 @@ def main(argv: list[str] | None = None) -> int:
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain,
             args.semantic_store, args.semantic_tau, args.content_ledger,
+            args.max_bucket,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

@@ -200,3 +200,102 @@ def test_crawl_nightly_semantic_gate(spark, tmp_path):
         for r in spark.read.parquet(str(out / "kept")).select("doc_id").collect()
     }
     assert kept_ids == {1}
+
+
+def test_crawl_nightly_semantic_and_content_gates_compose(spark, tmp_path):
+    """Both nightly gates together pin the ordering contract: the
+    semantic gate runs FIRST, so a semantically-dropped page never
+    claims content-ledger residency; the content ledger then catches
+    cross-night twins of what actually kept. Outcomes land in one
+    audit; the ledger holds ONLY each night's final kept docs."""
+    import pandas as pd
+
+    from radares_spark.cli import main
+    from radares_spark.operators.embed import hashed_tf
+
+    body_resident = (
+        "genuine prose with the quick brown fox and many more words "
+        "covering several sentences of plausible english text " * 5
+    )
+    body_novel = (
+        "an entirely different article about the history of astronomy "
+        "and the telescopes that mapped the sky in early modern times " * 5
+    )
+    body_third = (
+        "a long report on river navigation describing locks and barges "
+        "and the seasonal floods that shaped trade along the banks " * 5
+    )
+    resident = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [body_resident]})
+    )
+    vecs = hashed_tf(resident, 16).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").alias("v"),
+        F.lit(1.0).alias("nrm"),
+    ).localCheckpoint()
+    assignment, centroids = build_ivf_index(vecs, n_cells=1, iters=1, dim=16)
+    store_dir = str(tmp_path / "resident_ivf")
+    write_ivf_store(
+        spark, vecs, assignment.localCheckpoint(),
+        centroids.localCheckpoint(), store_dir,
+    )
+    url_led = str(tmp_path / "url_ledger")
+    con_led = str(tmp_path / "content_ledger")
+
+    def _night(n, rows):
+        src = tmp_path / f"pages{n}"
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [i for i, _, _ in rows],
+                    "url": [u for _, u, _ in rows],
+                    "html": [
+                        f"<html><body><p>{b}</p></body></html>"
+                        for _, _, b in rows
+                    ],
+                }
+            )
+        ).write.parquet(str(src))
+        out = tmp_path / f"out{n}"
+        rc = main(
+            [
+                "crawl-nightly", "--pages", str(src),
+                "--url-ledger", url_led, "--out", str(out),
+                "--semantic-store", store_dir, "--semantic-tau", "0.95",
+                "--content-ledger", con_led, "--max-bucket", "64",
+            ]
+        )
+        assert rc == 0
+        return {
+            r["doc_id"]: r["outcome"]
+            for r in spark.read.parquet(str(out / "audit")).collect()
+        }
+
+    # night 1: a semantic twin of the RESIDENT doc (drops via the
+    # gate, must NOT enter the content ledger) + a novel page (keeps)
+    a1 = _night(1, [(0, "https://a.example.com/twin", body_resident),
+                    (1, "https://b.example.com/novel", body_novel)])
+    assert a1 == {0: "semantic_dup", 1: "kept"}
+    led_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(con_led).select("doc_id").collect()
+    }
+    assert led_ids == {1}  # the semantic drop claimed no residency
+
+    # night 2: the semantic twin RETRIES at a new url — still dropped
+    # by the gate (not by the content ledger, where it never resided);
+    # a copy of night 1's KEPT page drops via the content ledger; a
+    # genuinely new page keeps
+    a2 = _night(2, [(10, "https://c.example.com/twin2", body_resident),
+                    (11, "https://d.example.com/copy", body_novel),
+                    (12, "https://e.example.com/third", body_third)])
+    assert a2 == {
+        10: "semantic_dup",
+        11: "exact_dup_corpus",
+        12: "kept",
+    }
+    led_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(con_led).select("doc_id").collect()
+    }
+    assert led_ids == {1, 12}
