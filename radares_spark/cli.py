@@ -265,6 +265,7 @@ def cmd_crawl_nightly(
     semantic_tau: float = 0.95,
     content_ledger_dir: str | None = None,
     max_bucket: int | None = None,
+    decontam_path: str | None = None,
 ) -> dict[str, int]:
     """The nightly recrawl loop as ONE command — the URL twin of
     ``cmd_backload``'s anti-join planner: tonight's discovered pages →
@@ -386,6 +387,24 @@ def cmd_crawl_nightly(
             ).select(
                 "doc_id",
                 F.when(F.col("sem"), F.lit("semantic_dup"))
+                .otherwise(F.col("outcome"))
+                .alias("outcome"),
+            )
+        if decontam_path:
+            # benchmark decontamination (operators/decontam.py): a doc
+            # sharing any 8-gram with the eval set must not reach the
+            # training corpus — BEFORE the content ledger, so a
+            # contaminated page never claims residency
+            from radares_spark.operators.decontam import contaminated_ids
+
+            evals = spark.read.parquet(decontam_path).select("doc_id", "text")
+            bad = contaminated_ids(kept.select("doc_id", "text"), evals)
+            kept = kept.join(bad, "doc_id", "left_anti")
+            audit = audit.join(
+                bad.withColumn("__bad", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id",
+                F.when(F.col("__bad"), F.lit("contaminated"))
                 .otherwise(F.col("outcome"))
                 .alias("outcome"),
             )
@@ -572,6 +591,7 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--semantic-tau", type=float, default=0.95)
     cn.add_argument("--content-ledger", default=None, help="cross-run content hash+minhash ledger dir: drop pages exactly/nearly duplicating any prior night's kept doc")
     cn.add_argument("--max-bucket", type=int, default=None, help="hot-LSH-bucket cap for within-night near-dup (the 100TB boilerplate guard; capped buckets route through the exact stage)")
+    cn.add_argument("--decontam", default=None, help="eval-benchmark parquet (doc_id, text): drop pages sharing any n-gram with it, outcome 'contaminated'")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -622,7 +642,7 @@ def main(argv: list[str] | None = None) -> int:
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain,
             args.semantic_store, args.semantic_tau, args.content_ledger,
-            args.max_bucket,
+            args.max_bucket, args.decontam,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

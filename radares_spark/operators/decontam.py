@@ -84,19 +84,30 @@ def contamination_audit(
     )
 
 
-def decontaminate(
+def contaminated_ids(
     docs: DataFrame, eval_docs: DataFrame, n: int = DECON_N
 ) -> DataFrame:
-    """Corpus minus every doc sharing an n-gram with the eval set —
-    a broadcast LEFT ANTI join against the (tiny) contaminated-id set."""
+    """(doc_id) of every doc sharing an n-gram with the eval set —
+    the id set is contamination-sized (broadcastable); the corpus gram
+    stream meets the broadcast eval grams map-side, zero full-corpus
+    shuffles."""
     eg = eval_gram_set(eval_docs, n)
-    bad = (
+    return (
         _gram_hashes(docs, n)
         .join(F.broadcast(eg), "g")
         .select("doc_id")
         .distinct()
     )
-    return docs.join(F.broadcast(bad), "doc_id", "left_anti")
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = DECON_N
+) -> DataFrame:
+    """Corpus minus every doc sharing an n-gram with the eval set —
+    a broadcast LEFT ANTI join against the (tiny) contaminated-id set."""
+    return docs.join(
+        F.broadcast(contaminated_ids(docs, eval_docs, n)), "doc_id", "left_anti"
+    )
 
 
 _GRAM_CONCAT = " || ' ' || ".join(f"w[i+{j}]" for j in range(DECON_N))

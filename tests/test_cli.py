@@ -726,3 +726,60 @@ def test_crawl_nightly_content_ledger_cross_night_dedup(spark, tmp_path, capsys)
     assert {
         r["doc_id"] for r in spark.read.parquet(con_led).select("doc_id").collect()
     } == {1, 2, 12, 21}
+
+
+def test_crawl_nightly_decontam_gate(spark, tmp_path, capsys):
+    """--decontam: a page embedding an eval-benchmark 8-gram drops
+    with outcome 'contaminated' BEFORE the content ledger (no
+    residency); clean pages keep."""
+    import pandas as pd
+
+    from radares_spark.cli import main
+
+    eval_q = (
+        "what is the capital city of the ancient kingdom mentioned in "
+        "the third passage"
+    )
+    clean = (
+        "a long report on river navigation describing locks and barges "
+        "and the seasonal floods that shaped trade along the banks " * 5
+    )
+    padding = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "on the plain and the morning train arrives at the station " * 4
+    )
+    dirty = padding + eval_q + " plus trailing words to finish the page"
+    evals = str(tmp_path / "evals")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9000], "text": [eval_q]})
+    ).write.parquet(evals)
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "url": ["https://a.example.com/dirty", "https://b.example.com/clean"],
+                "html": [f"<html><body><p>{b}</p></body></html>" for b in (dirty, clean)],
+            }
+        )
+    ).write.parquet(src)
+    out = tmp_path / "out"
+    con_led = str(tmp_path / "content_ledger")
+    rc = main(
+        ["crawl-nightly", "--pages", src, "--url-ledger", str(tmp_path / "ul"),
+         "--out", str(out), "--content-ledger", con_led, "--decontam", evals]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "contaminated: 1" in printed and "kept: 1" in printed
+    audit = {
+        r["doc_id"]: r["outcome"]
+        for r in spark.read.parquet(str(out / "audit")).collect()
+    }
+    assert audit == {0: "contaminated", 1: "kept"}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(str(out / "kept")).collect()
+    } == {1}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(con_led).select("doc_id").collect()
+    } == {1}
