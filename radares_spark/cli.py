@@ -543,6 +543,14 @@ def cmd_shards_export(
     return export_training_shards(spark, shards_dir, out_dir, seed, n_shards)
 
 
+def cmd_shards_stats(spark: SparkSession, shards_dir: str) -> dict:
+    """Shard-store health (``pipeline/shards.py::shards_health``) —
+    the store twin of ``corpus-health``/``verify``."""
+    from radares_spark.pipeline.shards import shards_health
+
+    return shards_health(spark, shards_dir)
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -608,6 +616,8 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--out", required=True, help="training-epoch output dir (shard=S/ partitions)")
     se.add_argument("--seed", type=int, required=True, help="epoch shuffle seed")
     se.add_argument("--n-shards", type=int, default=1024)
+    ss = sub.add_parser("shards-stats")
+    ss.add_argument("--shards", required=True, help="sealed shard store dir")
     args = p.parse_args(argv)
     if args.cmd == "verify" and not args.warehouse:
         p.error("verify requires --warehouse")
@@ -637,6 +647,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")
+        return 0
+    if args.cmd == "shards-stats":
+        stats = cmd_shards_stats(spark, args.shards)
+        for key in sorted(stats):
+            print(f"{key}: {stats[key]}")
         return 0
     if args.cmd == "crawl-nightly":
         counts = cmd_crawl_nightly(

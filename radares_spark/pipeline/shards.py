@@ -380,6 +380,53 @@ def export_training_shards(
     }
 
 
+def shards_health(spark: SparkSession, shards_dir: str) -> dict:
+    """Operator-facing store report (the shard twin of
+    ``corpus_health_report``): meta identity plus ONE aggregate over
+    sealed sequences — epochs, sequences, tokens, docs-per-sequence
+    spread, and the invariant flags a corrupted store would trip
+    (every sealed row exactly ctx_len tokens; manifests tile)."""
+    meta = _meta_row(spark, shards_dir)
+    ctx_len = int(meta["ctx_len"])
+    sealed = read_shards(spark, shards_dir)
+    row = sealed.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.countDistinct("epoch").alias("n_epochs"),
+        F.coalesce(F.sum(F.size("input_ids")), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).alias("max_docs_per_seq"),
+        F.coalesce(F.avg("n_docs"), F.lit(0.0)).alias("avg_docs_per_seq"),
+        F.coalesce(
+            F.sum(F.when(F.size("input_ids") != ctx_len, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_bad_len"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.aggregate(
+                        "doc_spans", F.lit(0), lambda acc, s: acc + s["n"]
+                    )
+                    != ctx_len,
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_bad_manifest"),
+    ).head()
+    return {
+        "ctx_len": ctx_len,
+        "vocab_fp": meta["vocab_fp"],
+        "next_epoch": int(meta["next_epoch"]),
+        "next_token_offset": int(meta["next_token_offset"]),
+        "n_sequences": row["n_sequences"],
+        "n_epochs": row["n_epochs"],
+        "n_sealed_tokens": row["n_tokens"],
+        "max_docs_per_seq": row["max_docs_per_seq"],
+        "avg_docs_per_seq": round(float(row["avg_docs_per_seq"]), 2),
+        "n_bad_len": row["n_bad_len"],
+        "n_bad_manifest": row["n_bad_manifest"],
+    }
+
+
 def _meta_row(spark: SparkSession, shards_dir: str):
     return spark.read.parquet(f"{shards_dir}/_meta").head()
 

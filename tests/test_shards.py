@@ -508,5 +508,40 @@ def test_export_training_shards_one_ordered_file_per_shard(
     )
 
 
+def test_shards_health_report(spark, tmp_path, tokenizer, replica, capsys):
+    from radares_spark.cli import main
+    from radares_spark.pipeline.shards import shards_health
+
+    table, merges_ref, vocab = replica
+    store, stats = _run_nights(spark, tmp_path, tokenizer)
+    h = shards_health(spark, store)
+    total = sum(
+        len(_ref_encode(t, table, merges_ref, vocab)) for n in NIGHTS for _, t in n
+    )
+    assert h["ctx_len"] == CTX
+    assert h["next_epoch"] == 3
+    assert h["next_token_offset"] == total
+    assert h["n_sequences"] == total // CTX
+    assert h["n_sealed_tokens"] == (total // CTX) * CTX
+    assert h["n_bad_len"] == 0 and h["n_bad_manifest"] == 0
+    assert h["n_epochs"] == sum(1 for s in stats if s["n_sealed"])
+    # CLI face
+    assert main(["shards-stats", "--shards", store]) == 0
+    printed = capsys.readouterr().out
+    assert f"n_sequences: {total // CTX}" in printed
+    assert "n_bad_len: 0" in printed
+
+
+def test_shards_health_empty_store(spark, tmp_path, tokenizer):
+    from radares_spark.pipeline.shards import shards_health
+
+    word_syms, merges = tokenizer
+    store = str(tmp_path / "virgin")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    h = shards_health(spark, store)
+    assert h["n_sequences"] == 0 and h["n_sealed_tokens"] == 0
+    assert h["next_epoch"] == 0 and h["n_bad_len"] == 0
+
+
 def test_default_ctx_is_sane():
     assert SHARD_CTX == 256
