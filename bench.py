@@ -102,6 +102,7 @@ EXTRA = [
     "text_bm25_topk",  # r7: Okapi BM25 ranked retrieval
     "text_hybrid_rrf_topk",  # r7: BM25 + sparse-cosine RRF fusion
     "shards_pack",  # r8: token-id encode + fixed-ctx sequence packing
+    "shards_manifest_audit",  # r9: driver-registered manifest audit
 ]
 
 
@@ -483,6 +484,11 @@ def main() -> None:
                 "warm_headline": {
                     n: warm[n] for n in HEADLINE if n in warm
                 },
+                # same survival trick for the EXTRA tier (r8 verdict
+                # #5): the LLM-pipeline queries' warm medians — where
+                # each round's new work lands — previously survived
+                # only as cold_s once the head truncated
+                "warm_extra": {n: warm[n] for n in EXTRA if n in warm},
                 "unit": "sec",
                 "warm_reps": WARM_REPS,
                 # WARM medians for these plans measure a checkpoint

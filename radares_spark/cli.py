@@ -356,39 +356,69 @@ def cmd_crawl_nightly(
             to_fetch, max_per_domain=max_per_domain, max_bucket=max_bucket
         )
         if semantic_store:
-            # opt-in semantic gate: tonight's survivors against the
-            # KEPT corpus's IVF vector store (the one corpus-refresh
-            # --ivf-store maintains) — semantic twins of resident docs
-            # drop with outcome semantic_dup; the probe reads only the
-            # delta's assigned cell partitions (DPP-pruned)
+            # opt-in semantic gate, two halves under one tau: (a)
+            # tonight's survivors against the KEPT corpus's IVF vector
+            # store (the one corpus-refresh --ivf-store maintains) —
+            # semantic twins of RESIDENT docs drop with outcome
+            # semantic_dup, the probe reading only the delta's assigned
+            # cell partitions (DPP-pruned); (b) cluster-blocked SemDeDup
+            # WITHIN tonight's survivors — same-night paraphrase twins
+            # drop with outcome semantic_dup_intra
             from radares_spark.operators.embed import hashed_tf
             from radares_spark.operators.semdedup import (
                 semdedup_admit_from_store,
+                semdedup_audit,
+                store_centroids,
+            )
+            from radares_spark.operators.similarity import (
+                assign_to_centroids,
             )
 
-            dim = len(
-                spark.read.parquet(f"{semantic_store}/_centroids")
-                .head()["cv"]
-            )
+            cents, dim = store_centroids(spark, semantic_store)
+            cents = cents.localCheckpoint()
             vecs = hashed_tf(kept.select("doc_id", "text"), dim).select(
                 F.col("doc_id").alias("vec_id"),
                 F.col("embedding").alias("v"),
                 F.lit(1.0).alias("nrm"),
-            )
+            ).localCheckpoint()  # feeds the store gate AND the intra gate
             sem = semdedup_admit_from_store(
                 spark, semantic_store, vecs, tau=semantic_tau
             ).localCheckpoint()
             sem_drop = sem.filter(F.col("outcome") == "semantic_dup").select(
                 F.col("vec_id").alias("doc_id")
             )
-            kept = kept.join(sem_drop, "doc_id", "left_anti")
-            audit = audit.join(
-                sem_drop.withColumn("sem", F.lit(True)), "doc_id", "left"
-            ).select(
+            # WITHIN-night twins (r8 verdict #2): two same-night
+            # paraphrases both pass the store gate (the resident corpus
+            # knows neither) and the lexical near-dedup (word order
+            # changes shingles but not the tf vector) — so run
+            # cluster-blocked SemDeDup over tonight's store-gate
+            # SURVIVORS, blocked by the store's frozen cells: at most
+            # one member of each same-night semantic family proceeds
+            # to residency, outcome semantic_dup_intra. Delta-sized
+            # work — one centroid broadcast + one shuffle on cell over
+            # tonight's kept set, never the resident corpus.
+            members = vecs.join(
+                sem.filter(F.col("outcome") == "kept").select("vec_id"),
+                "vec_id",
+                "left_semi",
+            )
+            intra = semdedup_audit(
+                members.join(assign_to_centroids(members, cents), "vec_id")
+                .select("vec_id", "cell", "v", "nrm"),
+                cents,
+                tau=semantic_tau,
+            )
+            intra_drop = intra.filter(~F.col("kept")).select(
+                F.col("vec_id").alias("doc_id"),
+                F.lit("semantic_dup_intra").alias("__sem_out"),
+            )
+            all_sem_drop = sem_drop.withColumn(
+                "__sem_out", F.lit("semantic_dup")
+            ).unionByName(intra_drop).localCheckpoint()
+            kept = kept.join(all_sem_drop.select("doc_id"), "doc_id", "left_anti")
+            audit = audit.join(all_sem_drop, "doc_id", "left").select(
                 "doc_id",
-                F.when(F.col("sem"), F.lit("semantic_dup"))
-                .otherwise(F.col("outcome"))
-                .alias("outcome"),
+                F.coalesce(F.col("__sem_out"), F.col("outcome")).alias("outcome"),
             )
         if decontam_path:
             # benchmark decontamination (operators/decontam.py): a doc
@@ -528,6 +558,45 @@ def cmd_shards_append(
     )
 
 
+def cmd_shards_reshard(
+    spark: SparkSession,
+    docs_path: str,
+    tok_dir: str,
+    shards_dir: str,
+    out_dir: str,
+    night: str | None = None,
+) -> dict:
+    """Tokenizer-bump rebuild (``pipeline/shards.py::reshard_shards``):
+    the kept corpus re-encoded under the NEW frozen tokenizer into a
+    NEW store; the serving store is untouched until the operator swaps
+    paths. This is the documented remedy ``shards-append``'s vocab
+    fail-fast points at."""
+    from radares_spark.operators.bpe import load_tokenizer
+    from radares_spark.pipeline.shards import reshard_shards
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    word_syms, merges = load_tokenizer(spark, tok_dir)
+    return reshard_shards(
+        spark, shards_dir, out_dir, docs, word_syms, merges, night=night
+    )
+
+
+def cmd_ivf_retrain(
+    spark: SparkSession,
+    ivf_dir: str,
+    out_dir: str,
+    n_cells: int | None = None,
+    iters: int = 3,
+) -> dict:
+    """Periodic quantizer rebuild consuming ``retrain_due``
+    (``operators/similarity.py::retrain_ivf_store``): fresh k-means
+    over the store's resident vectors into a NEW store; the serving
+    store is untouched until the operator swaps paths."""
+    from radares_spark.operators.similarity import retrain_ivf_store
+
+    return retrain_ivf_store(spark, ivf_dir, out_dir, n_cells=n_cells, iters=iters)
+
+
 def cmd_shards_export(
     spark: SparkSession,
     shards_dir: str,
@@ -595,7 +664,7 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--url-ledger", required=True, help="cross-run canonical-URL ledger dir")
     cn.add_argument("--out", required=True, help="output dir (kept/ + audit/ + url_audit/)")
     cn.add_argument("--max-per-domain", type=int, default=None)
-    cn.add_argument("--semantic-store", default=None, help="optional kept-corpus IVF store: drop admitted pages semantically duplicating resident docs")
+    cn.add_argument("--semantic-store", default=None, help="optional kept-corpus IVF store: drop admitted pages semantically duplicating resident docs (semantic_dup) or each other within the night (semantic_dup_intra)")
     cn.add_argument("--semantic-tau", type=float, default=0.95)
     cn.add_argument("--content-ledger", default=None, help="cross-run content hash+minhash ledger dir: drop pages exactly/nearly duplicating any prior night's kept doc")
     cn.add_argument("--max-bucket", type=int, default=None, help="hot-LSH-bucket cap for within-night near-dup (the 100TB boilerplate guard; capped buckets route through the exact stage)")
@@ -611,6 +680,17 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--tokenizer", required=True, help="frozen tokenizer dir (tokenizer-train --out)")
     sa.add_argument("--shards", required=True, help="shard store dir")
     sa.add_argument("--night", default=None, help="idempotency tag: re-running a completed night is a no-op")
+    sr = sub.add_parser("shards-reshard")
+    sr.add_argument("--docs", required=True, help="kept corpus parquet to re-encode (e.g. the corpus-refresh --store dir)")
+    sr.add_argument("--tokenizer", required=True, help="NEW frozen tokenizer dir")
+    sr.add_argument("--shards", required=True, help="serving shard store (read-only here; untouched until swap)")
+    sr.add_argument("--out", required=True, help="NEW shard store dir (swap after verifying)")
+    sr.add_argument("--night", default=None, help="idempotency tag recorded in the new store")
+    ir = sub.add_parser("ivf-retrain")
+    ir.add_argument("--store", required=True, help="serving IVF store (read-only here; untouched until swap)")
+    ir.add_argument("--out", required=True, help="NEW IVF store dir (swap after verifying)")
+    ir.add_argument("--n-cells", type=int, default=None, help="default: the serving store's cell count")
+    ir.add_argument("--iters", type=int, default=3)
     se = sub.add_parser("shards-export")
     se.add_argument("--shards", required=True, help="sealed shard store dir")
     se.add_argument("--out", required=True, help="training-epoch output dir (shard=S/ partitions)")
@@ -640,6 +720,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")
+        return 0
+    if args.cmd == "shards-reshard":
+        counts = cmd_shards_reshard(
+            spark, args.docs, args.tokenizer, args.shards, args.out, args.night
+        )
+        for key in sorted(counts):
+            print(f"{key}: {counts[key]}")
+        return 0
+    if args.cmd == "ivf-retrain":
+        stats = cmd_ivf_retrain(spark, args.store, args.out, args.n_cells, args.iters)
+        for key in sorted(stats):
+            print(f"{key}: {stats[key]}")
         return 0
     if args.cmd == "shards-export":
         counts = cmd_shards_export(

@@ -116,6 +116,28 @@ def dedup_semantic(spark, sf_dir: str) -> DataFrame:
     return semdedup_audit(members, centroids, SEM_TAU)
 
 
+def store_centroids(spark, ivf_dir: str):
+    """``(centroids_df, dim)`` from an IVF store's ``_centroids``
+    sidecar, with a descriptive failure for a misconfigured store
+    (missing or empty sidecar previously surfaced as a bare
+    ``TypeError: 'NoneType' object is not subscriptable``)."""
+    from radares_spark.io import fs as iofs
+
+    if not iofs.has_parquet(spark, f"{ivf_dir}/_centroids"):
+        raise ValueError(
+            f"IVF store {ivf_dir!r} has no _centroids sidecar — build it "
+            "with init_ivf_from_state / write_ivf_store before probing"
+        )
+    centroids = spark.read.parquet(f"{ivf_dir}/_centroids")
+    head = centroids.head()
+    if head is None:
+        raise ValueError(
+            f"IVF store {ivf_dir!r} has an EMPTY _centroids sidecar — "
+            "re-initialize it with init_ivf_from_state / write_ivf_store"
+        )
+    return centroids, len(head["cv"])
+
+
 def semdedup_admit_from_store(
     spark,
     ivf_dir: str,
@@ -148,11 +170,11 @@ def semdedup_admit_from_store(
     decaying — same frozen-centroid contract, same remedy."""
     from radares_spark.operators.similarity import probe_stored_topk
 
-    centroids = spark.read.parquet(f"{ivf_dir}/_centroids")
+    # dim inferred from the store itself — the dot's unrolled/HOF fold
+    # silently truncates on a wrong dim (build_ivf_index docstring)
+    centroids, store_dim_ = store_centroids(spark, ivf_dir)
     if dim is None:
-        # infer from the store itself — the dot's unrolled/HOF fold
-        # silently truncates on a wrong dim (build_ivf_index docstring)
-        dim = len(centroids.head()["cv"])
+        dim = store_dim_
     top1 = probe_stored_topk(
         spark,
         ivf_dir,

@@ -380,6 +380,64 @@ def refresh_ivf_store(
     }
 
 
+def retrain_ivf_store(
+    spark: SparkSession,
+    ivf_dir: str,
+    out_dir: str,
+    n_cells: int | None = None,
+    iters: int = 3,
+    dim: int | None = None,
+) -> dict:
+    """The remedy for ``retrain_due`` — rebuild the IVF store from its
+    own resident vectors under FRESHLY TRAINED centroids, into a NEW
+    directory (write-new-then-swap: the old store keeps serving,
+    byte-untouched, until the caller flips the path — the same
+    crash-safety story as refresh state dirs).
+
+    What a retrain fixes, by construction: the new ``_stats`` anchor
+    is the mean assigned cosine of the CURRENT residents under the new
+    quantizer, so post-swap deltas drawn from the corpus's present
+    distribution measure drift ~ 0 again; and re-clustering redistributes
+    piled-up cells, restoring the ``n_probe/n_cells`` pruning fraction
+    skew had eroded. Cost is the standard periodic IVF price: ``iters``
+    broadcast-assign passes over the resident vectors plus one
+    partitioned rewrite — scheduled off the telemetry, never nightly.
+
+    ``n_cells``/``dim`` default to the old store's (centroid count /
+    vector length). Returns ``{"n_vectors", "n_cells",
+    "train_mean_cos"}`` for the operator's log."""
+    from radares_spark.operators.semdedup import store_centroids
+
+    if out_dir.rstrip("/") == ivf_dir.rstrip("/"):
+        raise ValueError(
+            "retrain writes a NEW store (write-new-then-swap); out_dir "
+            "must differ from the serving store"
+        )
+    old_centroids, store_dim = store_centroids(spark, ivf_dir)
+    if dim is None:
+        dim = store_dim
+    if n_cells is None:
+        n_cells = old_centroids.count()
+    stored = spark.read.parquet(ivf_dir)
+    data_cols = [c for c in stored.columns if c != "cell"]
+    # the resident vectors, shed of their stale cell column; pinned —
+    # training re-reads them iters+1 times
+    normed = stored.select(*data_cols).localCheckpoint()
+    assignment, centroids = build_ivf_index(
+        normed, n_cells=n_cells, iters=iters, dim=dim
+    )
+    write_ivf_store(
+        spark, normed, assignment.localCheckpoint(),
+        centroids.localCheckpoint(), out_dir,
+    )
+    stats = spark.read.parquet(f"{out_dir}/_stats").head()
+    return {
+        "n_vectors": int(stats["n"]),
+        "n_cells": n_cells,
+        "train_mean_cos": stats["train_mean_cos"],
+    }
+
+
 def probe_stored_topk(
     spark: SparkSession,
     path: str,

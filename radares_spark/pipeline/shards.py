@@ -62,8 +62,12 @@ from radares_spark.operators.bpe import (
     _initial_symbols,
     normalize_text,
 )
-from radares_spark.operators.dedup import _md5
+from radares_spark.operators.dedup import NORM_SQL, _md5
 from radares_spark.pipeline.corpus import N_BUDGET_BUCKETS
+from radares_spark.registry import QuerySpec
+
+# the oracle's normalize_text mirror over the documents table
+_NORM_SQL_DOC = NORM_SQL.format(c="coalesce(text, '')")
 
 SHARD_CTX = 256
 UNK_ID = 0  # reserved: symbols outside the trained vocabulary
@@ -363,7 +367,13 @@ def export_training_shards(
     task (shards may share a task), ``sortWithinPartitions(shard,
     pos)`` makes them contiguous and ordered inside it, and the
     partitionBy writer then splits per shard value — so each shard
-    dir receives its rows from exactly one task, in order."""
+    dir receives its rows from exactly one task, in order.
+
+    A store with no sealed epoch yet exports cleanly as zeros (an
+    empty partitioned write would otherwise read back as an opaque
+    'unable to infer schema' AnalysisException)."""
+    if not _has_epoch(spark, shards_dir):
+        return {"n_sequences": 0, "n_shards_written": 0}
     sealed = read_shards(spark, shards_dir)
     ordered = training_order(sealed, seed, n_shards)
     (
@@ -439,12 +449,29 @@ def _write_meta(
     next_epoch: int,
     next_token_offset: int,
     last_night: str | None = None,
+    nights: list[str] | None = None,
 ) -> None:
+    # ``nights`` is the FULL set of completed night tags, not just the
+    # latest: a completed night's re-run must no-op even when later
+    # nights have run since (the last-tag-only form silently
+    # double-appended any older completed night). One string per night
+    # in a one-row meta — kilobytes for years of nightly tags.
     spark.createDataFrame(
-        [(ctx_len, vocab_fp, next_epoch, next_token_offset, last_night)],
+        [(ctx_len, vocab_fp, next_epoch, next_token_offset, last_night, nights or [])],
         "ctx_len int, vocab_fp string, next_epoch int, "
-        "next_token_offset long, last_night string",
+        "next_token_offset long, last_night string, nights array<string>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{shards_dir}/_meta")
+
+
+def _completed_nights(meta) -> list[str]:
+    """Completed night tags from a meta row; stores predating the
+    ``nights`` column fall back to the last tag alone."""
+    d = meta.asDict()
+    nights = d.get("nights")
+    if nights:
+        return list(nights)
+    last = d.get("last_night")
+    return [last] if last is not None else []
 
 
 def init_shards(
@@ -484,15 +511,17 @@ def append_shards(
     remedy, exactly like an IVF retrain).
 
     ``night`` is the operator-level idempotency tag (the crawl-nightly
-    completed-night discipline): the tag persists in ``_meta`` — which
-    writes LAST — so re-running a COMPLETED night is a recognized
-    no-op (``already_appended: 1``) instead of a double-append, while
-    a night that crashed anywhere earlier never recorded its tag and
-    reruns in full."""
+    completed-night discipline): the full SET of completed tags
+    persists in ``_meta`` — which writes LAST — so re-running ANY
+    completed night is a recognized no-op (``already_appended: 1``)
+    instead of a double-append, even after later nights have run,
+    while a night that crashed anywhere earlier never recorded its
+    tag and reruns in full."""
     meta = _meta_row(spark, shards_dir)
     ctx_len, epoch = int(meta["ctx_len"]), int(meta["next_epoch"])
     prior_total = int(meta["next_token_offset"])
-    if night is not None and meta.asDict().get("last_night") == night:
+    done_nights = _completed_nights(meta)
+    if night is not None and night in done_nights:
         return {
             "already_appended": 1,
             "epoch": epoch - 1,
@@ -552,7 +581,16 @@ def append_shards(
     frontier_new.coalesce(1).write.mode("overwrite").parquet(
         f"{shards_dir}/_frontier_{epoch}"
     )
-    _write_meta(spark, shards_dir, ctx_len, fp, epoch + 1, total, night)
+    _write_meta(
+        spark,
+        shards_dir,
+        ctx_len,
+        fp,
+        epoch + 1,
+        total,
+        night,
+        done_nights + [night] if night is not None else done_nights,
+    )
     if epoch > 0:
         # now superseded; rerun-safety no longer needs it
         fs_delete(spark, f"{shards_dir}/_frontier_{epoch - 1}")
@@ -563,6 +601,184 @@ def append_shards(
         "n_sealed": int(n_sealed),
         "n_total_tokens": total,
     }
+
+
+def reshard_shards(
+    spark: SparkSession,
+    shards_dir: str,
+    out_dir: str,
+    docs: DataFrame,
+    word_syms: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    ctx_len: int | None = None,
+    night: str | None = None,
+) -> dict:
+    """The remedy for a tokenizer bump — the ONE lifecycle event
+    ``append_shards``'s vocab-fingerprint fail-fast defends against
+    but (before r9) had no implementation: rebuild the shard store
+    from the kept corpus under the NEW tokenizer, into a NEW directory
+    (write-new-then-swap — the old store keeps serving, byte-untouched,
+    until the caller flips the path; the IVF retrain's contract).
+
+    Sealed token ids are a pure function of (corpus, tokenizer), so a
+    re-shard is exactly from-scratch packing: init under the new
+    vocab's fingerprint + one append of the full kept corpus — one
+    encode pass + one packing shuffle, the same cost as the original
+    night-zero, scheduled off the tokenizer release, never nightly.
+    ``ctx_len`` defaults to the old store's (sequence length is a
+    training contract that survives a vocab bump); ``night`` seeds the
+    new store's completed-tags ledger so nightly appends resume after
+    the swap without replaying the rebuild night."""
+    if out_dir.rstrip("/") == shards_dir.rstrip("/"):
+        raise ValueError(
+            "re-shard writes a NEW store (write-new-then-swap); out_dir "
+            "must differ from the serving store"
+        )
+    old_meta = _meta_row(spark, shards_dir)
+    if ctx_len is None:
+        ctx_len = int(old_meta["ctx_len"])
+    vocab = token_vocab(word_syms, merges)
+    fp = vocab_fingerprint(vocab)
+    init_shards(spark, out_dir, vocab, ctx_len=ctx_len)
+    stats = append_shards(
+        spark, out_dir, docs, word_syms, merges, text_col=text_col, night=night
+    )
+    return {
+        **stats,
+        "old_vocab_fp": old_meta["vocab_fp"],
+        "new_vocab_fp": fp,
+        "tokenizer_changed": int(fp != old_meta["vocab_fp"]),
+    }
+
+
+# --- driver-window audit (r9): the terminal tier under the oracle ----
+#
+# Token IDS are not SQL-expressible (they depend on the trained BPE
+# table), but the packing MANIFEST is: under a char-level tokenizer
+# (every corpus word -> its _initial_symbols, no merges) a doc's token
+# count is exactly its normalized non-space character count, which
+# DuckDB computes independently — so every manifest invariant of a
+# packed sequence (length, span coverage, doc membership, span tiling)
+# becomes a value-verified driver row instead of a replica-only claim.
+# The Spark side runs the REAL encode_ids -> pack_ids path; the oracle
+# never sees a token id, only arithmetic over documents.
+
+SHARDS_AUDIT_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               {norm} AS norm,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {buckets} AS bucket
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, bucket,
+               CASE WHEN norm = '' THEN 0
+                    ELSE len(replace(norm, ' ', '')) END AS n
+        FROM toks
+    ),
+    placed AS (
+        SELECT doc_id, n,
+               (sum(n) OVER (ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n)::BIGINT AS off
+        FROM sized
+    ),
+    pieces AS (
+        SELECT doc_id, s AS seq_id,
+               (off + greatest(s * {ctx} - off, 0) - s * {ctx})::INT AS begin,
+               (least((s + 1) * {ctx} - off, n)
+                - greatest(s * {ctx} - off, 0))::INT AS pn
+        FROM placed,
+             LATERAL unnest(generate_series(off // {ctx},
+                                            (off + n - 1) // {ctx})) AS t(s)
+        WHERE n > 0
+    ),
+    tiled AS (
+        SELECT seq_id, doc_id, begin, pn,
+               coalesce(sum(pn) OVER (PARTITION BY seq_id ORDER BY begin
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0) AS want_begin
+        FROM pieces
+    )
+    SELECT seq_id,
+           count(*)::INT AS n_docs,
+           sum(pn)::BIGINT AS seq_len,
+           sum(pn)::BIGINT AS span_sum,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc,
+           bool_and(begin = want_begin) AS spans_tiled
+    FROM tiled
+    GROUP BY seq_id
+"""
+
+
+def shards_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per packed sequence over the documents table, via the
+    production :func:`encode_ids` -> :func:`pack_ids` path under a
+    char-level tokenizer: (seq_id, n_docs, seq_len, span_sum, min_doc,
+    max_doc, spans_tiled). ``seq_len`` comes from the ACTUAL id arrays
+    and ``span_sum``/``spans_tiled`` from the doc_spans manifest, so
+    the oracle's independent character arithmetic cross-checks both
+    the token stream length and the manifest geometry."""
+    from radares_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    # vocabulary-sized: the distinct-word table with char symbols (the
+    # zero-merge tokenizer); the corpus token stream still resolves ids
+    # through encode_ids' dictionary join, never a per-token probe
+    word_syms = (
+        docs.select(F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .select("word", _initial_symbols(F.col("word")).alias("syms"))
+    )
+    seqs = pack_ids(encode_ids(docs, word_syms), ctx_len=SHARD_CTX)
+    tiled = F.aggregate(
+        "doc_spans",
+        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
+        lambda acc, s: F.struct(
+            (acc["pos"] + s["n"]).alias("pos"),
+            (acc["ok"] & (s["begin"] == acc["pos"])).alias("ok"),
+        ),
+        lambda acc: acc["ok"],
+    )
+    return seqs.select(
+        "seq_id",
+        "n_docs",
+        F.size("input_ids").cast("long").alias("seq_len"),
+        F.aggregate(
+            "doc_spans", F.lit(0).cast("long"), lambda a, s: a + s["n"]
+        ).alias("span_sum"),
+        F.array_min(F.transform("doc_spans", lambda s: s["doc_id"])).alias(
+            "min_doc"
+        ),
+        F.array_max(F.transform("doc_spans", lambda s: s["doc_id"])).alias(
+            "max_doc"
+        ),
+        tiled.alias("spans_tiled"),
+    )
+
+
+DRIVER_SPECS: dict[str, QuerySpec] = {
+    "shards_manifest_audit": QuerySpec(
+        name="shards_manifest_audit",
+        fn=shards_manifest_audit,
+        oracle=SHARDS_AUDIT_SQL.format(
+            norm=_NORM_SQL_DOC, ctx=SHARD_CTX, buckets=N_BUDGET_BUCKETS
+        ),
+        survey="LLM-pipeline (train-ready shard store: packed-sequence "
+        "manifest audit — the terminal tier under the driver oracle)",
+        doc=f"Sequence-level invariants of the {SHARD_CTX}-token id "
+        "packing (encode_ids -> pack_ids under a char-level tokenizer): "
+        "actual id-array length, doc_spans coverage and tiling, doc "
+        "membership — all value-checked against DuckDB's independent "
+        "character arithmetic. Same two-phase prefix-sum shape as the "
+        "production shard store.",
+    ),
+}
 
 
 def read_shards(spark: SparkSession, shards_dir: str) -> DataFrame:

@@ -33,12 +33,18 @@ from radares_spark.plans import tpch_extra  # noqa: E402,F401
 # q10/q19/q15 moved to LIBRARY_SPECS in their modules — each keeps a
 # same-SURVEY-id sibling registered: J4/A3/top-k via q3/q5/q7+q18,
 # F-disjunction via relational_checks_suite, A3 via q11).
+# r9 rotation: shards_manifest_audit (the train-shard terminal tier
+# under the driver oracle) enters; q4_priority_exists moves to the
+# library tier in tpch_more (J3 stays via q18/q21, F2 via
+# relational_checks_suite, A1 via calendar_gap_fill_orders).
 from radares_spark.operators import retrieval as _retrieval  # noqa: E402
+from radares_spark.pipeline import shards as _shards  # noqa: E402
 from radares_spark.pipeline import snapshot as _snapshot  # noqa: E402
 
 for _spec in (
     *_snapshot.DRIVER_SPECS.values(),
     *_retrieval.DRIVER_SPECS.values(),
+    *_shards.DRIVER_SPECS.values(),
 ):
     assert _spec.name not in REGISTRY, _spec.name
     REGISTRY[_spec.name] = _spec

@@ -57,7 +57,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-@register(
+@_library(
+    # r9 window rotation: demoted to library tier to make room for
+    # shards_manifest_audit — every SURVEY id stays driver-covered
+    # (J3 via q18/q21, F2 via relational_checks_suite, A1 via
+    # calendar_gap_fill_orders); still strict-hash-swept here.
     "q4_priority_exists",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count

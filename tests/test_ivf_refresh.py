@@ -227,3 +227,109 @@ def test_drift_telemetry_trips_on_concentrated_delta(spark, tmp_path):
     # collapses => the drop clears the threshold
     assert abs(s2["delta_mean_cos"]) < 0.1, s2
     assert s2["drift"] > DRIFT_COS_DROP and s2["retrain_due"], s2
+
+
+def _weird_rows(path, spark, n, id0):
+    """Vectors orthogonal to every stored centroid (the drift test's
+    Gram-Schmidt construction) — content the quantizer never saw."""
+    import numpy as np
+
+    cents = np.array(
+        [r["cv"] for r in spark.read.parquet(f"{path}/_centroids").collect()]
+    )
+    dim = cents.shape[1]
+    rng = np.random.default_rng(11)
+    rows = []
+    for j in range(n):
+        v = rng.standard_normal(dim)
+        for c in cents:
+            cn = c / np.linalg.norm(c)
+            v -= np.dot(v, cn) * cn
+        v /= np.linalg.norm(v)
+        rows.append((id0 + j, 999, [float(x) for x in v], 1.0))
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>, nrm double"
+    )
+
+
+def test_retrain_consumes_retrain_due_and_resets_drift(spark, tmp_path):
+    """r8 verdict #1: the telemetry emits retrain_due but nothing acted
+    on it. Pin the full loop — drifted delta trips the signal, the
+    retrain rebuilds into a NEW store (serving store byte-untouched),
+    full probe over the retrained store equals exact brute force, and
+    a delta drawn from the store's NEW distribution measures drift
+    ~ 0 under the refreshed _stats anchor."""
+    from radares_spark.operators.similarity import (
+        cosine_topk,
+        retrain_ivf_store,
+    )
+
+    normed = _normed(spark, SF_SMOKE).localCheckpoint()
+    assignment, centroids = build_ivf_index(normed, n_cells=N_CELLS, iters=3)
+    path = str(tmp_path / "store")
+    write_ivf_store(
+        spark, normed, assignment.localCheckpoint(),
+        centroids.localCheckpoint(), path,
+    )
+    none_removed = spark.createDataFrame([], "vec_id long")
+    s = refresh_ivf_store(
+        spark, _weird_rows(path, spark, 5, 900000).localCheckpoint(),
+        none_removed, path,
+    )
+    assert s["retrain_due"], s
+
+    import glob
+    import os
+
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    out = str(tmp_path / "retrained")
+    r = retrain_ivf_store(spark, path, out)
+    assert r["n_cells"] == N_CELLS
+    assert r["n_vectors"] == normed.count() + 5
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    assert after == before  # serving store untouched until swap
+
+    # recall floor: full probe over the retrained store IS exact search
+    residents = spark.read.parquet(out).drop("cell").localCheckpoint()
+    queries = residents.filter(F.col("vec_id") < 8)
+    exact = {
+        (r2["query_id"], r2["neighbor_id"])
+        for r2 in cosine_topk(residents, queries, k=TOP_K).collect()
+    }
+    new_cents = spark.read.parquet(f"{out}/_centroids")
+    full = {
+        (r2["query_id"], r2["neighbor_id"])
+        for r2 in probe_stored_topk(
+            spark, out, new_cents, queries, n_probe=N_CELLS, k=TOP_K
+        ).collect()
+    }
+    assert full == exact
+
+    # drift anchor reset: a delta that IS the new resident distribution
+    # (every resident re-appearing under a shifted id) measures 0 drift
+    copies = residents.select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "label", "v", "nrm"
+    )
+    s2 = refresh_ivf_store(spark, copies.localCheckpoint(), none_removed, out)
+    assert s2["drift"] is not None and abs(s2["drift"]) < 1e-6, s2
+
+    with pytest.raises(ValueError, match="must differ"):
+        retrain_ivf_store(spark, path, path)
+
+
+def test_ivf_retrain_cli_face(spark, store, tmp_path, capsys):
+    from radares_spark.cli import main
+
+    _normed_df, _assignment, _centroids, path = store
+    out = str(tmp_path / "retrained_cli")
+    rc = main(["ivf-retrain", "--store", path, "--out", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert f"n_cells: {N_CELLS}" in printed
+    assert os.path.isdir(f"{out}/_centroids")

@@ -462,7 +462,24 @@ def test_capped_refresh_hot_bucket_churns_across_cap(spark, tmp_path):
     _assert_matches_batch_capped(spark, docs2, audit2, CAP)
     a2 = _audit_map(audit2)
     assert all(a2[i] == "kept" for i in hot), a2
-    assert stats2["n_hot_buckets"] > 0  # the cap demonstrably fired
+    assert stats2["n_hot_buckets_touched"] > 0  # the cap demonstrably fired
+    # stat semantics (r8 verdict #6): global == what batch
+    # lsh_pairs_capped reports on the same snapshot; touched (hot
+    # buckets among tonight's candidate buckets) never exceeds it
+    from pyspark.sql import functions as F
+
+    from radares_spark.operators.dedup import lsh_bands, minhash_signatures
+    from radares_spark.operators.dedup import lsh_pairs_capped as _lpc
+
+    alive2 = audit2.filter(F.col("outcome").isin("kept", "near_dup")).select(
+        "doc_id"
+    )
+    _, batch_hot2 = _lpc(
+        lsh_bands(minhash_signatures(docs2.join(alive2, "doc_id", "left_semi"))),
+        CAP,
+    )
+    assert stats2["n_hot_buckets_global"] == batch_hot2.count()
+    assert stats2["n_hot_buckets_touched"] <= stats2["n_hot_buckets_global"]
 
 
 def test_capped_refresh_randomized_churn(spark, tmp_path):

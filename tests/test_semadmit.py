@@ -299,3 +299,115 @@ def test_crawl_nightly_semantic_and_content_gates_compose(spark, tmp_path):
         for r in spark.read.parquet(con_led).select("doc_id").collect()
     }
     assert led_ids == {1, 12}
+
+
+def test_misconfigured_store_raises_descriptive_error(spark, store, tmp_path):
+    """A missing or empty _centroids sidecar must name the store and
+    the init prerequisite, not die with a bare 'NoneType is not
+    subscriptable' TypeError (r8 advice)."""
+    from radares_spark.operators.semdedup import store_centroids
+
+    normed, path = store
+    delta = normed.limit(1)
+    missing = str(tmp_path / "not_a_store")
+    with pytest.raises(ValueError, match="no _centroids sidecar"):
+        semdedup_admit_from_store(spark, missing, delta)
+    empty = str(tmp_path / "empty_store")
+    spark.read.parquet(f"{path}/_centroids").limit(0).write.parquet(
+        f"{empty}/_centroids"
+    )
+    with pytest.raises(ValueError, match="EMPTY _centroids"):
+        semdedup_admit_from_store(spark, empty, delta)
+    # the healthy path still infers the dim from the sidecar
+    _, dim = store_centroids(spark, path)
+    assert dim == len(normed.head()["v"])
+
+
+def test_crawl_nightly_intra_night_semantic_twins(spark, tmp_path):
+    """r8 verdict #2 (the within-night hole): two lexically-distinct
+    paraphrases of the SAME article arriving the SAME night pass the
+    store gate (the resident corpus knows neither) and the lexical
+    near-dedup (word order changes every shingle but not the tf
+    vector) — the intra-night cluster-blocked SemDeDup must keep
+    exactly one, and only the survivor may claim content-ledger
+    residency."""
+    import pandas as pd
+
+    from radares_spark.cli import main
+    from radares_spark.operators.embed import hashed_tf
+
+    body_resident = (
+        "genuine prose with the quick brown fox and many more words "
+        "covering several sentences of plausible english text " * 5
+    )
+    body_twin_a = (
+        "an entirely different article about the history of astronomy "
+        "and the telescopes that mapped the sky in early modern times " * 5
+    )
+    # the same word multiset in reversed order: every shingle differs
+    # (minhash-blind) while the tf vector is identical (cosine 1.0)
+    body_twin_b = " ".join(reversed(body_twin_a.split()))
+    body_novel = (
+        "a long report on river navigation describing locks and barges "
+        "and the seasonal floods that shaped trade along the banks " * 5
+    )
+    resident = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [body_resident]})
+    )
+    vecs = hashed_tf(resident, 16).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").alias("v"),
+        F.lit(1.0).alias("nrm"),
+    ).localCheckpoint()
+    assignment, centroids = build_ivf_index(vecs, n_cells=1, iters=1, dim=16)
+    store_dir = str(tmp_path / "resident_ivf")
+    write_ivf_store(
+        spark, vecs, assignment.localCheckpoint(),
+        centroids.localCheckpoint(), store_dir,
+    )
+
+    pages = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "url": [
+                "https://a.example.com/twin-a",
+                "https://b.example.com/twin-b",
+                "https://c.example.com/novel",
+            ],
+            "html": [
+                f"<html><body><p>{b}</p></body></html>"
+                for b in (body_twin_a, body_twin_b, body_novel)
+            ],
+        }
+    )
+    src = tmp_path / "pages"
+    spark.createDataFrame(pages).write.parquet(str(src))
+    out = tmp_path / "out"
+    con_led = str(tmp_path / "content_ledger")
+    rc = main(
+        [
+            "crawl-nightly", "--pages", str(src),
+            "--url-ledger", str(tmp_path / "ledger"), "--out", str(out),
+            "--semantic-store", store_dir, "--semantic-tau", "0.95",
+            "--content-ledger", con_led,
+        ]
+    )
+    assert rc == 0
+    audit = {
+        r["doc_id"]: r["outcome"]
+        for r in spark.read.parquet(str(out / "audit")).collect()
+    }
+    # ties on centroid_sim break to the smaller vec_id: 0 survives
+    assert audit[0] == "kept", audit
+    assert audit[1] == "semantic_dup_intra", audit
+    assert audit[2] == "kept", audit
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out / "kept")).select("doc_id").collect()
+    }
+    assert kept_ids == {0, 2}
+    led_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(con_led).select("doc_id").collect()
+    }
+    assert led_ids == {0, 2}  # the intra drop claimed no residency

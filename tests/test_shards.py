@@ -353,6 +353,121 @@ def test_completed_night_rerun_is_a_recognized_noop(spark, tmp_path, tokenizer):
     assert "already_appended" not in nxt and nxt["epoch"] == 1
 
 
+def test_older_completed_night_rerun_is_a_noop(spark, tmp_path, tokenizer):
+    """The tag guard covers EVERY completed night, not just the most
+    recent: re-running night n0 after n1 has completed must no-op
+    (the last-tag-only form silently double-appended n0's tokens)."""
+    word_syms, merges = tokenizer
+    store = str(tmp_path / "shards")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    append_shards(
+        spark, store, _night_df(spark, NIGHTS[0]), word_syms, merges, night="n0"
+    )
+    second = append_shards(
+        spark, store, _night_df(spark, NIGHTS[1]), word_syms, merges, night="n1"
+    )
+    meta_before = spark.read.parquet(f"{store}/_meta").head().asDict()
+    again = append_shards(
+        spark, store, _night_df(spark, NIGHTS[0]), word_syms, merges, night="n0"
+    )
+    assert again["already_appended"] == 1 and again["n_sealed"] == 0
+    assert again["n_total_tokens"] == second["n_total_tokens"]
+    assert spark.read.parquet(f"{store}/_meta").head().asDict() == meta_before
+    # and an unseen tag still proceeds
+    nxt = append_shards(
+        spark, store, _night_df(spark, NIGHTS[2]), word_syms, merges, night="n2"
+    )
+    assert "already_appended" not in nxt and nxt["epoch"] == 2
+
+
+def _tree_mtimes(root: str) -> dict:
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_reshard_on_tokenizer_bump(spark, tmp_path, tokenizer):
+    """The documented remedy for the vocab fail-fast (r8 verdict #1):
+    rebuild the store from the kept corpus under the BUMPED tokenizer
+    into a NEW dir — replica-checked against from-scratch packing —
+    while the serving store stays byte-untouched until swap, and
+    nightly appends resume on the new store under the new tokenizer."""
+    from radares_spark.pipeline.shards import reshard_shards
+
+    word_syms, merges = tokenizer
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=2)
+    kept = [d for night in NIGHTS[:2] for d in night]
+    kept_df = _night_df(spark, kept)
+
+    # the bumped tokenizer: 4 merges instead of 12 => new fingerprint
+    docs_train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], ["doc_id", "text"]
+    )
+    merges2, word_syms2 = train_bpe(word_counts(docs_train), n_merges=4)
+    word_syms2 = word_syms2.localCheckpoint()
+    # (sanity: the bump really fail-fasts on the serving store)
+    with pytest.raises(ValueError, match="tokenizer changed"):
+        append_shards(spark, store, kept_df, word_syms2, merges2)
+
+    before = _tree_mtimes(store)
+    out = str(tmp_path / "resharded")
+    stats = reshard_shards(
+        spark, store, out, kept_df, word_syms2, merges2, night="reshard-0"
+    )
+    assert stats["tokenizer_changed"] == 1
+    assert stats["new_vocab_fp"] != stats["old_vocab_fp"]
+    assert _tree_mtimes(store) == before  # serving store untouched
+
+    # the new store == the pure replica packing the SAME corpus from
+    # scratch under the new tokenizer (ctx carried from the old store)
+    merges2_ref, table2_ref = _ref_train(_ref_word_counts(TRAIN), 4)
+    assert merges2_ref == merges2
+    vocab2 = _ref_vocab(table2_ref, merges2_ref)
+    ref_sealed, _ref_tail = _ref_pack(
+        [kept], CTX, table2_ref, merges2_ref, vocab2
+    )
+    got = {
+        r["seq_id"]: (
+            list(r["input_ids"]),
+            [(s["doc_id"], s["begin"], s["n"]) for s in r["doc_spans"]],
+        )
+        for r in read_shards(spark, out).collect()
+    }
+    want = {k: (ids, spans) for (k, ids, spans) in ref_sealed[0]}
+    assert got == want
+
+    # lifecycle resumes: the rebuild night no-ops on re-run, the next
+    # night appends under the NEW tokenizer
+    again = append_shards(
+        spark, out, kept_df, word_syms2, merges2, night="reshard-0"
+    )
+    assert again["already_appended"] == 1
+    nxt = append_shards(
+        spark, out, _night_df(spark, NIGHTS[2]), word_syms2, merges2, night="n2"
+    )
+    assert "already_appended" not in nxt and nxt["epoch"] == 1
+
+    with pytest.raises(ValueError, match="must differ"):
+        reshard_shards(spark, store, store, kept_df, word_syms2, merges2)
+
+
+def test_export_empty_store_returns_zeros(spark, tmp_path, tokenizer):
+    from radares_spark.pipeline.shards import export_training_shards
+
+    word_syms, merges = tokenizer
+    store = str(tmp_path / "virgin")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    stats = export_training_shards(
+        spark, store, str(tmp_path / "epoch0"), seed=7, n_shards=4
+    )
+    assert stats == {"n_sequences": 0, "n_shards_written": 0}
+
+
 def test_save_load_tokenizer_roundtrip(spark, tmp_path, tokenizer):
     from radares_spark.operators.bpe import load_tokenizer, save_tokenizer
 
@@ -545,3 +660,30 @@ def test_shards_health_empty_store(spark, tmp_path, tokenizer):
 
 def test_default_ctx_is_sane():
     assert SHARD_CTX == 256
+
+
+def test_shards_reshard_cli_face(spark, tmp_path, tokenizer, capsys):
+    from radares_spark.cli import main
+    from radares_spark.operators.bpe import save_tokenizer
+    from radares_spark.pipeline.shards import read_shards
+
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=2)
+    kept = str(tmp_path / "kept_docs")
+    _night_df(spark, [d for n in NIGHTS[:2] for d in n]).write.parquet(kept)
+    docs_train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], ["doc_id", "text"]
+    )
+    merges2, word_syms2 = train_bpe(word_counts(docs_train), n_merges=4)
+    tok2 = str(tmp_path / "tok2")
+    save_tokenizer(spark, tok2, word_syms2.localCheckpoint(), merges2)
+    out = str(tmp_path / "new_store")
+    rc = main(
+        [
+            "shards-reshard", "--docs", kept, "--tokenizer", tok2,
+            "--shards", store, "--out", out, "--night", "reshard-0",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "tokenizer_changed: 1" in printed
+    assert read_shards(spark, out).count() > 0
