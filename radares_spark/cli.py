@@ -620,6 +620,18 @@ def cmd_shards_stats(spark: SparkSession, shards_dir: str) -> dict:
     return shards_health(spark, shards_dir)
 
 
+def cmd_shards_verify(
+    spark: SparkSession, shards_dir: str, tok_dir: str | None = None
+) -> dict:
+    """Trainer-facing store validation
+    (``pipeline/shards.py::shards_verify``): recompute the sealed
+    store's invariants from the parquet itself — gate an epoch export
+    on the returned ``ok``."""
+    from radares_spark.pipeline.shards import shards_verify
+
+    return shards_verify(spark, shards_dir, tok_dir)
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -698,6 +710,9 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--n-shards", type=int, default=1024)
     ss = sub.add_parser("shards-stats")
     ss.add_argument("--shards", required=True, help="sealed shard store dir")
+    sv = sub.add_parser("shards-verify")
+    sv.add_argument("--shards", required=True, help="sealed shard store dir")
+    sv.add_argument("--tokenizer", default=None, help="optional tokenizer artifact to check the vocab seal against")
     args = p.parse_args(argv)
     if args.cmd == "verify" and not args.warehouse:
         p.error("verify requires --warehouse")
@@ -745,6 +760,11 @@ def main(argv: list[str] | None = None) -> int:
         for key in sorted(stats):
             print(f"{key}: {stats[key]}")
         return 0
+    if args.cmd == "shards-verify":
+        checks = cmd_shards_verify(spark, args.shards, args.tokenizer)
+        for key in sorted(checks):
+            print(f"{key}: {checks[key]}")
+        return 0 if checks["ok"] else 1
     if args.cmd == "crawl-nightly":
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain,

@@ -407,9 +407,11 @@ def save_tokenizer(
     word_syms.select("word", "syms").write.mode("overwrite").parquet(
         f"{path}/word_syms"
     )
+    # repartition(1), never coalesce(1), on local relations (see
+    # shards._write_meta: coalesce serializes the Python slices)
     spark.createDataFrame(
         [(i, l, r) for i, (l, r) in enumerate(merges)], ["rank", "l", "r"]
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/merges")
 
 
 def load_tokenizer(spark, path: str) -> tuple[DataFrame, list[tuple[str, str]]]:

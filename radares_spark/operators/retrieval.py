@@ -373,7 +373,9 @@ def refresh_postings_store(
         [(n_docs, sum_dl, (sum_dl / n_docs) if n_docs else None, n_buckets)],
         "n_docs long, sum_dl long, avgdl double, n_buckets int",
     )
-    new_meta.coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), never coalesce(1), on local relations (see
+    # shards._write_meta: coalesce serializes the Python slices)
+    new_meta.repartition(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
     return {

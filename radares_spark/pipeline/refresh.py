@@ -124,7 +124,10 @@ def _write_knobs(
             )
         ],
         "keep_langs string, sample_pct int, jaccard_threshold double, max_bucket int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/knobs")
+    ).repartition(1).write.mode("overwrite").parquet(f"{state_dir}/knobs")
+    # repartition(1), never coalesce(1), on local relations — the
+    # coalesce form serializes 32 Python slices in one task, ~4 s of
+    # fixed cost per write (see shards._write_meta)
 
 
 def _check_knobs(
@@ -502,9 +505,9 @@ def init_store(
     # bucket count so a later apply with a different n_buckets (which
     # would mismap docs to partitions and strand stale copies) fails
     # fast instead of corrupting the store
-    spark.createDataFrame([(n_buckets,)], ["n_buckets"]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{store_dir}/_meta")
+    spark.createDataFrame([(n_buckets,)], ["n_buckets"]).repartition(
+        1
+    ).write.mode("overwrite").parquet(f"{store_dir}/_meta")
 
 
 def apply_refresh_to_store(

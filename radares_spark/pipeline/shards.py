@@ -456,11 +456,19 @@ def _write_meta(
     # nights have run since (the last-tag-only form silently
     # double-appended any older completed night). One string per night
     # in a one-row meta — kilobytes for years of nightly tags.
+    #
+    # repartition(1), NEVER coalesce(1), on a createDataFrame local
+    # relation: the relation parallelizes into leaf-parallelism (32)
+    # Python slices, and CoalesceExec(1) evaluates them SEQUENTIALLY
+    # inside one task — one Python-worker round-trip per slice, a
+    # measured ~4 s of fixed cost on EVERY action (this one write was
+    # half the shards_append epoch time). repartition(1) keeps the
+    # single-file layout with the slices evaluated in parallel.
     spark.createDataFrame(
         [(ctx_len, vocab_fp, next_epoch, next_token_offset, last_night, nights or [])],
         "ctx_len int, vocab_fp string, next_epoch int, "
         "next_token_offset long, last_night string, nights array<string>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{shards_dir}/_meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{shards_dir}/_meta")
 
 
 def _completed_nights(meta) -> list[str]:
@@ -493,6 +501,7 @@ def append_shards(
     merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     night: str | None = None,
+    vocab: DataFrame | None = None,
 ) -> dict[str, int]:
     """One nightly append: encode ``delta_docs`` under the store's
     tokenizer, lay their tokens after the stored global offset,
@@ -516,10 +525,29 @@ def append_shards(
     completed night is a recognized no-op (``already_appended: 1``)
     instead of a double-append, even after later nights have run,
     while a night that crashed anywhere earlier never recorded its
-    tag and reruns in full."""
+    tag and reruns in full.
+
+    ``vocab``: optionally the PINNED ``token_vocab(word_syms, merges)``
+    frame — a caller appending many times under one tokenizer (the
+    streaming twin: one append per micro-batch) derives it once per
+    run instead of once per epoch; the fingerprint check still runs
+    per append, so a mid-run tokenizer swap still fails fast."""
     meta = _meta_row(spark, shards_dir)
     ctx_len, epoch = int(meta["ctx_len"]), int(meta["next_epoch"])
     prior_total = int(meta["next_token_offset"])
+    # the tokenizer gate runs BEFORE the completed-night no-op: a
+    # re-run under a swapped tokenizer is a misconfiguration that must
+    # surface even when the tag says "nothing to do" (a silent no-op
+    # would let the operator believe the swap is compatible)
+    if vocab is None:
+        vocab = token_vocab(word_syms, merges).localCheckpoint()
+    fp = vocab_fingerprint(vocab)
+    if fp != meta["vocab_fp"]:
+        raise ValueError(
+            f"tokenizer changed (vocab fingerprint {fp} != sealed "
+            f"{meta['vocab_fp']}): sealed shards would mix id spaces — "
+            "re-shard under the new tokenizer instead"
+        )
     done_nights = _completed_nights(meta)
     if night is not None and night in done_nights:
         return {
@@ -530,14 +558,6 @@ def append_shards(
             "n_sealed": 0,
             "n_total_tokens": prior_total,
         }
-    vocab = token_vocab(word_syms, merges).localCheckpoint()
-    fp = vocab_fingerprint(vocab)
-    if fp != meta["vocab_fp"]:
-        raise ValueError(
-            f"tokenizer changed (vocab fingerprint {fp} != sealed "
-            f"{meta['vocab_fp']}): sealed shards would mix id spaces — "
-            "re-shard under the new tokenizer instead"
-        )
 
     encoded = encode_ids(delta_docs, word_syms, merges, vocab, text_col)
     placed = _placed(encoded, prior_total).localCheckpoint()
@@ -650,6 +670,106 @@ def reshard_shards(
         "new_vocab_fp": fp,
         "tokenizer_changed": int(fp != old_meta["vocab_fp"]),
     }
+
+
+def shards_verify(
+    spark: SparkSession, shards_dir: str, tok_dir: str | None = None
+) -> dict:
+    """Read-side validation a trainer gates on BEFORE an epoch export
+    (``shards-export`` trusts the store; this recomputes its invariants
+    from the parquet itself):
+
+    - ``sealed_ok`` — sequence ids are exactly ``0..n-1`` with no gap
+      or duplicate, and ``n`` equals what the meta's global token
+      offset implies (``next_token_offset // ctx_len``);
+    - ``len_ok`` — every sealed row holds exactly ``ctx_len`` ids;
+    - ``manifest_ok`` — every sealed row's doc_spans tile the sequence
+      contiguously (begin = running sum of prior spans) to exactly
+      ``ctx_len`` AND to the actual id-array length (a manifest that
+      tiles its claimed length over a truncated array is still
+      corrupt);
+    - ``frontier_ok`` — the carried tail holds exactly the tokens
+      between the last sealed boundary and the global offset, offsets
+      contiguous (the tail is < ctx_len tokens — checked driver-side,
+      it is kilobytes by construction);
+    - ``vocab_ok`` — with ``tok_dir``, the tokenizer artifact's vocab
+      fingerprint matches the store's seal (None when not checked).
+
+    One aggregate over the sealed store plus kilobyte sidecar reads;
+    ``ok`` is the conjunction — the exit code of the CLI face."""
+    from radares_spark.operators.bpe import load_tokenizer
+
+    meta = _meta_row(spark, shards_dir)
+    ctx_len, next_epoch = int(meta["ctx_len"]), int(meta["next_epoch"])
+    next_off = int(meta["next_token_offset"])
+    sealed_hi = next_off // ctx_len
+    sealed = read_shards(spark, shards_dir)
+    tiled_ok = F.aggregate(
+        "doc_spans",
+        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
+        lambda acc, s: F.struct(
+            (acc["pos"] + s["n"]).alias("pos"),
+            (acc["ok"] & (s["begin"] == acc["pos"])).alias("ok"),
+        ),
+        lambda acc: acc["ok"]
+        & (acc["pos"] == ctx_len)
+        & (acc["pos"] == F.size("input_ids")),
+    )
+    row = sealed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("seq_id").alias("nd"),
+        F.coalesce(F.min("seq_id"), F.lit(0)).alias("lo"),
+        F.coalesce(F.max("seq_id"), F.lit(-1)).alias("hi"),
+        F.coalesce(
+            F.sum(F.when(F.size("input_ids") != ctx_len, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("bad_len"),
+        F.coalesce(F.sum(F.when(~tiled_ok, 1).otherwise(0)), F.lit(0)).alias(
+            "bad_manifest"
+        ),
+    ).head()
+    n = row["n"]
+    sealed_ok = (
+        n == sealed_hi
+        and row["nd"] == n
+        and (n == 0 or (row["lo"] == 0 and row["hi"] == n - 1))
+    )
+
+    frontier_ok = True
+    if next_epoch > 0:
+        fr = sorted(
+            spark.read.parquet(f"{shards_dir}/_frontier_{next_epoch - 1}")
+            .select("n", "off")
+            .collect(),
+            key=lambda r: r["off"],
+        )
+        pos = sealed_hi * ctx_len
+        for r in fr:
+            frontier_ok = frontier_ok and r["off"] == pos
+            pos += r["n"]
+        frontier_ok = frontier_ok and pos == next_off
+    else:
+        frontier_ok = next_off == 0
+
+    vocab_ok = None
+    if tok_dir is not None:
+        word_syms, merges = load_tokenizer(spark, tok_dir)
+        vocab_ok = (
+            vocab_fingerprint(token_vocab(word_syms, merges))
+            == meta["vocab_fp"]
+        )
+    checks = {
+        "n_sequences": int(n),
+        "sealed_ok": bool(sealed_ok),
+        "len_ok": row["bad_len"] == 0,
+        "manifest_ok": row["bad_manifest"] == 0,
+        "frontier_ok": bool(frontier_ok),
+        "vocab_ok": vocab_ok,
+    }
+    checks["ok"] = all(
+        v for k, v in checks.items() if k.endswith("_ok") and v is not None
+    )
+    return checks
 
 
 # --- driver-window audit (r9): the terminal tier under the oracle ----

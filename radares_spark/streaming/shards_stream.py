@@ -10,13 +10,19 @@ the store's own lifecycle already provides the replay guard:
 - the checkpoint's file log gives each landed file to exactly one
   micro-batch (the admission-stream recipe);
 - ``append_shards`` writes its ``_meta`` LAST carrying a night tag of
-  ``epoch-<id>``. A replayed micro-batch (crash between the append
-  completing and the checkpoint commit) is recognized by the tag and
-  no-ops; a batch that crashed MID-append left ``_meta`` untouched,
-  so its replay re-reads the same meta/frontier and reruns
-  byte-identically (pinned batch-side in tests/test_shards.py's
-  crash-rerun test). No epoch-partition overwrite dance is needed —
-  the meta-write-last ladder IS the idempotency mechanism.
+  ``epoch-<checkpoint-hash>-<id>``. A replayed micro-batch (crash
+  between the append completing and the checkpoint commit) is
+  recognized by the tag and no-ops; a batch that crashed MID-append
+  left ``_meta`` untouched, so its replay re-reads the same
+  meta/frontier and reruns byte-identically (pinned batch-side in
+  tests/test_shards.py's crash-rerun test). No epoch-partition
+  overwrite dance is needed — the meta-write-last ladder IS the
+  idempotency mechanism. The checkpoint hash NAMESPACES the tags per
+  logical stream: Spark restarts epoch ids at 0 for every fresh
+  checkpoint, so un-namespaced tags from an earlier run against the
+  same store would silently no-op a NEW run's first batches (r9 find
+  — the completed-tag set made the collision certain instead of
+  rare); same checkpoint => same tags => replays still dedup.
 
 Sequencing: ``append_shards`` is inherently serial (each night reads
 the meta the previous one wrote). foreachBatch delivers micro-batches
@@ -32,11 +38,13 @@ never listed, read, or rewritten, so epochs stay O(batch) forever.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 from radares_spark.io import fs
 from radares_spark.operators.bpe import load_tokenizer
-from radares_spark.pipeline.shards import append_shards
+from radares_spark.pipeline.shards import append_shards, token_vocab
 from radares_spark.streaming.admission_stream import stream_docs
 
 
@@ -59,9 +67,15 @@ def run_shards_stream(
             "tokenizer-train --shards (init_shards) before streaming"
         )
     word_syms, merges = load_tokenizer(spark, tok_dir)
-    # reused by EVERY micro-batch: pin once per run, not per epoch
+    # reused by EVERY micro-batch: pin once per run, not per epoch —
+    # the word table AND the derived id vocabulary (the r9 epoch
+    # profile measured the per-epoch vocab rebuild at ~0.5 s of pure
+    # fixed cost; the fingerprint check still runs per append)
     word_syms = word_syms.localCheckpoint(eager=True)
+    vocab = token_vocab(word_syms, merges).localCheckpoint(eager=True)
     docs = stream_docs(spark, landing_dir, max_files_per_trigger)
+    # tag namespace per logical stream incarnation (see module doc)
+    run_ns = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
@@ -73,7 +87,8 @@ def run_shards_stream(
             batch,
             word_syms,
             merges,
-            night=f"epoch-{epoch_id}",
+            night=f"epoch-{run_ns}-{epoch_id}",
+            vocab=vocab,
         )
 
     q = (

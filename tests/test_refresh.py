@@ -86,7 +86,8 @@ def test_noop_night_zero_recompute(spark, tmp_path):
         "n_rebanded": 0,
         "n_near_affected": 0,
         "n_pairs_verified": 0,
-        "n_hot_buckets": 0,
+        "n_hot_buckets_touched": 0,
+        "n_hot_buckets_global": 0,
     }
 
 

@@ -687,3 +687,63 @@ def test_shards_reshard_cli_face(spark, tmp_path, tokenizer, capsys):
     printed = capsys.readouterr().out
     assert "tokenizer_changed: 1" in printed
     assert read_shards(spark, out).count() > 0
+
+
+def test_shards_verify_detects_planted_corruption(
+    spark, tmp_path, tokenizer, capsys
+):
+    """r8 verdict #7: shards-export trusted the store. shards_verify
+    recomputes the invariants from the parquet itself — a healthy
+    store passes every check (and the vocab seal against the frozen
+    tokenizer artifact); a store with a deleted epoch, a truncated
+    sealed row, or a swapped tokenizer each trip their own flag."""
+    import os
+
+    from radares_spark.cli import main
+    from radares_spark.operators.bpe import save_tokenizer
+    from radares_spark.pipeline.shards import shards_verify
+
+    word_syms, merges = tokenizer
+    store, _ = _run_nights(spark, tmp_path, tokenizer, n_nights=2)
+    tok = str(tmp_path / "tok")
+    save_tokenizer(spark, tok, word_syms, merges)
+
+    healthy = shards_verify(spark, store, tok)
+    assert healthy["ok"] and healthy["vocab_ok"] is True, healthy
+    assert healthy["n_sequences"] > 0
+    rc = main(["shards-verify", "--shards", store, "--tokenizer", tok])
+    assert rc == 0
+    assert "ok: True" in capsys.readouterr().out
+
+    # corruption 1: an epoch partition vanishes -> seq_id gap
+    gone = str(tmp_path / "gone_epoch")
+    shutil.copytree(store, gone)
+    shutil.rmtree(f"{gone}/epoch=0")
+    bad = shards_verify(spark, gone)
+    assert not bad["ok"] and not bad["sealed_ok"], bad
+    assert bad["len_ok"] and bad["manifest_ok"]  # surviving rows intact
+    assert main(["shards-verify", "--shards", gone]) == 1
+
+    # corruption 2: a sealed row loses tokens -> len + manifest trip
+    trunc = str(tmp_path / "truncated")
+    shutil.copytree(store, trunc)
+    rows = spark.read.parquet(f"{trunc}/epoch=0")
+    mangled = rows.withColumn(
+        "input_ids", F.slice("input_ids", 1, CTX - 3)
+    ).localCheckpoint()
+    for f in os.listdir(f"{trunc}/epoch=0"):
+        os.remove(f"{trunc}/epoch=0/{f}")
+    mangled.write.mode("overwrite").parquet(f"{trunc}/epoch=0")
+    bad2 = shards_verify(spark, trunc)
+    assert not bad2["ok"] and not bad2["len_ok"] and not bad2["manifest_ok"], bad2
+
+    # corruption 3: the tokenizer artifact was swapped under the store
+    docs_train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], ["doc_id", "text"]
+    )
+    merges2, word_syms2 = train_bpe(word_counts(docs_train), n_merges=4)
+    tok2 = str(tmp_path / "tok_swapped")
+    save_tokenizer(spark, tok2, word_syms2.localCheckpoint(), merges2)
+    bad3 = shards_verify(spark, store, tok2)
+    assert not bad3["ok"] and bad3["vocab_ok"] is False, bad3
+    assert bad3["sealed_ok"]  # the data itself is untouched

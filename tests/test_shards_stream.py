@@ -207,3 +207,31 @@ def test_tokenizer_swap_fails_fast(spark, env, tmp_path):
             str(tmp_path / "ckpt3"),
         )
     assert fs.has_parquet(spark, f"{env['store']}/_meta")
+
+
+def test_second_stream_run_fresh_checkpoint_appends(spark, env, tmp_path):
+    """r9 find: Spark restarts epoch ids at 0 for every fresh
+    checkpoint, so un-namespaced night tags from an earlier run would
+    make a NEW run's first micro-batches silent no-ops against the
+    same store. Two sequential runs (different landings AND
+    checkpoints) must BOTH land their tokens."""
+    word_syms, merges = env["word_syms"], env["merges"]
+    store = str(tmp_path / "store")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    land1, land2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    _night_df(spark, NIGHTS[0]).coalesce(1).write.parquet(land1)
+    _night_df(spark, NIGHTS[1]).coalesce(1).write.parquet(land2)
+    run_shards_stream(spark, land1, env["tok"], store, str(tmp_path / "c1"))
+    t1 = spark.read.parquet(f"{store}/_meta").head()["next_token_offset"]
+    assert t1 > 0
+    run_shards_stream(spark, land2, env["tok"], store, str(tmp_path / "c2"))
+    meta = spark.read.parquet(f"{store}/_meta").head()
+    assert meta["next_token_offset"] > t1, "second run silently no-opped"
+    assert meta["next_epoch"] == 2
+    # and a REPLAY of run 2 (same checkpoint semantics: same tags)
+    # appends nothing — simulate by re-running with its checkpoint
+    run_shards_stream(spark, land2, env["tok"], store, str(tmp_path / "c2"))
+    assert (
+        spark.read.parquet(f"{store}/_meta").head()["next_token_offset"]
+        == meta["next_token_offset"]
+    )
