@@ -159,3 +159,89 @@ def test_three_night_production_pipeline(spark, tmp_path, capsys):
     back = spark.read.parquet(ep)
     assert back.count() == n_sealed
     assert back.select(F.sum(F.size("input_ids"))).head()[0] == n_sealed * 16
+
+    # ---- the two frozen-artifact lifecycle events (r9), still through
+    # the public CLI: (a) a TOKENIZER BUMP — retrain on the grown
+    # corpus, re-shard into a NEW store, verify it, and the next night
+    # appends under the new vocab while the old store stays sealed;
+    # (b) an IVF RETRAIN — rebuild the serving store from its resident
+    # vectors and prove the semantic gate still composes against the
+    # RETRAINED store.
+    snap3 = str(tmp_path / "snap3")
+    kept_all.write.parquet(snap3)
+    tok2 = str(tmp_path / "tokenizer_v2")
+    assert main(["tokenizer-train", "--docs", snap3, "--out", tok2,
+                 "--n-merges", "4"]) == 0
+    capsys.readouterr()
+    # the bump fail-fasts on the sealed store (no silent no-op even
+    # though the night tag was already completed)
+    with pytest.raises(ValueError, match="tokenizer changed"):
+        main(["shards-append", "--docs", str(out3 / "kept"),
+              "--tokenizer", tok2, "--shards", shards, "--night", "n3"])
+    shards2 = str(tmp_path / "shards_v2")
+    assert main(["shards-reshard", "--docs", snap3, "--tokenizer", tok2,
+                 "--shards", shards, "--out", shards2,
+                 "--night", "reshard-0"]) == 0
+    printed = capsys.readouterr().out
+    assert "tokenizer_changed: 1" in printed
+    # the old store is still sealed under the OLD vocab, untouched
+    assert spark.read.parquet(f"{shards}/_meta").head().asDict() == meta.asDict()
+    # the new store verifies against the new artifact, rejects the old
+    assert main(["shards-verify", "--shards", shards2,
+                 "--tokenizer", tok2]) == 0
+    capsys.readouterr()
+    assert main(["shards-verify", "--shards", shards2,
+                 "--tokenizer", tok]) == 1
+    capsys.readouterr()
+    # token accounting under the new vocab closes the same loop
+    ws2, m2 = load_tokenizer(spark, tok2)
+    want2 = encode_ids(kept_all, ws2, m2).agg(F.sum("n_tokens")).head()[0]
+    assert (
+        spark.read.parquet(f"{shards2}/_meta").head()["next_token_offset"]
+        == want2
+    )
+
+    # (b) retrain the IVF store; night 4 gates against the NEW store:
+    # a WORD-REVERSED twin of doc 2 (IVF-resident since night 1) is
+    # lexically disjoint from every ledger shingle yet tf-identical —
+    # only the semantic gate against the RETRAINED store can drop it;
+    # a novel page keeps, and its shards land in the RE-SHARDED store
+    ivf2 = str(tmp_path / "ivf_store_v2")
+    assert main(["ivf-retrain", "--store", ivf, "--out", ivf2]) == 0
+    capsys.readouterr()
+    B_rev = " ".join(reversed(B.split()))
+    E = (
+        "a field guide to coastal birds cataloging plumage calls and "
+        "the long migrations that trace the shoreline every autumn " * 5
+        + "ends here today"
+    )
+    out4 = tmp_path / "out4"
+    src4 = tmp_path / "pages4"
+    _write_pages(spark, src4, [(30, "https://g.example.com/30", B_rev),
+                               (31, "https://h.example.com/31", E)])
+    assert main([
+        "crawl-nightly", "--pages", str(src4), "--url-ledger", url_led,
+        "--out", str(out4), "--content-ledger", con_led,
+        "--semantic-store", ivf2, "--semantic-tau", "0.95",
+    ]) == 0
+    capsys.readouterr()
+    a4 = {
+        r["doc_id"]: r["outcome"]
+        for r in spark.read.parquet(str(out4 / "audit")).collect()
+    }
+    assert a4 == {30: "semantic_dup", 31: "kept"}
+    assert main(["shards-append", "--docs", str(out4 / "kept"),
+                 "--tokenizer", tok2, "--shards", shards2,
+                 "--night", "n4"]) == 0
+    capsys.readouterr()
+    meta2 = spark.read.parquet(f"{shards2}/_meta").head()
+    assert meta2["next_epoch"] == 2  # reshard epoch + night 4
+    want_after4 = (
+        encode_ids(
+            kept_all.unionByName(
+                spark.read.parquet(str(out4 / "kept")).select("doc_id", "text")
+            ),
+            ws2, m2,
+        ).agg(F.sum("n_tokens")).head()[0]
+    )
+    assert meta2["next_token_offset"] == want_after4
