@@ -157,6 +157,7 @@ def cmd_corpus_refresh(
     store_dir: str | None = None,
     postings_dir: str | None = None,
     ivf_dir: str | None = None,
+    night: str | None = None,
 ) -> dict[str, int]:
     """Nightly incremental curation (pipeline/refresh.py): without
     ``--state-in`` runs the night-zero batch (init_state); with it,
@@ -205,7 +206,8 @@ def cmd_corpus_refresh(
                 {
                     f"postings_{k}": v
                     for k, v in apply_refresh_to_postings_store(
-                        spark, docs, state_in, state_out, store_dir, postings_dir
+                        spark, docs, state_in, state_out, store_dir,
+                        postings_dir, night=night,
                     ).items()
                 }
             )
@@ -503,6 +505,148 @@ def cmd_crawl_nightly(
     return counts
 
 
+def cmd_corpus_nightly(
+    spark: SparkSession,
+    pages_path: str,
+    root_dir: str,
+    night: str,
+    max_per_domain: int | None = None,
+    semantic_tau: float = 0.95,
+    max_bucket: int | None = None,
+    decontam_path: str | None = None,
+    n_merges: int = 64,
+    ctx_len: int | None = None,
+) -> dict[str, int]:
+    """THE production night as ONE command — the composition the
+    nightly e2e drives by hand, with every store rooted under
+    ``root_dir``::
+
+        url_ledger/ content_ledger/   cross-run admission ledgers
+        nights/<night>/               kept/ audit/ url_audit/ snapshot/
+        state/<night>/                refresh state (rotated nightly)
+        kept_store/ postings_store/ ivf_store/   serving stores
+        tokenizer/ shards/            frozen artifact + shard store
+        night_log                     completed nights, written LAST
+
+    Stage order (each stage's own crash ladder documented at its
+    definition): ``crawl-nightly`` (URL ledger -> curation -> semantic
+    gate against the REFRESH-MAINTAINED IVF store -> decontam ->
+    content ledger) -> ``corpus-refresh`` over the snapshot (prior
+    kept corpus minus tonight's ids, plus tonight's kept — the
+    anti-join makes the snapshot rerun-stable after a crash that
+    already updated the kept store) -> ``shards-append`` of tonight's
+    kept under the frozen tokenizer. The FIRST night bootstraps
+    everything: ungated crawl, ``init_state`` + the three store inits,
+    tokenizer training sealing an empty shard store.
+
+    Crash contract: the night log appends LAST, so a night is
+    "completed" only after every stage landed; a re-run of a crashed
+    night replays every stage to the identical state (crawl preserves
+    its outputs and admits nothing; refresh state overwrite is
+    deterministic; the kept/IVF applies are rerun-idempotent by
+    construction and the postings apply by its night tag; the shard
+    append by its night tag); a re-run of a COMPLETED night returns
+    ``already_completed`` and touches nothing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from radares_spark.io import fs as iofs
+
+    url_led = os.path.join(root_dir, "url_ledger")
+    con_led = os.path.join(root_dir, "content_ledger")
+    kept_store = os.path.join(root_dir, "kept_store")
+    postings = os.path.join(root_dir, "postings_store")
+    ivf = os.path.join(root_dir, "ivf_store")
+    tok = os.path.join(root_dir, "tokenizer")
+    shards = os.path.join(root_dir, "shards")
+    out_dir = os.path.join(root_dir, "nights", night)
+    state_dir = os.path.join(root_dir, "state", night)
+    log = os.path.join(root_dir, "night_log")
+
+    done: list[str] = []
+    if iofs.has_parquet(spark, log):
+        done = [
+            r["night"]
+            for r in spark.read.parquet(log).orderBy("idx").collect()
+        ]
+    if night in done:
+        return {"already_completed": 1}
+    first = not done
+    prior_state = (
+        os.path.join(root_dir, "state", done[-1]) if done else None
+    )
+
+    counts = cmd_crawl_nightly(
+        spark,
+        pages_path,
+        url_led,
+        out_dir,
+        max_per_domain=max_per_domain,
+        semantic_store=None if first else ivf,
+        semantic_tau=semantic_tau,
+        content_ledger_dir=con_led,
+        max_bucket=max_bucket,
+        decontam_path=decontam_path,
+    )
+
+    kept_dir = os.path.join(out_dir, "kept")
+    night_kept = spark.read.parquet(kept_dir).select("doc_id", "text")
+    if first:
+        snapshot = night_kept
+    else:
+        snapshot = (
+            spark.read.parquet(kept_store)
+            .select("doc_id", "text")
+            .join(night_kept.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(night_kept)
+        )
+    snap_path = os.path.join(out_dir, "snapshot")
+    snapshot.write.mode("overwrite").parquet(snap_path)
+    counts.update(
+        {
+            f"refresh_{k}": v
+            for k, v in cmd_corpus_refresh(
+                spark,
+                snap_path,
+                state_dir,
+                state_in=prior_state,
+                store_dir=kept_store,
+                postings_dir=postings,
+                ivf_dir=ivf,
+                night=night,
+            ).items()
+        }
+    )
+
+    if first:
+        # deterministic training: a crashed first night re-trains to
+        # the byte-identical artifact and re-seals the (replayable)
+        # shard store — convergent, never divergent
+        counts.update(
+            {
+                f"tokenizer_{k}": v
+                for k, v in cmd_tokenizer_train(
+                    spark, snap_path, tok, n_merges, shards, ctx_len
+                ).items()
+            }
+        )
+    counts.update(
+        {
+            f"shards_{k}": v
+            for k, v in cmd_shards_append(
+                spark, kept_dir, tok, shards, night=night
+            ).items()
+        }
+    )
+
+    # completed-night ledger LAST: every crash point above reruns
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(done + [night])],
+        "idx int, night string",
+    ).repartition(1).write.mode("overwrite").parquet(log)
+    counts["night_index"] = len(done)
+    return counts
+
+
 def cmd_tokenizer_train(
     spark: SparkSession,
     docs_path: str,
@@ -665,6 +809,7 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--store", default=None, help="optional kept-corpus parquet to maintain incrementally")
     cr.add_argument("--postings-store", default=None, help="optional BM25 postings index to maintain incrementally (requires --store)")
     cr.add_argument("--ivf-store", default=None, help="optional IVF ANN vector store to maintain incrementally")
+    cr.add_argument("--night", default=None, help="idempotency tag for the postings apply: a completed night's re-run is a no-op (the kept/IVF applies are rerun-idempotent by construction)")
     sd = sub.add_parser("snapshot-diff")
     sd.add_argument("--old", required=True, help="previous snapshot parquet")
     sd.add_argument("--new", required=True, help="tonight's snapshot parquet")
@@ -681,6 +826,16 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--content-ledger", default=None, help="cross-run content hash+minhash ledger dir: drop pages exactly/nearly duplicating any prior night's kept doc")
     cn.add_argument("--max-bucket", type=int, default=None, help="hot-LSH-bucket cap for within-night near-dup (the 100TB boilerplate guard; capped buckets route through the exact stage)")
     cn.add_argument("--decontam", default=None, help="eval-benchmark parquet (doc_id, text): drop pages sharing any n-gram with it, outcome 'contaminated'")
+    ny = sub.add_parser("corpus-nightly")
+    ny.add_argument("--pages", required=True, help="tonight's discovered pages (doc_id, url, html)")
+    ny.add_argument("--root", required=True, help="pipeline root: ledgers, serving stores, tokenizer, shards, per-night outputs")
+    ny.add_argument("--night", required=True, help="night tag (orders the night log; drives every per-stage idempotency guard)")
+    ny.add_argument("--max-per-domain", type=int, default=None)
+    ny.add_argument("--semantic-tau", type=float, default=0.95)
+    ny.add_argument("--max-bucket", type=int, default=None)
+    ny.add_argument("--decontam", default=None, help="eval-benchmark parquet (doc_id, text)")
+    ny.add_argument("--n-merges", type=int, default=64, help="tokenizer size, first night only")
+    ny.add_argument("--ctx-len", type=int, default=None, help="shard sequence length, first night only")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -765,6 +920,17 @@ def main(argv: list[str] | None = None) -> int:
         for key in sorted(checks):
             print(f"{key}: {checks[key]}")
         return 0 if checks["ok"] else 1
+    if args.cmd == "corpus-nightly":
+        counts = cmd_corpus_nightly(
+            spark, args.pages, args.root, args.night,
+            max_per_domain=args.max_per_domain,
+            semantic_tau=args.semantic_tau, max_bucket=args.max_bucket,
+            decontam_path=args.decontam, n_merges=args.n_merges,
+            ctx_len=args.ctx_len,
+        )
+        for key in sorted(counts):
+            print(f"{key}: {counts[key]}")
+        return 0
     if args.cmd == "crawl-nightly":
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain,
@@ -777,7 +943,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "corpus-refresh":
         counts = cmd_corpus_refresh(
             spark, args.docs, args.state_out, args.state_in, args.store,
-            args.postings_store, args.ivf_store,
+            args.postings_store, args.ivf_store, args.night,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

@@ -258,6 +258,7 @@ def refresh_postings_store(
     add_docs: DataFrame | None = None,
     remove_docs: DataFrame | None = None,
     text_col: str = "text",
+    night: str | None = None,
 ) -> dict[str, int]:
     """Bring a postings store in line with a corpus delta, rewriting
     ONLY the term buckets the delta touches. The refreshed store is
@@ -282,11 +283,35 @@ def refresh_postings_store(
     pays tombstones + merges for the same reason). A CHANGED doc
     appears in both frames: old text in remove_docs, new in add_docs.
     Returns {"n_added", "n_removed", "n_buckets_rewritten"}.
+
+    Crash-rerun idempotency (r9): the touched-bucket rewrite is a PURE
+    function of its inputs — survivors exclude the ADDED doc ids too
+    (free on a first apply, where added docs have no stored rows; on a
+    crash replay it REPLACES already-landed add rows instead of
+    duplicating them), and ``df`` is recomputed as the per-term row
+    count over exactly the rows being written (df == posting-row count
+    is the store invariant; a term's postings all live in its one hash
+    bucket, so the count is complete by construction — untouched terms
+    inside touched buckets recompute to their stored value). The
+    corpus-GLOBAL meta deltas (n_docs, sum_dl) apply exactly once via
+    the applied-night tag ladder (the shard store's recipe): ``night``
+    tags persist in the meta — which writes LAST — so a COMPLETED
+    apply's re-run is a recognized no-op, while a run that crashed
+    before the meta write replays the idempotent bucket rewrite and
+    then applies the delta once.
     """
     from radares_spark.io.fs import delete as fs_delete
 
     meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
     n_buckets = meta["n_buckets"]
+    done_nights = list(meta.asDict().get("nights") or [])
+    if night is not None and night in done_nights:
+        return {
+            "already_applied": 1,
+            "n_added": 0,
+            "n_removed": 0,
+            "n_buckets_rewritten": 0,
+        }
     empty = spark.createDataFrame([], "doc_id long, tok string, tf long, dl long")
     add_p = (
         corpus_postings(add_docs, text_col) if add_docs is not None else empty
@@ -297,53 +322,48 @@ def refresh_postings_store(
         else empty
     ).localCheckpoint(eager=True)
 
-    # per-term df delta (+docs gained, -docs lost); the key set IS the
-    # touched-term set even where the net delta is 0 (a changed doc
-    # still moves tf rows)
-    df_delta = (
-        add_p.select("tok").withColumn("d", F.lit(1))
-        .unionByName(rem_p.select("tok").withColumn("d", F.lit(-1)))
-        .groupBy("tok")
-        .agg(F.sum("d").alias("d"))
-        .withColumn("bucket", _term_bucket(F.col("tok"), n_buckets))
+    # touched terms = every token of added + removed docs (a term's
+    # df changes, or gains/loses posting rows); touched buckets = their
+    # hash buckets — the only partitions the rewrite reads or writes
+    touched = (
+        add_p.select("tok")
+        .unionByName(rem_p.select("tok"))
+        .distinct()
+        .select(_term_bucket(F.col("tok"), n_buckets).alias("bucket"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    touched = df_delta.select("bucket").distinct()
     n_touched = touched.count()
-    rem_ids = rem_p.select("doc_id").distinct().localCheckpoint(eager=True)
+    # BOTH delta sides leave the stored rows: removed docs for real,
+    # added docs so a crash replay overwrites instead of duplicating
+    delta_ids = (
+        rem_p.select("doc_id")
+        .unionByName(add_p.select("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     if n_touched:
         stored = spark.read.parquet(os.path.join(path, "postings")).join(
             touched, "bucket", "left_semi"
         )
-        old_df = stored.groupBy("tok").agg(F.first("df").alias("old_df"))
-        new_df = (
-            df_delta.join(old_df, "tok", "left")
-            .select(
-                "tok",
-                "bucket",
-                (F.coalesce("old_df", F.lit(0)) + F.col("d")).alias("df"),
-            )
+        survivors = stored.join(delta_ids, "doc_id", "left_anti").select(
+            "tok", "doc_id", "tf", "dl", "bucket"
         )
-        # survivors: drop removed docs' rows; patch df where the delta
-        # names the term, keep the stored df for the bucket's other terms
-        survivors = (
-            stored.join(rem_ids, "doc_id", "left_anti")
-            .withColumnRenamed("df", "stored_df")
-            .join(new_df.select("tok", "df"), "tok", "left")
-            .select(
-                "tok",
-                "doc_id",
-                "tf",
-                "dl",
-                F.coalesce("df", "stored_df").alias("df"),
-                "bucket",
-            )
+        fresh = add_p.withColumn(
+            "bucket", _term_bucket(F.col("tok"), n_buckets)
+        ).select("tok", "doc_id", "tf", "dl", "bucket")
+        merged = survivors.unionByName(fresh)
+        # df recomputed from the rows being written — the invariant,
+        # not a patch of the stored value (a patch double-counts on a
+        # crash replay; the recount is complete because a term's
+        # postings never span buckets)
+        df_tab = merged.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        rows = (
+            merged.join(df_tab, "tok")
+            .select("tok", "doc_id", "tf", "dl", "df", "bucket")
+            .localCheckpoint(eager=True)
         )
-        fresh = add_p.join(
-            new_df.select("tok", "bucket", "df"), "tok"
-        ).select("tok", "doc_id", "tf", "dl", "df", "bucket")
-        rows = survivors.unionByName(fresh).localCheckpoint(eager=True)
         (
             rows.repartition("bucket")
             .write.mode("overwrite")
@@ -370,8 +390,17 @@ def refresh_postings_store(
     n_docs = meta["n_docs"] + add_stats["n"] - rem_stats["n"]
     sum_dl = meta["sum_dl"] + add_stats["s"] - rem_stats["s"]
     new_meta = spark.createDataFrame(
-        [(n_docs, sum_dl, (sum_dl / n_docs) if n_docs else None, n_buckets)],
-        "n_docs long, sum_dl long, avgdl double, n_buckets int",
+        [
+            (
+                n_docs,
+                sum_dl,
+                (sum_dl / n_docs) if n_docs else None,
+                n_buckets,
+                done_nights + [night] if night is not None else done_nights,
+            )
+        ],
+        "n_docs long, sum_dl long, avgdl double, n_buckets int, "
+        "nights array<string>",
     )
     # repartition(1), never coalesce(1), on local relations (see
     # shards._write_meta: coalesce serializes the Python slices)

@@ -599,6 +599,7 @@ def apply_refresh_to_postings_store(
     state_out: str,
     kept_store_dir: str,
     postings_dir: str,
+    night: str | None = None,
 ) -> dict[str, int]:
     """Bring the BM25 postings store in line with one night's kept-set
     churn, rewriting only touched term buckets.
@@ -609,7 +610,10 @@ def apply_refresh_to_postings_store(
     night's kept text persists is the KEPT STORE, so this MUST run
     BEFORE ``apply_refresh_to_store`` rewrites it for the same night
     (the CLI orders the three stores accordingly). Changed docs appear
-    on both sides: old text removed, new text added."""
+    on both sides: old text removed, new text added. ``night`` is the
+    apply-once idempotency tag (refresh_postings_store's meta ladder) —
+    pass it when a caller may re-run a completed night (the nightly
+    orchestrator's crash contract)."""
     from radares_spark.operators.retrieval import refresh_postings_store
 
     entered, left, rewritten = kept_churn(spark, state_in, state_out)
@@ -624,7 +628,11 @@ def apply_refresh_to_postings_store(
         add_ids, "doc_id", "left_semi"
     )
     return refresh_postings_store(
-        spark, postings_dir, add_docs=add_docs, remove_docs=remove_docs
+        spark,
+        postings_dir,
+        add_docs=add_docs,
+        remove_docs=remove_docs,
+        night=night,
     )
 
 

@@ -1,0 +1,110 @@
+"""corpus-nightly — the one-command production night (cli.py):
+bootstrap on night 1, gated composition on later nights, completed
+nights are recognized no-ops, and a crashed night (log never written)
+replays every stage to the identical state."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from radares_spark.cli import cmd_corpus_nightly, main
+from tests.test_nightly_e2e import _body, _write_pages
+
+
+def _tree(root):
+    return {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/**/*.parquet", recursive=True)
+    }
+
+
+def _rows(spark, path, cols):
+    return sorted(tuple(r) for r in spark.read.parquet(path).select(*cols).collect())
+
+
+def test_corpus_nightly_three_nights(spark, tmp_path, capsys):
+    A, B, C = (_body(t) for t in ("alpha", "beta", "gamma"))
+    A_sem = _body("alpha", tail="ends here tonight")
+    root = str(tmp_path / "root")
+
+    # ---- night 1: bootstrap everything via the CLI face -------------
+    src1 = tmp_path / "pages1"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A),
+                               (2, "https://b.example.com/2", B)])
+    rc = main(["corpus-nightly", "--pages", str(src1), "--root", root,
+               "--night", "n1", "--n-merges", "8", "--ctx-len", "16"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "night_index: 0" in printed and "shards_epoch: 0" in printed
+    for store in ("kept_store", "postings_store", "ivf_store",
+                  "tokenizer", "shards", "url_ledger", "content_ledger"):
+        assert os.path.isdir(os.path.join(root, store)), store
+    assert {r["night"] for r in spark.read.parquet(f"{root}/night_log").collect()} == {"n1"}
+
+    # ---- night 2: the semantic gate composes against the store the
+    # SAME command maintains; kept corpus and shard store advance
+    src2 = tmp_path / "pages2"
+    _write_pages(spark, src2, [(10, "https://c.example.com/10", A_sem),
+                               (11, "https://d.example.com/11", C)])
+    c2 = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    assert c2["semantic_dup"] == 1 and c2["kept"] == 1
+    assert c2["shards_epoch"] == 1 and c2["night_index"] == 1
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/kept_store").select("doc_id").collect()
+    }
+    assert kept_ids == {1, 2, 11}
+    meta2 = spark.read.parquet(f"{root}/shards/_meta").head()
+    assert meta2["next_epoch"] == 2
+
+    # ---- completed night: recognized no-op, nothing rewritten -------
+    before = _tree(root)
+    again = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    assert again == {"already_completed": 1}
+    assert _tree(root) == before
+
+    # ---- night 3 + crash-rerun: run once, roll the night log back to
+    # the post-n2 state (the ONLY thing a completed night writes last),
+    # re-run, and every store converges to the same state ---------
+    log_n2 = str(tmp_path / "log_n2")
+    shutil.copytree(f"{root}/night_log", log_n2)
+    D = _body("delta")
+    src3 = tmp_path / "pages3"
+    _write_pages(spark, src3, [(20, "https://e.example.com/20", D)])
+    c3 = cmd_corpus_nightly(spark, str(src3), root, "n3", n_merges=8)
+    assert c3["kept"] == 1 and c3["night_index"] == 2
+    want_kept = _rows(spark, f"{root}/kept_store", ["doc_id", "text"])
+    want_shards_meta = spark.read.parquet(f"{root}/shards/_meta").head().asDict()
+    want_postings = _rows(
+        spark, f"{root}/postings_store/postings",
+        ["tok", "doc_id", "tf", "dl", "df"],
+    )
+    want_pmeta = spark.read.parquet(f"{root}/postings_store/meta").head().asDict()
+    want_ivf = _rows(spark, f"{root}/ivf_store", ["vec_id", "cell"])
+
+    shutil.rmtree(f"{root}/night_log")
+    shutil.copytree(log_n2, f"{root}/night_log")
+    c3b = cmd_corpus_nightly(spark, str(src3), root, "n3", n_merges=8)
+    # the crawl admits nothing (URL ledger already has the night) and
+    # PRESERVES its outputs; every store replay converges
+    assert c3b["kept"] == 1 and c3b.get("outputs_preserved") == 1
+    assert c3b["shards_already_appended"] == 1
+    assert c3b["refresh_postings_already_applied"] == 1
+    assert _rows(spark, f"{root}/kept_store", ["doc_id", "text"]) == want_kept
+    assert spark.read.parquet(f"{root}/shards/_meta").head().asDict() == want_shards_meta
+    assert _rows(
+        spark, f"{root}/postings_store/postings",
+        ["tok", "doc_id", "tf", "dl", "df"],
+    ) == want_postings
+    assert spark.read.parquet(f"{root}/postings_store/meta").head().asDict() == want_pmeta
+    assert _rows(spark, f"{root}/ivf_store", ["vec_id", "cell"]) == want_ivf
+    assert [r["night"] for r in spark.read.parquet(f"{root}/night_log").orderBy("idx").collect()] == ["n1", "n2", "n3"]
+
+    # the three nights' kept docs all reached the shard store: global
+    # token offset is positive and grew each night
+    assert want_shards_meta["next_token_offset"] > 0
+    assert want_shards_meta["next_epoch"] == 3

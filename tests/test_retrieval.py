@@ -471,3 +471,71 @@ def test_store_served_hybrid_matches_inline_and_prunes(spark, tmp_path):
     assert any(
         "dynamicpruningexpression(cell#" in ln for ln in ivf_scans
     ), "ivf probe did not prune cells"
+
+
+def test_refresh_crash_rerun_is_idempotent(spark, tmp_path):
+    """r9 hardening: the touched-bucket rewrite is a pure function
+    (survivors exclude ADDED ids too; df recomputed from the written
+    rows), and the meta deltas apply exactly once via the night tag.
+    Pins the two crash points: a replay AFTER the bucket write but
+    before the meta write converges to the same store; a COMPLETED
+    apply's re-run is a recognized no-op that touches nothing."""
+    import shutil
+
+    from radares_spark.operators.retrieval import refresh_postings_store
+
+    base = _mk_docs(
+        spark,
+        [
+            (0, "apple banana apple cherry"),
+            (1, "banana cherry cherry durian"),
+            (2, "elderberry fig grape durian"),
+        ],
+    )
+    added = _mk_docs(spark, [(5, "kumquat banana"), (1, "banana mango")])
+    removed = _mk_docs(
+        spark, [(1, "banana cherry cherry durian"), (2, "elderberry fig grape durian")]
+    )
+    path = str(tmp_path / "store")
+    build_postings_store(base, path, n_buckets=8)
+    meta_pre = str(tmp_path / "meta_pre")
+    shutil.copytree(f"{path}/meta", meta_pre)
+
+    refresh_postings_store(
+        spark, path, add_docs=added, remove_docs=removed, night="n1"
+    )
+    want = _store_state(spark, path)
+
+    # crash BEFORE the meta write: buckets already rewritten, meta
+    # still the pre-apply one -> the replay must converge exactly
+    shutil.rmtree(f"{path}/meta")
+    shutil.copytree(meta_pre, f"{path}/meta")
+    stats = refresh_postings_store(
+        spark, path, add_docs=added, remove_docs=removed, night="n1"
+    )
+    assert "already_applied" not in stats
+    assert _store_state(spark, path) == want
+
+    # completed apply: re-run is a recognized no-op, files untouched
+    import glob
+    import os
+
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    again = refresh_postings_store(
+        spark, path, add_docs=added, remove_docs=removed, night="n1"
+    )
+    assert again["already_applied"] == 1
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    assert after == before
+    # and a NEW night still applies
+    nxt = refresh_postings_store(
+        spark, path, remove_docs=_mk_docs(spark, [(5, "kumquat banana")]),
+        night="n2",
+    )
+    assert "already_applied" not in nxt and nxt["n_removed"] == 1
