@@ -268,6 +268,7 @@ def cmd_crawl_nightly(
     content_ledger_dir: str | None = None,
     max_bucket: int | None = None,
     decontam_path: str | None = None,
+    intra_semantic: bool = False,
 ) -> dict[str, int]:
     """The nightly recrawl loop as ONE command — the URL twin of
     ``cmd_backload``'s anti-join planner: tonight's discovered pages →
@@ -357,7 +358,7 @@ def cmd_crawl_nightly(
         kept, audit = curate_crawl(
             to_fetch, max_per_domain=max_per_domain, max_bucket=max_bucket
         )
-        if semantic_store:
+        if semantic_store or intra_semantic:
             # opt-in semantic gate, two halves under one tau: (a)
             # tonight's survivors against the KEPT corpus's IVF vector
             # store (the one corpus-refresh --ivf-store maintains) —
@@ -365,8 +366,12 @@ def cmd_crawl_nightly(
             # semantic_dup, the probe reading only the delta's assigned
             # cell partitions (DPP-pruned); (b) cluster-blocked SemDeDup
             # WITHIN tonight's survivors — same-night paraphrase twins
-            # drop with outcome semantic_dup_intra
-            from radares_spark.operators.embed import hashed_tf
+            # drop with outcome semantic_dup_intra. ``intra_semantic``
+            # alone (no store yet — the orchestrator's bootstrap night)
+            # runs half (b) with centroids TRAINED on tonight's vectors:
+            # without it, bootstrap-corpus paraphrase twins would both
+            # become permanent residents before any store exists.
+            from radares_spark.operators.embed import EMBED_DIM, hashed_tf
             from radares_spark.operators.semdedup import (
                 semdedup_admit_from_store,
                 semdedup_audit,
@@ -374,36 +379,48 @@ def cmd_crawl_nightly(
             )
             from radares_spark.operators.similarity import (
                 assign_to_centroids,
+                build_ivf_index,
             )
 
-            cents, dim = store_centroids(spark, semantic_store)
-            cents = cents.localCheckpoint()
+            if semantic_store:
+                cents, dim = store_centroids(spark, semantic_store)
+                cents = cents.localCheckpoint()
+            else:
+                cents, dim = None, EMBED_DIM
             vecs = hashed_tf(kept.select("doc_id", "text"), dim).select(
                 F.col("doc_id").alias("vec_id"),
                 F.col("embedding").alias("v"),
                 F.lit(1.0).alias("nrm"),
             ).localCheckpoint()  # feeds the store gate AND the intra gate
-            sem = semdedup_admit_from_store(
-                spark, semantic_store, vecs, tau=semantic_tau
-            ).localCheckpoint()
-            sem_drop = sem.filter(F.col("outcome") == "semantic_dup").select(
-                F.col("vec_id").alias("doc_id")
-            )
+            if semantic_store:
+                sem = semdedup_admit_from_store(
+                    spark, semantic_store, vecs, tau=semantic_tau
+                ).localCheckpoint()
+                sem_drop = sem.filter(
+                    F.col("outcome") == "semantic_dup"
+                ).select(F.col("vec_id").alias("doc_id"))
+                survivors = sem.filter(F.col("outcome") == "kept").select(
+                    "vec_id"
+                )
+            else:
+                sem_drop = spark.createDataFrame([], "doc_id long")
+                survivors = vecs.select("vec_id")
+            if cents is None:
+                # bootstrap blocking cells: the same trainer night-zero
+                # store init uses, over tonight's vectors only
+                _assign, cents = build_ivf_index(vecs, n_cells=8, dim=dim)
+                cents = cents.localCheckpoint()
             # WITHIN-night twins (r8 verdict #2): two same-night
             # paraphrases both pass the store gate (the resident corpus
             # knows neither) and the lexical near-dedup (word order
             # changes shingles but not the tf vector) — so run
             # cluster-blocked SemDeDup over tonight's store-gate
-            # SURVIVORS, blocked by the store's frozen cells: at most
-            # one member of each same-night semantic family proceeds
-            # to residency, outcome semantic_dup_intra. Delta-sized
-            # work — one centroid broadcast + one shuffle on cell over
-            # tonight's kept set, never the resident corpus.
-            members = vecs.join(
-                sem.filter(F.col("outcome") == "kept").select("vec_id"),
-                "vec_id",
-                "left_semi",
-            )
+            # SURVIVORS, blocked by the (frozen or bootstrap) cells: at
+            # most one member of each same-night semantic family
+            # proceeds to residency, outcome semantic_dup_intra.
+            # Delta-sized work — one centroid broadcast + one shuffle
+            # on cell over tonight's kept set, never the resident corpus.
+            members = vecs.join(survivors, "vec_id", "left_semi")
             intra = semdedup_audit(
                 members.join(assign_to_centroids(members, cents), "vec_id")
                 .select("vec_id", "cell", "v", "nrm"),
@@ -568,6 +585,16 @@ def cmd_corpus_nightly(
             r["night"]
             for r in spark.read.parquet(log).orderBy("idx").collect()
         ]
+    elif iofs.has_parquet(spark, kept_store):
+        # a populated root with NO log is corruption, not night zero:
+        # re-bootstrapping would overwrite the kept/postings/IVF stores
+        # with tonight's docs alone and re-seal the shard store under a
+        # fresh tokenizer over epochs sealed under the old one
+        raise ValueError(
+            f"night log {log!r} is missing but {kept_store!r} exists — "
+            "refusing to re-bootstrap over populated stores; restore "
+            "the log (one idx=<n> partition per completed night)"
+        )
     if night in done:
         return {"already_completed": 1}
     first = not done
@@ -586,6 +613,9 @@ def cmd_corpus_nightly(
         content_ledger_dir=con_led,
         max_bucket=max_bucket,
         decontam_path=decontam_path,
+        # the bootstrap night has no store to gate against, but
+        # within-night paraphrase twins must still not BOTH seed it
+        intra_semantic=first,
     )
 
     kept_dir = os.path.join(out_dir, "kept")
@@ -638,11 +668,19 @@ def cmd_corpus_nightly(
         }
     )
 
-    # completed-night ledger LAST: every crash point above reruns
-    spark.createDataFrame(
-        [(i, n) for i, n in enumerate(done + [night])],
-        "idx int, night string",
-    ).repartition(1).write.mode("overwrite").parquet(log)
+    # completed-night ledger LAST, as an APPEND of one idx=<n>
+    # partition (the URL/content-ledger discipline): prior nights'
+    # partitions are never rewritten, so no crash window can destroy
+    # the log and silently reset the pipeline to night zero (a
+    # read-modify-overwrite deletes the dir before rewriting it)
+    (
+        spark.createDataFrame([(len(done), night)], "idx int, night string")
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("idx")
+        .parquet(log)
+    )
     counts["night_index"] = len(done)
     return counts
 
@@ -747,12 +785,29 @@ def cmd_shards_export(
     out_dir: str,
     seed: int,
     n_shards: int = 1024,
+    verify: bool = False,
+    tok_dir: str | None = None,
 ) -> dict[str, int]:
     """Materialize one training epoch from the sealed shard store:
     deterministic seeded global shuffle, one ordered file per shard
-    (``pipeline/shards.py::export_training_shards``)."""
-    from radares_spark.pipeline.shards import export_training_shards
+    (``pipeline/shards.py::export_training_shards``). ``verify`` runs
+    :func:`shards_verify` FIRST and refuses to export a store that
+    fails its invariants — the gate a trainer wants fused into the
+    export instead of remembered as a separate step (``tok_dir``
+    additionally checks the vocab seal)."""
+    from radares_spark.pipeline.shards import (
+        export_training_shards,
+        shards_verify,
+    )
 
+    if verify:
+        checks = shards_verify(spark, shards_dir, tok_dir)
+        if not checks["ok"]:
+            bad = {k: v for k, v in checks.items() if v is False}
+            raise ValueError(
+                f"shard store {shards_dir!r} failed verification {bad} — "
+                "refusing to export a corrupt training epoch"
+            )
     return export_training_shards(spark, shards_dir, out_dir, seed, n_shards)
 
 
@@ -826,6 +881,7 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--content-ledger", default=None, help="cross-run content hash+minhash ledger dir: drop pages exactly/nearly duplicating any prior night's kept doc")
     cn.add_argument("--max-bucket", type=int, default=None, help="hot-LSH-bucket cap for within-night near-dup (the 100TB boilerplate guard; capped buckets route through the exact stage)")
     cn.add_argument("--decontam", default=None, help="eval-benchmark parquet (doc_id, text): drop pages sharing any n-gram with it, outcome 'contaminated'")
+    cn.add_argument("--intra-semantic", action="store_true", help="run the within-night SemDeDup half even without --semantic-store (bootstrap nights: blocking cells trained on tonight's vectors)")
     ny = sub.add_parser("corpus-nightly")
     ny.add_argument("--pages", required=True, help="tonight's discovered pages (doc_id, url, html)")
     ny.add_argument("--root", required=True, help="pipeline root: ledgers, serving stores, tokenizer, shards, per-night outputs")
@@ -863,6 +919,8 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--out", required=True, help="training-epoch output dir (shard=S/ partitions)")
     se.add_argument("--seed", type=int, required=True, help="epoch shuffle seed")
     se.add_argument("--n-shards", type=int, default=1024)
+    se.add_argument("--verify", action="store_true", help="run shards-verify first; refuse to export a store failing its invariants")
+    se.add_argument("--tokenizer", default=None, help="with --verify: also check the vocab seal against this artifact")
     ss = sub.add_parser("shards-stats")
     ss.add_argument("--shards", required=True, help="sealed shard store dir")
     sv = sub.add_parser("shards-verify")
@@ -905,7 +963,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "shards-export":
         counts = cmd_shards_export(
-            spark, args.shards, args.out, args.seed, args.n_shards
+            spark, args.shards, args.out, args.seed, args.n_shards,
+            verify=args.verify, tok_dir=args.tokenizer,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")
@@ -935,7 +994,7 @@ def main(argv: list[str] | None = None) -> int:
         counts = cmd_crawl_nightly(
             spark, args.pages, args.url_ledger, args.out, args.max_per_domain,
             args.semantic_store, args.semantic_tau, args.content_ledger,
-            args.max_bucket, args.decontam,
+            args.max_bucket, args.decontam, args.intra_semantic,
         )
         for key in sorted(counts):
             print(f"{key}: {counts[key]}")

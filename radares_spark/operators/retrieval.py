@@ -269,9 +269,11 @@ def refresh_postings_store(
 
     - touched terms = every token of added + removed docs (a term's
       df changes, or gains/loses posting rows); touched buckets =
-      their hash buckets. df inside a touched bucket is patched as
-      ``old_df + (docs gained) - (docs lost)``; untouched buckets
-      keep their files byte for byte.
+      their hash buckets. df inside a touched bucket is RECOMPUTED as
+      the per-term row count over the rows being written (see the
+      idempotency paragraph below — a stored-value patch double-counts
+      on a crash replay); untouched buckets keep their files byte for
+      byte.
     - meta's (n_docs, sum_dl, avgdl) update from delta counts alone —
       the reason build stores sum_dl, and the reason global stats are
       NOT denormalized into posting rows.

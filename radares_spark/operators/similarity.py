@@ -413,11 +413,22 @@ def retrain_ivf_store(
             "retrain writes a NEW store (write-new-then-swap); out_dir "
             "must differ from the serving store"
         )
+    from radares_spark.io.fs import list_names
+
     old_centroids, store_dim = store_centroids(spark, ivf_dir)
     if dim is None:
         dim = store_dim
     if n_cells is None:
         n_cells = old_centroids.count()
+    if not any(n.startswith("cell=") for n in list_names(spark, ivf_dir)):
+        # refreshes vacate emptied cells; a fully drained store has
+        # only sidecars left and the partitioned read would die with
+        # an opaque schema-inference error
+        raise ValueError(
+            f"IVF store {ivf_dir!r} has no resident cell partitions — "
+            "nothing to retrain; re-initialize it from the corpus "
+            "(init_ivf_from_state / write_ivf_store) instead"
+        )
     stored = spark.read.parquet(ivf_dir)
     data_cols = [c for c in stored.columns if c != "cell"]
     # the resident vectors, shed of their stale cell column; pinned —

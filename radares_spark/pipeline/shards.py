@@ -550,9 +550,16 @@ def append_shards(
         )
     done_nights = _completed_nights(meta)
     if night is not None and night in done_nights:
+        # the meta records WHICH nights completed, not which epoch each
+        # landed in — only the most recent no-op can name its epoch
+        # honestly (review find: epoch-1 was wrong for older nights)
         return {
             "already_appended": 1,
-            "epoch": epoch - 1,
+            "epoch": (
+                epoch - 1
+                if meta.asDict().get("last_night") == night
+                else None
+            ),
             "n_delta_docs": 0,
             "n_delta_tokens": 0,
             "n_sealed": 0,
@@ -658,11 +665,20 @@ def reshard_shards(
     old_meta = _meta_row(spark, shards_dir)
     if ctx_len is None:
         ctx_len = int(old_meta["ctx_len"])
-    vocab = token_vocab(word_syms, merges)
+    # pinned once and threaded through: init and append would each
+    # rebuild + re-fingerprint the vocabulary otherwise (~0.5 s each)
+    vocab = token_vocab(word_syms, merges).localCheckpoint()
     fp = vocab_fingerprint(vocab)
     init_shards(spark, out_dir, vocab, ctx_len=ctx_len)
     stats = append_shards(
-        spark, out_dir, docs, word_syms, merges, text_col=text_col, night=night
+        spark,
+        out_dir,
+        docs,
+        word_syms,
+        merges,
+        text_col=text_col,
+        night=night,
+        vocab=vocab,
     )
     return {
         **stats,
@@ -670,6 +686,23 @@ def reshard_shards(
         "new_vocab_fp": fp,
         "tokenizer_changed": int(fp != old_meta["vocab_fp"]),
     }
+
+
+def _spans_tiling_fold(finish):
+    """(pos, ok) fold over ``doc_spans``: each span's ``begin`` must
+    equal the running sum of prior span lengths. ``finish`` maps the
+    final accumulator to the reported value — shared by the store
+    verifier and the driver-window manifest audit so the tiling rule
+    can never silently diverge between them."""
+    return F.aggregate(
+        "doc_spans",
+        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
+        lambda acc, s: F.struct(
+            (acc["pos"] + s["n"]).alias("pos"),
+            (acc["ok"] & (s["begin"] == acc["pos"])).alias("ok"),
+        ),
+        finish,
+    )
 
 
 def shards_verify(
@@ -704,16 +737,10 @@ def shards_verify(
     next_off = int(meta["next_token_offset"])
     sealed_hi = next_off // ctx_len
     sealed = read_shards(spark, shards_dir)
-    tiled_ok = F.aggregate(
-        "doc_spans",
-        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
-        lambda acc, s: F.struct(
-            (acc["pos"] + s["n"]).alias("pos"),
-            (acc["ok"] & (s["begin"] == acc["pos"])).alias("ok"),
-        ),
+    tiled_ok = _spans_tiling_fold(
         lambda acc: acc["ok"]
         & (acc["pos"] == ctx_len)
-        & (acc["pos"] == F.size("input_ids")),
+        & (acc["pos"] == F.size("input_ids"))
     )
     row = sealed.agg(
         F.count(F.lit(1)).alias("n"),
@@ -737,17 +764,21 @@ def shards_verify(
 
     frontier_ok = True
     if next_epoch > 0:
-        fr = sorted(
-            spark.read.parquet(f"{shards_dir}/_frontier_{next_epoch - 1}")
-            .select("n", "off")
-            .collect(),
-            key=lambda r: r["off"],
-        )
-        pos = sealed_hi * ctx_len
-        for r in fr:
-            frontier_ok = frontier_ok and r["off"] == pos
-            pos += r["n"]
-        frontier_ok = frontier_ok and pos == next_off
+        fr_path = f"{shards_dir}/_frontier_{next_epoch - 1}"
+        if not list_names(spark, fr_path):
+            # a missing sidecar IS the corruption being detected —
+            # report it, don't crash on the read
+            frontier_ok = False
+        else:
+            fr = sorted(
+                spark.read.parquet(fr_path).select("n", "off").collect(),
+                key=lambda r: r["off"],
+            )
+            pos = sealed_hi * ctx_len
+            for r in fr:
+                frontier_ok = frontier_ok and r["off"] == pos
+                pos += r["n"]
+            frontier_ok = frontier_ok and pos == next_off
     else:
         frontier_ok = next_off == 0
 
@@ -856,15 +887,7 @@ def shards_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", _initial_symbols(F.col("word")).alias("syms"))
     )
     seqs = pack_ids(encode_ids(docs, word_syms), ctx_len=SHARD_CTX)
-    tiled = F.aggregate(
-        "doc_spans",
-        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
-        lambda acc, s: F.struct(
-            (acc["pos"] + s["n"]).alias("pos"),
-            (acc["ok"] & (s["begin"] == acc["pos"])).alias("ok"),
-        ),
-        lambda acc: acc["ok"],
-    )
+    tiled = _spans_tiling_fold(lambda acc: acc["ok"])
     return seqs.select(
         "seq_id",
         "n_docs",

@@ -10,19 +10,23 @@ the store's own lifecycle already provides the replay guard:
 - the checkpoint's file log gives each landed file to exactly one
   micro-batch (the admission-stream recipe);
 - ``append_shards`` writes its ``_meta`` LAST carrying a night tag of
-  ``epoch-<checkpoint-hash>-<id>``. A replayed micro-batch (crash
+  ``epoch-<run-namespace>-<id>``. A replayed micro-batch (crash
   between the append completing and the checkpoint commit) is
   recognized by the tag and no-ops; a batch that crashed MID-append
   left ``_meta`` untouched, so its replay re-reads the same
   meta/frontier and reruns byte-identically (pinned batch-side in
   tests/test_shards.py's crash-rerun test). No epoch-partition
   overwrite dance is needed — the meta-write-last ladder IS the
-  idempotency mechanism. The checkpoint hash NAMESPACES the tags per
-  logical stream: Spark restarts epoch ids at 0 for every fresh
-  checkpoint, so un-namespaced tags from an earlier run against the
-  same store would silently no-op a NEW run's first batches (r9 find
-  — the completed-tag set made the collision certain instead of
-  rare); same checkpoint => same tags => replays still dedup.
+  idempotency mechanism. The run namespace is a marker PERSISTED
+  INSIDE THE CHECKPOINT DIR, minted when the checkpoint is born:
+  Spark restarts epoch ids at 0 for every fresh checkpoint, so
+  un-namespaced tags from an earlier run against the same store would
+  silently no-op a NEW run's first batches (r9 find — the
+  completed-tag set made the collision certain instead of rare).
+  Restarts reuse the marker (replays still dedup); WIPING the
+  checkpoint — same path or new — mints a fresh namespace, so new
+  data always lands. A checkpoint-path hash would not survive the
+  wipe-and-reuse-the-same-path case.
 
 Sequencing: ``append_shards`` is inherently serial (each night reads
 the meta the previous one wrote). foreachBatch delivers micro-batches
@@ -38,7 +42,7 @@ never listed, read, or rewritten, so epochs stay O(batch) forever.
 
 from __future__ import annotations
 
-import hashlib
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -74,8 +78,17 @@ def run_shards_stream(
     word_syms = word_syms.localCheckpoint(eager=True)
     vocab = token_vocab(word_syms, merges).localCheckpoint(eager=True)
     docs = stream_docs(spark, landing_dir, max_files_per_trigger)
-    # tag namespace per logical stream incarnation (see module doc)
-    run_ns = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+    # tag namespace per CHECKPOINT INCARNATION (see module doc): read
+    # the marker minted when this checkpoint was born, or mint one —
+    # before the stream starts, so no batch can race the marker write
+    ns_path = f"{checkpoint}/_radares_run_ns"
+    if fs.has_parquet(spark, ns_path):
+        run_ns = spark.read.parquet(ns_path).head()["ns"]
+    else:
+        run_ns = uuid.uuid4().hex[:12]
+        spark.createDataFrame([(run_ns,)], "ns string").repartition(
+            1
+        ).write.parquet(ns_path)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)

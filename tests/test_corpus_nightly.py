@@ -108,3 +108,44 @@ def test_corpus_nightly_three_nights(spark, tmp_path, capsys):
     # token offset is positive and grew each night
     assert want_shards_meta["next_token_offset"] > 0
     assert want_shards_meta["next_epoch"] == 3
+
+
+def test_bootstrap_night_gates_intra_twins(spark, tmp_path, capsys):
+    """Review find: the bootstrap night ran with NO semantic gate, so
+    same-night paraphrase twins in the seed corpus both became
+    permanent residents. The first night now runs the intra half with
+    blocking cells trained on tonight's vectors: exactly one twin
+    seeds the stores."""
+    A = _body("alpha")
+    A_rev = " ".join(reversed(A.split()))  # shingle-disjoint, tf-identical
+    B = _body("beta")
+    root = str(tmp_path / "root")
+    src = tmp_path / "pages1"
+    _write_pages(spark, src, [(1, "https://a.example.com/1", A),
+                              (2, "https://b.example.com/2", A_rev),
+                              (3, "https://c.example.com/3", B)])
+    c1 = cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)
+    assert c1["semantic_dup_intra"] == 1 and c1["kept"] == 2, c1
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/kept_store").select("doc_id").collect()
+    }
+    assert kept_ids == {1, 3}  # ties break to the smaller vec_id
+
+
+def test_missing_night_log_over_populated_root_fails_fast(spark, tmp_path):
+    """Review find: an absent night log was indistinguishable from
+    night zero — a destroyed log must not silently re-bootstrap over
+    populated stores."""
+    import pytest
+
+    A = _body("alpha")
+    root = str(tmp_path / "root")
+    src = tmp_path / "pages1"
+    _write_pages(spark, src, [(1, "https://a.example.com/1", A)])
+    cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)
+    shutil.rmtree(f"{root}/night_log")
+    src2 = tmp_path / "pages2"
+    _write_pages(spark, src2, [(2, "https://b.example.com/2", _body("beta"))])
+    with pytest.raises(ValueError, match="night log .* is missing"):
+        cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)

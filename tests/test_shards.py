@@ -747,3 +747,14 @@ def test_shards_verify_detects_planted_corruption(
     bad3 = shards_verify(spark, store, tok2)
     assert not bad3["ok"] and bad3["vocab_ok"] is False, bad3
     assert bad3["sealed_ok"]  # the data itself is untouched
+
+    # the export-fused gate: --verify refuses a corrupt store, exports
+    # a healthy one
+    with pytest.raises(ValueError, match="refusing to export"):
+        main(["shards-export", "--shards", gone, "--out",
+              str(tmp_path / "ep_bad"), "--seed", "1", "--n-shards", "2",
+              "--verify"])
+    assert main(["shards-export", "--shards", store, "--out",
+                 str(tmp_path / "ep_ok"), "--seed", "1", "--n-shards", "2",
+                 "--verify", "--tokenizer", tok]) == 0
+    capsys.readouterr()

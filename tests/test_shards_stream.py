@@ -235,3 +235,27 @@ def test_second_stream_run_fresh_checkpoint_appends(spark, env, tmp_path):
         spark.read.parquet(f"{store}/_meta").head()["next_token_offset"]
         == meta["next_token_offset"]
     )
+
+
+def test_wiped_checkpoint_same_path_appends_new_data(spark, env, tmp_path):
+    """Review find: a checkpoint-path-derived namespace collides when
+    the operator wipes and recreates the checkpoint AT THE SAME PATH
+    (epoch ids restart at 0, tags match the dead incarnation's, new
+    data silently drops). The marker minted inside the checkpoint dir
+    dies with it, so the new incarnation gets a fresh namespace."""
+    import shutil
+
+    word_syms, merges = env["word_syms"], env["merges"]
+    store = str(tmp_path / "store")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    ckpt = str(tmp_path / "ckpt")  # ONE path, two incarnations
+    land1, land2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    _night_df(spark, NIGHTS[0]).coalesce(1).write.parquet(land1)
+    _night_df(spark, NIGHTS[1]).coalesce(1).write.parquet(land2)
+    run_shards_stream(spark, land1, env["tok"], store, ckpt)
+    t1 = spark.read.parquet(f"{store}/_meta").head()["next_token_offset"]
+    assert t1 > 0
+    shutil.rmtree(ckpt)
+    run_shards_stream(spark, land2, env["tok"], store, ckpt)
+    t2 = spark.read.parquet(f"{store}/_meta").head()["next_token_offset"]
+    assert t2 > t1, "wiped-checkpoint incarnation silently no-opped"
