@@ -103,6 +103,7 @@ EXTRA = [
     "text_hybrid_rrf_topk",  # r7: BM25 + sparse-cosine RRF fusion
     "shards_pack",  # r8: token-id encode + fixed-ctx sequence packing
     "shards_manifest_audit",  # r9: driver-registered manifest audit
+    "corpus_kn_bigram_logprob",  # r9: interpolated Kneser-Ney LM score
 ]
 
 

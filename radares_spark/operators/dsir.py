@@ -520,6 +520,89 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs)
 
 
+KN_DISCOUNT = 0.75  # Chen & Goodman 1998's fixed absolute discount
+
+
+def kn_bigram_logprob(
+    docs: DataFrame, discount: float = KN_DISCOUNT, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_neg_logprob) — interpolated KNESER-NEY
+    bigram scoring (Kneser & Ney 1995; fixed-discount form of Chen &
+    Goodman 1998 §2.7): the proper-smoothing upgrade of
+    :func:`bigram_logprob`'s add-alpha, and the closest engine-native
+    stand-in for the KenLM perplexity filter CCNet uses::
+
+        p_KN(w|v)  = max(c(v,w) - D, 0)/c(v)
+                     + (D * N1+(v,*) / c(v)) * p_cont(w)
+        p_cont(w)  = N1+(*,w) / |{(v,w): c(v,w) > 0}|
+
+    where N1+(v,*) is the number of distinct continuations of context
+    v and N1+(*,w) the number of distinct contexts preceding w — the
+    continuation counts that make KN rank "San Francisco"-style
+    bound words low as unigram fallbacks even when frequent.
+
+    Every statistic is an aggregate over the SAME broadcast-sized
+    hashed-pair count table the add-alpha model builds: row counts per
+    context give N1+(v,*), row counts per word give N1+(*,w), one
+    grand total gives the pair-type denominator — no second corpus
+    pass, and the gram stream is pinned once exactly as in
+    :func:`bigram_logprob`. Self-scored (the model trains on the
+    corpus it scores), so every scored bigram has c(v,w) >= 1 and the
+    interpolation needs no unseen branch. Empty/one-token docs score
+    0.0."""
+    rows = (
+        shingle_rows(docs.select("doc_id", "text"), n=2)
+        .select(
+            "doc_id",
+            _bucket(F.substring_index(F.col("shingle"), " ", 1)).alias("b1"),
+            _bucket(F.col("shingle")).alias("b2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c2 = rows.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c2"))
+    # all four KN statistics from the pair table alone (tiny rollups)
+    ctx = c2.groupBy("b1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n_after")
+    )
+    cont = c2.groupBy("b2").agg(F.count(F.lit(1)).alias("n_before"))
+    total = c2.agg(F.count(F.lit(1)).alias("t"))
+    nlp = -F.log(
+        F.greatest(F.col("c2") - F.lit(discount), F.lit(0.0)) / F.col("c1")
+        + F.lit(discount)
+        * F.col("n_after")
+        / F.col("c1")
+        * (F.col("n_before") / F.col("t"))
+    )
+    model = (
+        c2.join(ctx, "b1")
+        .join(cont, "b2")
+        .crossJoin(F.broadcast(total))
+        .select("b1", "b2", nlp.alias("nlp"))
+    )
+    scored = (
+        rows.join(F.broadcast(model), ["b1", "b2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def corpus_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_bigram_logprob(docs)
+
+
 BIGRAM_SQL = f"""
     WITH rows AS (
         SELECT doc_id,
@@ -550,7 +633,51 @@ BIGRAM_SQL = f"""
 """
 
 
+KN_BIGRAM_SQL = f"""
+    WITH rows AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w[i]), 1, 8))::BIGINT % {N_BUCKETS} AS b1,
+               ('0x' || substr(md5(array_to_string(w[i:i + 1], ' ')), 1, 8))::BIGINT
+                   % {N_BUCKETS} AS b2
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+              FROM documents WHERE len({_NORM}) > 0),
+             LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT b1, b2, count(*) AS c2 FROM rows GROUP BY 1, 2),
+    ctx AS (SELECT b1, sum(c2) AS c1, count(*) AS n_after FROM c2 GROUP BY 1),
+    cont AS (SELECT b2, count(*) AS n_before FROM c2 GROUP BY 1),
+    total AS (SELECT count(*) AS t FROM c2),
+    model AS (
+        SELECT b1, b2,
+               -ln(greatest(c2 - {KN_DISCOUNT}, 0.0) / c1
+                   + {KN_DISCOUNT} * n_after / c1 * (n_before / t)) AS nlp
+        FROM c2 JOIN ctx USING (b1) JOIN cont USING (b2) CROSS JOIN total
+    ),
+    scored AS (
+        SELECT r.doc_id, count(*) AS n_bigrams,
+               round(avg(m.nlp), 6) AS avg_neg_logprob
+        FROM rows r JOIN model m USING (b1, b2) GROUP BY r.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.avg_neg_logprob, 0.0) AS avg_neg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_kn_bigram_logprob": QuerySpec(
+        name="corpus_kn_bigram_logprob",
+        fn=corpus_kn_bigram_logprob,
+        oracle=KN_BIGRAM_SQL,
+        survey="LLM-pipeline (interpolated Kneser-Ney bigram LM score "
+        "— the proper-smoothing KenLM/CCNet stand-in)",
+        doc="avg -log p_KN(w|prev) per doc: fixed-discount absolute "
+        "discounting with continuation-count unigram interpolation, "
+        "all four statistics tiny rollups of the one broadcast-sized "
+        "hashed-pair table; gram stream pinned once.",
+    ),
     "corpus_bigram_logprob": QuerySpec(
         name="corpus_bigram_logprob",
         fn=corpus_bigram_logprob,

@@ -293,3 +293,108 @@ def test_bigram_logprob_short_docs_keep_rows(spark):
     rows = {r["doc_id"]: r for r in bigram_logprob(spark.createDataFrame(pdf)).collect()}
     for d in (0, 1, 2):
         assert rows[d]["n_bigrams"] == 0 and rows[d]["avg_neg_logprob"] == 0.0
+
+
+def test_kn_bigram_matches_pure_python_replica(spark):
+    """Interpolated Kneser-Ney (fixed discount): the Spark model must
+    equal an independent pure-python implementation of the Chen &
+    Goodman formula over the same hashed buckets — continuation counts
+    and the discount/backoff split included."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from radares_spark.operators.dsir import (
+        KN_DISCOUNT,
+        N_BUCKETS,
+        kn_bigram_logprob,
+    )
+    from tests.test_bpe import _ref_normalize
+
+    texts = [
+        "the cat sat on the mat and the dog ran off",
+        "the dog sat on the cat",
+        "a completely different sentence about rivers and locks",
+        "the cat sat on the mat again and again",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % N_BUCKETS
+
+    grams = {}
+    for i, t in enumerate(texts):
+        w = _ref_normalize(t or "").split()
+        grams[i] = [
+            (bucket(w[j]), bucket(f"{w[j]} {w[j+1]}"))
+            for j in range(len(w) - 1)
+        ] if len(w) >= 2 else []
+    from collections import Counter
+
+    c2 = Counter(g for gs in grams.values() for g in gs)
+    c1 = Counter()
+    n_after = Counter()
+    n_before = Counter()
+    for (b1, b2), c in c2.items():
+        c1[b1] += c
+        n_after[b1] += 1
+        n_before[b2] += 1
+    t_total = len(c2)
+    D = KN_DISCOUNT
+
+    def nlp(b1, b2):
+        return -math.log(
+            max(c2[(b1, b2)] - D, 0.0) / c1[b1]
+            + D * n_after[b1] / c1[b1] * (n_before[b2] / t_total)
+        )
+
+    want = {
+        i: round(sum(nlp(*g) for g in gs) / len(gs), 6) if gs else 0.0
+        for i, gs in grams.items()
+    }
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in kn_bigram_logprob(docs).collect()
+    }
+    for i in grams:
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+
+    # and the probabilities are a proper distribution per context:
+    # sum_w p_KN(w|v) == 1 for every context in the closed bucket set
+    for b1 in c1:
+        s = sum(
+            max(c2.get((b1, b2), 0) - D, 0.0) / c1[b1]
+            + D * n_after[b1] / c1[b1] * (n_before[b2] / t_total)
+            for b2 in n_before
+        )
+        assert abs(s - 1.0) < 1e-9, (b1, s)
+
+
+def test_kn_bigram_penalizes_shuffled_word_order(spark):
+    """KN keeps the bigram scorer's discriminating property (word
+    order) while redistributing mass by continuation counts rather
+    than uniformly."""
+    import pandas as pd
+
+    from radares_spark.operators.dsir import bigram_logprob, kn_bigram_logprob
+
+    fluent = "the cat sat on the mat and the dog ran off"
+    shuffled = "mat the on dog cat the ran sat off and the"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(21), "text": [fluent] * 20 + [shuffled]})
+    )
+    kn = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in kn_bigram_logprob(docs).collect()
+    }
+    assert kn[20] > kn[0] + 1.0
+    # the two smoothers are genuinely different models, not a rename
+    aa = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_logprob(docs).collect()
+    }
+    assert abs(kn[0] - aa[0]) > 1e-3
