@@ -104,6 +104,7 @@ EXTRA = [
     "shards_pack",  # r8: token-id encode + fixed-ctx sequence packing
     "shards_manifest_audit",  # r9: driver-registered manifest audit
     "corpus_kn_bigram_logprob",  # r9: interpolated Kneser-Ney LM score
+    "corpus_kn_trigram_logprob",  # r9: recursive KN trigram chain
 ]
 
 

@@ -603,6 +603,101 @@ def corpus_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_logprob(docs)
 
 
+def kn_trigram_logprob(
+    docs: DataFrame, discount: float = KN_DISCOUNT, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_neg_logprob) — the FULL RECURSIVE
+    interpolated Kneser-Ney chain (Chen & Goodman 1998 §2.7) over
+    hashed token buckets::
+
+        p3(w|u,v) = max(C(uvw)-D, 0)/C(uv*) + D*N1+(uv*)/C(uv*) * p2(w|v)
+        p2(w|v)   = max(A(vw)-D, 0)/A(v*)   + D*|{w:A(vw)>0}|/A(v*) * p1(w)
+        p1(w)     = B(w) / T
+
+    with the lower orders built from CONTINUATION counts exactly as
+    the method prescribes (and as kenlm derives them from the highest
+    order): ``A(vw) = |{u : C(uvw)>0}|`` (distinct left-extensions of
+    the bigram), ``B(w) = |{v : A(vw)>0}|``, ``T = |{(v,w): A(vw)>0}|``
+    — raw lower-order counts would over-weight words frequent only
+    inside one collocation, the bias KN exists to remove. Both
+    conditional levels sum to exactly 1 per context (pinned in tests).
+
+    Scale shape: the trigram count table is bounded by DISTINCT
+    trigram triples — corpus-bounded, NOT broadcast-sized like the
+    bigram model's n_buckets^2 — so the scoring join carries no
+    broadcast hint: AQE broadcasts it at test scale and shuffles
+    rows-vs-model on the triple key at corpus scale (one gram-key
+    shuffle, the standard distributed LM-scoring shape). Every
+    lower-order statistic IS <= n_buckets^2 and rides the same join.
+    Docs with < 3 tokens score 0.0; self-scored, so every scored
+    triple exists in the model."""
+    sh = shingle_rows(docs.select("doc_id", "text"), n=3)
+    rows = (
+        sh.select(
+            "doc_id",
+            _bucket(F.substring_index(F.col("shingle"), " ", 1)).alias("b1"),
+            _bucket(
+                F.substring_index(
+                    F.substring_index(F.col("shingle"), " ", 2), " ", -1
+                )
+            ).alias("b2"),
+            _bucket(F.substring_index(F.col("shingle"), " ", -1)).alias("b3"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c3 = rows.groupBy("b1", "b2", "b3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx3 = c3.groupBy("b1", "b2").agg(
+        F.sum("c3").alias("c12"), F.count(F.lit(1)).alias("n_after12")
+    )
+    a23 = c3.groupBy("b2", "b3").agg(F.count(F.lit(1)).alias("a23"))
+    av = a23.groupBy("b2").agg(
+        F.sum("a23").alias("a_sum"), F.count(F.lit(1)).alias("nv")
+    )
+    bw = a23.groupBy("b3").agg(F.count(F.lit(1)).alias("bw"))
+    total = a23.agg(F.count(F.lit(1)).alias("t"))
+    p2 = (
+        F.greatest(F.col("a23") - F.lit(discount), F.lit(0.0)) / F.col("a_sum")
+        + F.lit(discount)
+        * F.col("nv")
+        / F.col("a_sum")
+        * (F.col("bw") / F.col("t"))
+    )
+    nlp = -F.log(
+        F.greatest(F.col("c3") - F.lit(discount), F.lit(0.0)) / F.col("c12")
+        + F.lit(discount) * F.col("n_after12") / F.col("c12") * p2
+    )
+    model = (
+        c3.join(ctx3, ["b1", "b2"])
+        .join(a23, ["b2", "b3"])
+        .join(av, "b2")
+        .join(bw, "b3")
+        .crossJoin(F.broadcast(total))
+        .select("b1", "b2", "b3", nlp.alias("nlp"))
+    )
+    scored = (
+        rows.join(model, ["b1", "b2", "b3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def corpus_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_trigram_logprob(docs)
+
+
 BIGRAM_SQL = f"""
     WITH rows AS (
         SELECT doc_id,
@@ -666,7 +761,58 @@ KN_BIGRAM_SQL = f"""
 """
 
 
+KN_TRIGRAM_SQL = f"""
+    WITH rows AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w[i]), 1, 8))::BIGINT % {N_BUCKETS} AS b1,
+               ('0x' || substr(md5(w[i + 1]), 1, 8))::BIGINT % {N_BUCKETS} AS b2,
+               ('0x' || substr(md5(w[i + 2]), 1, 8))::BIGINT % {N_BUCKETS} AS b3
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+              FROM documents WHERE len({_NORM}) > 0),
+             LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    c3 AS (SELECT b1, b2, b3, count(*) AS c3 FROM rows GROUP BY 1, 2, 3),
+    ctx3 AS (SELECT b1, b2, sum(c3) AS c12, count(*) AS n_after12
+             FROM c3 GROUP BY 1, 2),
+    a23 AS (SELECT b2, b3, count(*) AS a23 FROM c3 GROUP BY 1, 2),
+    av AS (SELECT b2, sum(a23) AS a_sum, count(*) AS nv FROM a23 GROUP BY 1),
+    bw AS (SELECT b3, count(*) AS bw FROM a23 GROUP BY 1),
+    total AS (SELECT count(*) AS t FROM a23),
+    model AS (
+        SELECT b1, b2, b3,
+               -ln(greatest(c3 - {KN_DISCOUNT}, 0.0) / c12
+                   + {KN_DISCOUNT} * n_after12 / c12
+                     * (greatest(a23 - {KN_DISCOUNT}, 0.0) / a_sum
+                        + {KN_DISCOUNT} * nv / a_sum * (bw / t))) AS nlp
+        FROM c3 JOIN ctx3 USING (b1, b2) JOIN a23 USING (b2, b3)
+             JOIN av USING (b2) JOIN bw USING (b3) CROSS JOIN total
+    ),
+    scored AS (
+        SELECT r.doc_id, count(*) AS n_trigrams,
+               round(avg(m.nlp), 6) AS avg_neg_logprob
+        FROM rows r JOIN model m USING (b1, b2, b3) GROUP BY r.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_trigrams, 0) AS n_trigrams,
+           coalesce(s.avg_neg_logprob, 0.0) AS avg_neg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "corpus_kn_trigram_logprob": QuerySpec(
+        name="corpus_kn_trigram_logprob",
+        fn=corpus_kn_trigram_logprob,
+        oracle=KN_TRIGRAM_SQL,
+        survey="LLM-pipeline (recursive interpolated Kneser-Ney "
+        "trigram LM score — continuation-count lower orders)",
+        doc="avg -log p_KN(w|u,v) per doc: the full Chen-Goodman "
+        "recursion with continuation-count middle/low orders derived "
+        "from the trigram table; scoring join carries NO broadcast "
+        "hint (trigram model is corpus-bounded — AQE shuffles it on "
+        "the triple key at scale).",
+    ),
     "corpus_kn_bigram_logprob": QuerySpec(
         name="corpus_kn_bigram_logprob",
         fn=corpus_kn_bigram_logprob,

@@ -398,3 +398,95 @@ def test_kn_bigram_penalizes_shuffled_word_order(spark):
         for r in bigram_logprob(docs).collect()
     }
     assert abs(kn[0] - aa[0]) > 1e-3
+
+
+def test_kn_trigram_matches_pure_python_replica(spark):
+    """Recursive interpolated KN: the Spark model equals an
+    independent python implementation of the full Chen & Goodman
+    chain — continuation-count middle and low orders included — and
+    BOTH conditional levels are proper distributions (sum to 1 per
+    context)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from radares_spark.operators.dsir import (
+        KN_DISCOUNT,
+        N_BUCKETS,
+        kn_trigram_logprob,
+    )
+    from tests.test_bpe import _ref_normalize
+
+    texts = [
+        "the cat sat on the mat and the dog ran off the mat",
+        "the dog sat on the cat and the cat ran",
+        "a completely different sentence about rivers locks and barges",
+        "the cat sat on the mat again and again and again",
+        "two words",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % N_BUCKETS
+
+    grams = {}
+    for i, t in enumerate(texts):
+        w = _ref_normalize(t or "").split()
+        grams[i] = [
+            (bucket(w[j]), bucket(w[j + 1]), bucket(w[j + 2]))
+            for j in range(len(w) - 2)
+        ] if len(w) >= 3 else []
+    c3 = Counter(g for gs in grams.values() for g in gs)
+    c12, n_after12, a23 = Counter(), Counter(), Counter()
+    for (b1, b2, b3), c in c3.items():
+        c12[(b1, b2)] += c
+        n_after12[(b1, b2)] += 1
+        a23[(b2, b3)] += 1
+    a_sum, nv, bw = Counter(), Counter(), Counter()
+    for (b2, b3), a in a23.items():
+        a_sum[b2] += a
+        nv[b2] += 1
+        bw[b3] += 1
+    t_total = len(a23)
+    D = KN_DISCOUNT
+
+    def p2(b2, b3):
+        return max(a23[(b2, b3)] - D, 0.0) / a_sum[b2] + D * nv[b2] / a_sum[
+            b2
+        ] * (bw[b3] / t_total)
+
+    def nlp(b1, b2, b3):
+        return -math.log(
+            max(c3[(b1, b2, b3)] - D, 0.0) / c12[(b1, b2)]
+            + D * n_after12[(b1, b2)] / c12[(b1, b2)] * p2(b2, b3)
+        )
+
+    want = {
+        i: round(sum(nlp(*g) for g in gs) / len(gs), 6) if gs else 0.0
+        for i, gs in grams.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_neg_logprob"])
+        for r in kn_trigram_logprob(docs).collect()
+    }
+    for i, gs in grams.items():
+        assert got[i][0] == len(gs)
+        assert abs(got[i][1] - want[i]) < 1e-6, (i, got[i], want[i])
+    assert got[4] == (0, 0.0) and got[5] == (0, 0.0)  # <3 tokens
+
+    # both conditional levels are proper distributions
+    for b2 in a_sum:
+        s = sum(p2(b2, b3) for b3 in bw)
+        assert abs(s - 1.0) < 1e-9, ("p2", b2, s)
+    for (b1, b2) in c12:
+        s = sum(
+            max(c3.get((b1, b2, b3), 0) - D, 0.0) / c12[(b1, b2)]
+            + D * n_after12[(b1, b2)] / c12[(b1, b2)] * p2(b2, b3)
+            for b3 in bw
+        )
+        assert abs(s - 1.0) < 1e-9, ("p3", (b1, b2), s)
