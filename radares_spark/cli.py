@@ -201,13 +201,24 @@ def cmd_corpus_refresh(
             init_ivf_from_state(spark, docs, state_out, ivf_dir)
     else:
         audit, stats = refresh(spark, docs, state_in, state_out)
+        churn = None
+        if store_dir or postings_dir or ivf_dir:
+            # ONE churn computation shared by every store apply (the
+            # applies would otherwise each re-run the audit/feature
+            # joins); the three frames are audit-sized id lists
+            from radares_spark.pipeline.refresh import kept_churn
+
+            churn = tuple(
+                f.localCheckpoint()
+                for f in kept_churn(spark, state_in, state_out)
+            )
         if postings_dir:  # BEFORE the kept-store rewrite (old text)
             stats.update(
                 {
                     f"postings_{k}": v
                     for k, v in apply_refresh_to_postings_store(
                         spark, docs, state_in, state_out, store_dir,
-                        postings_dir, night=night,
+                        postings_dir, night=night, churn=churn,
                     ).items()
                 }
             )
@@ -216,13 +227,16 @@ def cmd_corpus_refresh(
                 {
                     f"ivf_{k}": v
                     for k, v in apply_refresh_to_ivf_store(
-                        spark, docs, state_in, state_out, ivf_dir
+                        spark, docs, state_in, state_out, ivf_dir,
+                        churn=churn,
                     ).items()
                 }
             )
         if store_dir:
             stats.update(
-                apply_refresh_to_store(spark, docs, state_in, state_out, store_dir)
+                apply_refresh_to_store(
+                    spark, docs, state_in, state_out, store_dir, churn=churn
+                )
             )
     counts = {
         r["outcome"]: r["count"]
@@ -327,11 +341,15 @@ def cmd_crawl_nightly(
     url_audit, append_rows = incremental_url_dedup(
         pages.select("doc_id", "url"), ledger
     )
-    url_audit.write.mode("overwrite").parquet(os.path.join(out_dir, "url_audit"))
-    # counts read back from the written store — the plan ran exactly once
-    url_back = spark.read.parquet(os.path.join(out_dir, "url_audit"))
-    counts = {"discovered": url_back.count()}
-    for r in url_back.groupBy("outcome").count().collect():
+    # pinned once (delta-sized: one narrow row per discovered URL) so
+    # counts AND the conditional write below come from a single run of
+    # the admission join — and a completed-night re-run can decide to
+    # PRESERVE the original url_audit before anything overwrites it
+    # (review finding: the old flow clobbered the night's real
+    # admission outcomes with all-duplicate rows on every re-run)
+    url_audit = url_audit.localCheckpoint()
+    counts = {"discovered": url_audit.count()}
+    for r in url_audit.groupBy("outcome").count().collect():
         if r["outcome"] == "kept":
             counts["fetched"] = r["count"]
         else:
@@ -341,10 +359,11 @@ def cmd_crawl_nightly(
     kept_dir = os.path.join(out_dir, "kept")
     if counts["fetched"] == 0 and iofs.has_parquet(spark, kept_dir):
         # completed-night re-run: nothing admitted and real outputs
-        # already exist — leave them untouched, but read the preserved
-        # audit back so the re-run returns the same per-outcome shape
-        # as the original run (review finding: the two invocations of
-        # one night must report identically)
+        # already exist — leave them ALL untouched (url_audit
+        # included), but read the preserved audit back so the re-run
+        # returns the same per-outcome shape as the original run
+        # (review finding: the two invocations of one night must
+        # report identically)
         counts["outputs_preserved"] = 1
         audit_dir = os.path.join(out_dir, "audit")
         if iofs.has_parquet(spark, audit_dir):
@@ -353,7 +372,10 @@ def cmd_crawl_nightly(
             ):
                 counts[r["outcome"]] = r["count"]
     else:
-        admitted = url_back.filter(F.col("outcome") == "kept").select("doc_id")
+        url_audit.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "url_audit")
+        )
+        admitted = url_audit.filter(F.col("outcome") == "kept").select("doc_id")
         to_fetch = pages.join(admitted, "doc_id", "left_semi")
         kept, audit = curate_crawl(
             to_fetch, max_per_domain=max_per_domain, max_bucket=max_bucket
@@ -371,7 +393,7 @@ def cmd_crawl_nightly(
             # runs half (b) with centroids TRAINED on tonight's vectors:
             # without it, bootstrap-corpus paraphrase twins would both
             # become permanent residents before any store exists.
-            from radares_spark.operators.embed import EMBED_DIM, hashed_tf
+            from radares_spark.operators.embed import EMBED_DIM
             from radares_spark.operators.semdedup import (
                 semdedup_admit_from_store,
                 semdedup_audit,
@@ -381,16 +403,18 @@ def cmd_crawl_nightly(
                 assign_to_centroids,
                 build_ivf_index,
             )
+            from radares_spark.pipeline.refresh import _kept_vectors
 
             if semantic_store:
                 cents, dim = store_centroids(spark, semantic_store)
                 cents = cents.localCheckpoint()
             else:
                 cents, dim = None, EMBED_DIM
-            vecs = hashed_tf(kept.select("doc_id", "text"), dim).select(
-                F.col("doc_id").alias("vec_id"),
-                F.col("embedding").alias("v"),
-                F.lit(1.0).alias("nrm"),
+            # the SAME vector contract the IVF store serves (one
+            # definition — refresh._kept_vectors — so the gate can
+            # never drift from the store it probes)
+            vecs = _kept_vectors(
+                kept.select("doc_id", "text"), dim
             ).localCheckpoint()  # feeds the store gate AND the intra gate
             if semantic_store:
                 sem = semdedup_admit_from_store(
@@ -586,15 +610,28 @@ def cmd_corpus_nightly(
             for r in spark.read.parquet(log).orderBy("idx").collect()
         ]
     elif iofs.has_parquet(spark, kept_store):
-        # a populated root with NO log is corruption, not night zero:
-        # re-bootstrapping would overwrite the kept/postings/IVF stores
-        # with tonight's docs alone and re-seal the shard store under a
-        # fresh tokenizer over epochs sealed under the old one
-        raise ValueError(
-            f"night log {log!r} is missing but {kept_store!r} exists — "
-            "refusing to re-bootstrap over populated stores; restore "
-            "the log (one idx=<n> partition per completed night)"
-        )
+        # a populated root with NO log is EITHER a crashed bootstrap
+        # (first night died after its stores landed but before the log
+        # write — replaying THAT night as night zero is convergent:
+        # deterministic re-train, init overwrites, idempotent appends)
+        # OR a destroyed log (re-bootstrapping would overwrite every
+        # store with tonight's docs alone and re-seal the shard store
+        # under a fresh tokenizer over old-vocab epochs). Two
+        # distinguishers, both must pass: the URL ledger holds ONLY
+        # epoch 0 (any higher epoch proves completed later nights),
+        # and THIS night's out dir already exists (a crash replay
+        # re-runs the same tag; a new tag over a logless root is new
+        # work and must not bootstrap).
+        if any(e > 0 for e in iofs.epoch_partitions(spark, url_led)) or not (
+            iofs.has_parquet(spark, os.path.join(out_dir, "url_audit"))
+        ):
+            raise ValueError(
+                f"night log {log!r} is missing but {kept_store!r} is "
+                "populated — refusing to (re-)bootstrap over an "
+                "existing root; restore the log (one idx=<n> partition "
+                "per completed night), or re-run the crashed bootstrap "
+                "night under its original tag"
+            )
     if night in done:
         return {"already_completed": 1}
     first = not done
@@ -831,6 +868,11 @@ def cmd_shards_verify(
     return shards_verify(spark, shards_dir, tok_dir)
 
 
+def _print_sorted(counts: dict) -> None:
+    for key in sorted(counts):
+        print(f"{key}: {counts[key]}")
+
+
 def main(argv: list[str] | None = None) -> int:
     from radares_spark.pipeline.equipments import load_equipments_csv
     from radares_spark.session import get_spark
@@ -933,51 +975,53 @@ def main(argv: list[str] | None = None) -> int:
         args.warehouse and args.landing and args.checkpoint
     ):
         p.error(f"{args.cmd} requires --warehouse, --landing, --checkpoint")
+    # precondition checks BEFORE any network login happens below
+    # (review find: a missing date/CSV previously surfaced as a raw
+    # TypeError — or a spark.read failure — after the portal auth)
+    if args.cmd in ("scrape", "backload") and not args.equipments_csv:
+        p.error(f"{args.cmd} requires --equipments-csv")
+    if args.cmd == "backload" and not args.last_three_days and not (
+        args.initial and args.final
+    ):
+        p.error("backload requires -i/--initial AND -f/--final (or -l)")
 
     spark = get_spark("radares-spark-cli")
     if args.cmd == "tokenizer-train":
         counts = cmd_tokenizer_train(
             spark, args.docs, args.out, args.n_merges, args.shards, args.ctx_len
         )
-        for key in sorted(counts):
-            print(f"{key}: {counts[key]}")
+        _print_sorted(counts)
         return 0
     if args.cmd == "shards-append":
         counts = cmd_shards_append(
             spark, args.docs, args.tokenizer, args.shards, args.night
         )
-        for key in sorted(counts):
-            print(f"{key}: {counts[key]}")
+        _print_sorted(counts)
         return 0
     if args.cmd == "shards-reshard":
         counts = cmd_shards_reshard(
             spark, args.docs, args.tokenizer, args.shards, args.out, args.night
         )
-        for key in sorted(counts):
-            print(f"{key}: {counts[key]}")
+        _print_sorted(counts)
         return 0
     if args.cmd == "ivf-retrain":
         stats = cmd_ivf_retrain(spark, args.store, args.out, args.n_cells, args.iters)
-        for key in sorted(stats):
-            print(f"{key}: {stats[key]}")
+        _print_sorted(stats)
         return 0
     if args.cmd == "shards-export":
         counts = cmd_shards_export(
             spark, args.shards, args.out, args.seed, args.n_shards,
             verify=args.verify, tok_dir=args.tokenizer,
         )
-        for key in sorted(counts):
-            print(f"{key}: {counts[key]}")
+        _print_sorted(counts)
         return 0
     if args.cmd == "shards-stats":
         stats = cmd_shards_stats(spark, args.shards)
-        for key in sorted(stats):
-            print(f"{key}: {stats[key]}")
+        _print_sorted(stats)
         return 0
     if args.cmd == "shards-verify":
         checks = cmd_shards_verify(spark, args.shards, args.tokenizer)
-        for key in sorted(checks):
-            print(f"{key}: {checks[key]}")
+        _print_sorted(checks)
         return 0 if checks["ok"] else 1
     if args.cmd == "corpus-nightly":
         counts = cmd_corpus_nightly(
@@ -987,8 +1031,7 @@ def main(argv: list[str] | None = None) -> int:
             decontam_path=args.decontam, n_merges=args.n_merges,
             ctx_len=args.ctx_len,
         )
-        for key in sorted(counts):
-            print(f"{key}: {counts[key]}")
+        _print_sorted(counts)
         return 0
     if args.cmd == "crawl-nightly":
         counts = cmd_crawl_nightly(
@@ -996,16 +1039,14 @@ def main(argv: list[str] | None = None) -> int:
             args.semantic_store, args.semantic_tau, args.content_ledger,
             args.max_bucket, args.decontam, args.intra_semantic,
         )
-        for key in sorted(counts):
-            print(f"{key}: {counts[key]}")
+        _print_sorted(counts)
         return 0
     if args.cmd == "corpus-refresh":
         counts = cmd_corpus_refresh(
             spark, args.docs, args.state_out, args.state_in, args.store,
             args.postings_store, args.ivf_store, args.night,
         )
-        for key in sorted(counts):
-            print(f"{key}: {counts[key]}")
+        _print_sorted(counts)
         return 0
     if args.cmd == "snapshot-diff":
         counts = cmd_snapshot_diff(

@@ -461,7 +461,9 @@ def kept_churn(
     double-count common ids), rewritten are docs kept on BOTH nights
     whose raw content hash changed (features ledger — no text ever
     compared). All three are audit/ledger-sized id joins, never
-    corpus text."""
+    corpus text. Callers maintaining SEVERAL stores from one night
+    compute this once (pinned) and pass it via each apply's
+    ``churn`` param — the CLI previously re-ran it per store."""
     kept_old = _kept(spark, state_in)
     kept_new = _kept(spark, state_out)
     entered = kept_new.join(kept_old, "doc_id", "left_anti")
@@ -517,6 +519,7 @@ def apply_refresh_to_store(
     state_out: str,
     store_dir: str,
     n_buckets: int = N_STORE_BUCKETS,
+    churn: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> dict[str, int]:
     """Bring the materialized kept-store in line with a refreshed
     state, rewriting ONLY churned buckets via dynamic partition
@@ -533,7 +536,7 @@ def apply_refresh_to_store(
             f"store was initialized with n_buckets={stored}, got {n_buckets}: "
             "a mismatched bucket count would rewrite the wrong partitions"
         )
-    entered, left, rewritten = kept_churn(spark, state_in, state_out)
+    entered, left, rewritten = churn or kept_churn(spark, state_in, state_out)
     churned = (
         entered.unionByName(left).unionByName(rewritten).distinct().localCheckpoint()
     )
@@ -600,6 +603,7 @@ def apply_refresh_to_postings_store(
     kept_store_dir: str,
     postings_dir: str,
     night: str | None = None,
+    churn: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> dict[str, int]:
     """Bring the BM25 postings store in line with one night's kept-set
     churn, rewriting only touched term buckets.
@@ -616,7 +620,7 @@ def apply_refresh_to_postings_store(
     orchestrator's crash contract)."""
     from radares_spark.operators.retrieval import refresh_postings_store
 
-    entered, left, rewritten = kept_churn(spark, state_in, state_out)
+    entered, left, rewritten = churn or kept_churn(spark, state_in, state_out)
     remove_ids = left.unionByName(rewritten).distinct()
     add_ids = entered.unionByName(rewritten).distinct()
     remove_docs = (
@@ -678,6 +682,7 @@ def apply_refresh_to_ivf_store(
     state_out: str,
     ivf_dir: str,
     dim: int | None = None,
+    churn: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> dict[str, int]:
     """Bring the IVF store in line with one night's kept-set churn —
     delta vectors (entered + rewritten kept docs, re-embedded from the
@@ -690,7 +695,7 @@ def apply_refresh_to_ivf_store(
     from radares_spark.operators.similarity import refresh_ivf_store
 
     d = EMBED_DIM if dim is None else dim
-    entered, left, rewritten = kept_churn(spark, state_in, state_out)
+    entered, left, rewritten = churn or kept_churn(spark, state_in, state_out)
     delta = _kept_vectors(
         new_docs.join(
             entered.unionByName(rewritten).distinct(), "doc_id", "left_semi"

@@ -134,19 +134,23 @@ def encode_ids(
         "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "word")
     ).filter(F.col("word") != "")
     wtab = word_syms.select("word", "syms")
-    oov = toks.select("word").distinct().join(
-        wtab.select("word"), "word", "left_anti"
-    )
+    dwords = toks.select("word").distinct()
+    oov = dwords.join(wtab.select("word"), "word", "left_anti")
     oov_syms = (
         oov.select("word", _apply_merges_udf(merges)(F.col("word")).alias("syms"))
         if merges is not None
         else oov.select("word", _initial_symbols(F.col("word")).alias("syms"))
     )
-    # word -> ids, resolved once per distinct word (no broadcast hint:
-    # the word table is vocabulary-sized, AQE decides — bpe_encode's
-    # contract)
+    # word -> ids, resolved once per distinct word the INPUT actually
+    # uses: the trained table is semi-joined to the input's vocabulary
+    # first, so a 10-doc streaming micro-batch resolves a handful of
+    # words instead of exploding all 32-100k trained entries per epoch
+    # (r9 review find — the same fixed-cost class as the per-epoch
+    # vocab rebuild). No broadcast hint: the word table is
+    # vocabulary-sized, AQE decides — bpe_encode's contract.
     wids = (
-        wtab.unionByName(oov_syms)
+        wtab.join(dwords, "word", "left_semi")
+        .unionByName(oov_syms)
         .select("word", F.posexplode("syms").alias("sp", "sym"))
         .join(vocab, "sym", "left")
         .groupBy("word")
@@ -412,10 +416,13 @@ def shards_health(spark: SparkSession, shards_dir: str) -> dict:
         F.coalesce(
             F.sum(
                 F.when(
-                    F.aggregate(
-                        "doc_spans", F.lit(0), lambda acc, s: acc + s["n"]
-                    )
-                    != ctx_len,
+                    # the full tiling rule, not just the length sum —
+                    # overlapping spans with a correct total must trip
+                    # this flag too (review find; same fold the
+                    # verifier uses, so the two can't diverge)
+                    ~_spans_tiling_fold(
+                        lambda acc: acc["ok"] & (acc["pos"] == ctx_len)
+                    ),
                     1,
                 ).otherwise(0)
             ),
@@ -654,9 +661,16 @@ def reshard_shards(
     encode pass + one packing shuffle, the same cost as the original
     night-zero, scheduled off the tokenizer release, never nightly.
     ``ctx_len`` defaults to the old store's (sequence length is a
-    training contract that survives a vocab bump); ``night`` seeds the
-    new store's completed-tags ledger so nightly appends resume after
-    the swap without replaying the rebuild night."""
+    training contract that survives a vocab bump); ``night`` adds the
+    rebuild's own tag. The old store's completed-night tags are
+    CARRIED into the new meta: the resharded store contains those
+    nights' docs (they are the kept corpus), so a replay of any of
+    them after the swap must stay a recognized no-op (review find —
+    seeding only the rebuild tag made old-night replays double-append).
+    Corollary: re-shard from a QUIESCED kept corpus whose completed
+    nights are all logged — a night that crashed before recording its
+    tag but after reaching the kept corpus is indistinguishable from
+    new data."""
     if out_dir.rstrip("/") == shards_dir.rstrip("/"):
         raise ValueError(
             "re-shard writes a NEW store (write-new-then-swap); out_dir "
@@ -679,6 +693,23 @@ def reshard_shards(
         text_col=text_col,
         night=night,
         vocab=vocab,
+    )
+    # carry the OLD store's completed-night tags (docstring): merge
+    # them under the new meta, preserving the append's epoch/offset
+    old_nights = _completed_nights(old_meta)
+    new_meta = _meta_row(spark, out_dir)
+    merged = old_nights + [
+        n for n in _completed_nights(new_meta) if n not in old_nights
+    ]
+    _write_meta(
+        spark,
+        out_dir,
+        ctx_len,
+        fp,
+        int(new_meta["next_epoch"]),
+        int(new_meta["next_token_offset"]),
+        new_meta.asDict().get("last_night"),
+        merged,
     )
     return {
         **stats,

@@ -86,9 +86,12 @@ def run_shards_stream(
         run_ns = spark.read.parquet(ns_path).head()["ns"]
     else:
         run_ns = uuid.uuid4().hex[:12]
+        # overwrite, not errorifexists: a crash MID-mint leaves the dir
+        # with no committed parquet — has_parquet stays False and the
+        # re-mint must not brick on the leftover directory
         spark.createDataFrame([(run_ns,)], "ns string").repartition(
             1
-        ).write.parquet(ns_path)
+        ).write.mode("overwrite").parquet(ns_path)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)

@@ -135,17 +135,36 @@ def test_bootstrap_night_gates_intra_twins(spark, tmp_path, capsys):
 
 def test_missing_night_log_over_populated_root_fails_fast(spark, tmp_path):
     """Review find: an absent night log was indistinguishable from
-    night zero — a destroyed log must not silently re-bootstrap over
-    populated stores."""
+    night zero. Three paths: a destroyed log + a NEW night tag must
+    not re-bootstrap; a crashed BOOTSTRAP night (same tag, single URL
+    epoch) must replay convergently; a destroyed log over a MULTI-night
+    root must refuse even the original tag."""
     import pytest
 
     A = _body("alpha")
     root = str(tmp_path / "root")
     src = tmp_path / "pages1"
     _write_pages(spark, src, [(1, "https://a.example.com/1", A)])
-    cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)
+    c1 = cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)
+    want_kept = _rows(spark, f"{root}/kept_store", ["doc_id", "text"])
+
+    # (a) crashed bootstrap: log never written, SAME tag replays
+    shutil.rmtree(f"{root}/night_log")
+    c1b = cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)
+    assert c1b["night_index"] == 0
+    assert c1b["kept"] == c1["kept"]
+    assert _rows(spark, f"{root}/kept_store", ["doc_id", "text"]) == want_kept
+
+    # (b) destroyed log + NEW tag: refuse (it would re-bootstrap)
     shutil.rmtree(f"{root}/night_log")
     src2 = tmp_path / "pages2"
     _write_pages(spark, src2, [(2, "https://b.example.com/2", _body("beta"))])
     with pytest.raises(ValueError, match="night log .* is missing"):
         cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+
+    # (c) multi-night root + destroyed log: refuse even the old tag
+    cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)  # re-log n1
+    cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    shutil.rmtree(f"{root}/night_log")
+    with pytest.raises(ValueError, match="night log .* is missing"):
+        cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)

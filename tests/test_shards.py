@@ -758,3 +758,46 @@ def test_shards_verify_detects_planted_corruption(
                  str(tmp_path / "ep_ok"), "--seed", "1", "--n-shards", "2",
                  "--verify", "--tokenizer", tok]) == 0
     capsys.readouterr()
+
+
+def test_reshard_carries_completed_night_tags(spark, tmp_path, tokenizer):
+    """Review find: the resharded store contains every logged night's
+    docs (they ARE the kept corpus), so replaying an old completed
+    night against the NEW store must stay a recognized no-op — the
+    rebuild-tag-only seed made it double-append."""
+    word_syms, merges = tokenizer
+    store = str(tmp_path / "shards")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    append_shards(
+        spark, store, _night_df(spark, NIGHTS[0]), word_syms, merges, night="n1"
+    )
+    append_shards(
+        spark, store, _night_df(spark, NIGHTS[1]), word_syms, merges, night="n2"
+    )
+    kept_df = _night_df(spark, [d for n in NIGHTS[:2] for d in n])
+    docs_train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], ["doc_id", "text"]
+    )
+    merges2, word_syms2 = train_bpe(word_counts(docs_train), n_merges=4)
+    word_syms2 = word_syms2.localCheckpoint()
+    from radares_spark.pipeline.shards import reshard_shards
+
+    out = str(tmp_path / "resharded")
+    reshard_shards(
+        spark, store, out, kept_df, word_syms2, merges2, night="rebuild"
+    )
+    total = spark.read.parquet(f"{out}/_meta").head()["next_token_offset"]
+    # both OLD night tags are carried: replays no-op on the new store
+    for old_night in ("n1", "n2", "rebuild"):
+        again = append_shards(
+            spark, out, _night_df(spark, NIGHTS[0]), word_syms2, merges2,
+            night=old_night,
+        )
+        assert again["already_appended"] == 1, old_night
+        assert again["n_total_tokens"] == total
+    # a genuinely new night proceeds
+    nxt = append_shards(
+        spark, out, _night_df(spark, NIGHTS[2]), word_syms2, merges2,
+        night="n3",
+    )
+    assert "already_appended" not in nxt
