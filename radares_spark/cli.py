@@ -824,6 +824,7 @@ def cmd_shards_export(
     n_shards: int = 1024,
     verify: bool = False,
     tok_dir: str | None = None,
+    max_tokens: int | None = None,
 ) -> dict[str, int]:
     """Materialize one training epoch from the sealed shard store:
     deterministic seeded global shuffle, one ordered file per shard
@@ -845,7 +846,9 @@ def cmd_shards_export(
                 f"shard store {shards_dir!r} failed verification {bad} — "
                 "refusing to export a corrupt training epoch"
             )
-    return export_training_shards(spark, shards_dir, out_dir, seed, n_shards)
+    return export_training_shards(
+        spark, shards_dir, out_dir, seed, n_shards, max_tokens=max_tokens
+    )
 
 
 def cmd_shards_stats(spark: SparkSession, shards_dir: str) -> dict:
@@ -962,6 +965,7 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--seed", type=int, required=True, help="epoch shuffle seed")
     se.add_argument("--n-shards", type=int, default=1024)
     se.add_argument("--verify", action="store_true", help="run shards-verify first; refuse to export a store failing its invariants")
+    se.add_argument("--max-tokens", type=int, default=None, help="budgeted epoch: export only the first ceil(N/ctx) sequences of the seed's training order (deterministic shuffled subsample)")
     se.add_argument("--tokenizer", default=None, help="with --verify: also check the vocab seal against this artifact")
     ss = sub.add_parser("shards-stats")
     ss.add_argument("--shards", required=True, help="sealed shard store dir")
@@ -1012,6 +1016,7 @@ def main(argv: list[str] | None = None) -> int:
         counts = cmd_shards_export(
             spark, args.shards, args.out, args.seed, args.n_shards,
             verify=args.verify, tok_dir=args.tokenizer,
+            max_tokens=args.max_tokens,
         )
         _print_sorted(counts)
         return 0

@@ -359,6 +359,7 @@ def export_training_shards(
     out_dir: str,
     seed: int | str,
     n_shards: int = 1024,
+    max_tokens: int | None = None,
 ) -> dict[str, int]:
     """Materialize one training epoch: every sealed sequence, in the
     seed's :func:`training_order`, landed as ``out_dir/shard=S/`` with
@@ -373,6 +374,16 @@ def export_training_shards(
     partitionBy writer then splits per shard value — so each shard
     dir receives its rows from exactly one task, in order.
 
+    ``max_tokens`` exports a BUDGETED epoch: the first
+    ``ceil(max_tokens / ctx_len)`` sequences of the seed's training
+    order — a deterministic shuffled SUBSAMPLE (train a 1B-token epoch
+    from a 10B-token store; a different seed draws a different
+    subsample). The global prefix is taken WITHOUT a corpus sort: the
+    training order is (shard asc, pos asc), so per-shard counts
+    (``n_shards`` rows) + the sanctioned tiny offsets window give each
+    row its global rank as ``shard_offset + pos``, and the cut is a
+    filter.
+
     A store with no sealed epoch yet exports cleanly as zeros (an
     empty partitioned write would otherwise read back as an opaque
     'unable to infer schema' AnalysisException)."""
@@ -380,6 +391,26 @@ def export_training_shards(
         return {"n_sequences": 0, "n_shards_written": 0}
     sealed = read_shards(spark, shards_dir)
     ordered = training_order(sealed, seed, n_shards)
+    if max_tokens is not None:
+        ctx_len = int(_meta_row(spark, shards_dir)["ctx_len"])
+        mt = max(0, int(max_tokens))
+        n_keep = (mt + ctx_len - 1) // ctx_len
+        if n_keep == 0:
+            return {"n_sequences": 0, "n_shards_written": 0}
+        per_shard = ordered.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        off_w = W.orderBy("shard").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        offsets = per_shard.select(
+            "shard", (F.sum("__n").over(off_w) - F.col("__n")).alias("__off")
+        )
+        ordered = (
+            ordered.join(F.broadcast(offsets), "shard")
+            .filter(F.col("__off") + F.col("pos") <= n_keep)
+            .drop("__off")
+        )
     (
         ordered.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")

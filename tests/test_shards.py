@@ -801,3 +801,43 @@ def test_reshard_carries_completed_night_tags(spark, tmp_path, tokenizer):
         night="n3",
     )
     assert "already_appended" not in nxt
+
+
+def test_budgeted_export_is_training_order_prefix(spark, tmp_path, tokenizer):
+    """--max-tokens exports exactly the first ceil(N/ctx) sequences of
+    the seed's training order — the deterministic shuffled subsample a
+    token-budgeted epoch wants — computed as a prefix over per-shard
+    counts, never a corpus sort."""
+    from radares_spark.pipeline.shards import (
+        export_training_shards,
+        training_order,
+    )
+
+    store, _ = _run_nights(spark, tmp_path, tokenizer)
+    sealed = read_shards(spark, store)
+    full_order = sorted(
+        ((r["shard"], r["pos"]), r["seq_id"])
+        for r in training_order(sealed, seed=9, n_shards=4).collect()
+    )
+    total = len(full_order)
+    assert total >= 4
+    budget_seqs = total // 2
+    out = str(tmp_path / "half_epoch")
+    stats = export_training_shards(
+        spark, store, out, seed=9, n_shards=4,
+        max_tokens=budget_seqs * CTX - 3,  # partial last seq rounds UP
+    )
+    assert stats["n_sequences"] == budget_seqs
+    got = {r["seq_id"] for r in spark.read.parquet(out).collect()}
+    want = {sid for _, sid in full_order[:budget_seqs]}
+    assert got == want
+    # over-budget degrades to the full epoch; zero budget exports none
+    out2 = str(tmp_path / "all")
+    s2 = export_training_shards(
+        spark, store, out2, seed=9, n_shards=4, max_tokens=10**9
+    )
+    assert s2["n_sequences"] == total
+    s3 = export_training_shards(
+        spark, store, str(tmp_path / "none"), seed=9, n_shards=4, max_tokens=0
+    )
+    assert s3 == {"n_sequences": 0, "n_shards_written": 0}
