@@ -158,6 +158,11 @@ def cmd_corpus_refresh(
     postings_dir: str | None = None,
     ivf_dir: str | None = None,
     night: str | None = None,
+    delta_direct: bool = False,
+    keep_langs: tuple[str, ...] = ("en",),
+    sample_pct: int = 100,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> dict[str, int]:
     """Nightly incremental curation (pipeline/refresh.py): without
     ``--state-in`` runs the night-zero batch (init_state); with it,
@@ -171,7 +176,19 @@ def cmd_corpus_refresh(
     so it runs before the kept store is rewritten (the IVF refresh
     removes by id and has no such dependency). Prints per-outcome
     counts plus per-store rewrite stats (prefixed) that show the night
-    was delta-proportional."""
+    was delta-proportional.
+
+    ``--delta-direct`` is the O(delta)-I/O nightly mode: ``--docs`` is
+    TONIGHT'S docs only (not a full snapshot) and the refresh runs
+    against the virtual snapshot ``kept_store ∖ tonight ∪ tonight``
+    via ``refresh_night`` — no corpus-sized write, read or hash
+    (requires ``--state-in`` and ``--store``; every store apply then
+    sources stable text through pruned kept-store point reads).
+
+    The four curation knobs (``keep_langs/sample_pct/
+    jaccard_threshold/max_bucket``) are part of the state's meaning:
+    they are recorded by night zero and must match on every later
+    night (the knobs-meta fail-fast in pipeline/refresh.py)."""
     from radares_spark.pipeline.refresh import (
         apply_refresh_to_ivf_store,
         apply_refresh_to_postings_store,
@@ -180,7 +197,9 @@ def cmd_corpus_refresh(
         init_postings_from_state,
         init_state,
         init_store,
+        night_snapshot_source,
         refresh,
+        refresh_night,
     )
 
     if postings_dir and not store_dir:
@@ -189,9 +208,20 @@ def cmd_corpus_refresh(
             "inverted index needs its text AS INDEXED, and the kept store "
             "is where last night's kept text persists"
         )
+    if delta_direct and not (state_in and store_dir):
+        raise ValueError(
+            "--delta-direct requires --state-in and --store: the virtual "
+            "snapshot is tonight's docs plus the kept store's residents"
+        )
+    knobs = dict(
+        keep_langs=tuple(keep_langs),
+        sample_pct=sample_pct,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
     if state_in is None:
-        audit = init_state(spark, docs, state_out)
+        audit = init_state(spark, docs, state_out, **knobs)
         stats: dict[str, int] = {}
         if store_dir:
             init_store(spark, docs, state_out, store_dir)
@@ -200,7 +230,12 @@ def cmd_corpus_refresh(
         if ivf_dir:
             init_ivf_from_state(spark, docs, state_out, ivf_dir)
     else:
-        audit, stats = refresh(spark, docs, state_in, state_out)
+        if delta_direct:
+            audit, stats = refresh_night(
+                spark, docs, state_in, state_out, store_dir, **knobs
+            )
+        else:
+            audit, stats = refresh(spark, docs, state_in, state_out, **knobs)
         churn = None
         if store_dir or postings_dir or ivf_dir:
             # ONE churn computation shared by every store apply (the
@@ -213,6 +248,9 @@ def cmd_corpus_refresh(
                 for f in kept_churn(spark, state_in, state_out)
             )
         if postings_dir:  # BEFORE the kept-store rewrite (old text)
+            # delta-direct: add_ids (entered ∪ rewritten) are all
+            # tonight's docs, so tonight's frame covers the add side;
+            # the remove side point-reads the kept store either way
             stats.update(
                 {
                     f"postings_{k}": v
@@ -223,6 +261,8 @@ def cmd_corpus_refresh(
                 }
             )
         if ivf_dir:
+            # delta-direct: delta vectors embed entered ∪ rewritten
+            # docs, all of which arrived tonight
             stats.update(
                 {
                     f"ivf_{k}": v
@@ -233,9 +273,16 @@ def cmd_corpus_refresh(
                 }
             )
         if store_dir:
+            # delta-direct: the rewrite source is tonight ∪ the
+            # store's churned partitions, never the whole corpus
+            src = (
+                night_snapshot_source(spark, docs, store_dir, churn)
+                if delta_direct
+                else docs
+            )
             stats.update(
                 apply_refresh_to_store(
-                    spark, docs, state_in, state_out, store_dir, churn=churn
+                    spark, src, state_in, state_out, store_dir, churn=churn
                 )
             )
     counts = {
@@ -557,13 +604,16 @@ def cmd_corpus_nightly(
     decontam_path: str | None = None,
     n_merges: int = 64,
     ctx_len: int | None = None,
+    keep_langs: tuple[str, ...] = ("en",),
+    sample_pct: int = 100,
+    jaccard_threshold: float = 0.8,
 ) -> dict[str, int]:
     """THE production night as ONE command — the composition the
     nightly e2e drives by hand, with every store rooted under
     ``root_dir``::
 
         url_ledger/ content_ledger/   cross-run admission ledgers
-        nights/<night>/               kept/ audit/ url_audit/ snapshot/
+        nights/<night>/               kept/ audit/ url_audit/
         state/<night>/                refresh state (rotated nightly)
         kept_store/ postings_store/ ivf_store/   serving stores
         tokenizer/ shards/            frozen artifact + shard store
@@ -572,13 +622,20 @@ def cmd_corpus_nightly(
     Stage order (each stage's own crash ladder documented at its
     definition): ``crawl-nightly`` (URL ledger -> curation -> semantic
     gate against the REFRESH-MAINTAINED IVF store -> decontam ->
-    content ledger) -> ``corpus-refresh`` over the snapshot (prior
-    kept corpus minus tonight's ids, plus tonight's kept — the
-    anti-join makes the snapshot rerun-stable after a crash that
-    already updated the kept store) -> ``shards-append`` of tonight's
+    content ledger) -> delta-direct ``corpus-refresh`` against the
+    VIRTUAL snapshot (kept store minus tonight's ids, plus tonight's
+    kept — never materialized: the only text hashed or written per
+    night is tonight's, and stable text is point-read through the
+    kept store's bucket partitions) -> ``shards-append`` of tonight's
     kept under the frozen tokenizer. The FIRST night bootstraps
     everything: ungated crawl, ``init_state`` + the three store inits,
     tokenizer training sealing an empty shard store.
+
+    The refresh knobs (``keep_langs/sample_pct/jaccard_threshold/
+    max_bucket``) thread through to the state's knobs meta: night one
+    records them, and every later night must pass the SAME values or
+    the refresh fails fast (``max_bucket`` also drives the crawl's
+    hot-bucket gate).
 
     Crash contract: the night log appends LAST, so a night is
     "completed" only after every stage landed; a re-run of a crashed
@@ -592,13 +649,20 @@ def cmd_corpus_nightly(
 
     from radares_spark.io import fs as iofs
 
+    from radares_spark.pipeline.stores import resolve_store
+
     url_led = os.path.join(root_dir, "url_ledger")
     con_led = os.path.join(root_dir, "content_ledger")
     kept_store = os.path.join(root_dir, "kept_store")
     postings = os.path.join(root_dir, "postings_store")
-    ivf = os.path.join(root_dir, "ivf_store")
-    tok = os.path.join(root_dir, "tokenizer")
-    shards = os.path.join(root_dir, "shards")
+    # the three maintained artifacts read THROUGH the pointer log, so
+    # a corpus-maintain swap (ivf retrain / tokenizer reshard) is
+    # adopted by the very next night with no directory shuffling — and
+    # a crash mid-maintenance (new store built, pointer not appended)
+    # leaves tonight serving from the old store (r9 verdict ask #2)
+    ivf = resolve_store(spark, root_dir, "ivf_store")
+    tok = resolve_store(spark, root_dir, "tokenizer")
+    shards = resolve_store(spark, root_dir, "shards")
     out_dir = os.path.join(root_dir, "nights", night)
     state_dir = os.path.join(root_dir, "state", night)
     log = os.path.join(root_dir, "night_log")
@@ -656,30 +720,28 @@ def cmd_corpus_nightly(
     )
 
     kept_dir = os.path.join(out_dir, "kept")
-    night_kept = spark.read.parquet(kept_dir).select("doc_id", "text")
-    if first:
-        snapshot = night_kept
-    else:
-        snapshot = (
-            spark.read.parquet(kept_store)
-            .select("doc_id", "text")
-            .join(night_kept.select("doc_id"), "doc_id", "left_anti")
-            .unionByName(night_kept)
-        )
-    snap_path = os.path.join(out_dir, "snapshot")
-    snapshot.write.mode("overwrite").parquet(snap_path)
+    # NO snapshot materialization (r9 verdict #1): the refresh runs
+    # delta-direct against the virtual snapshot kept_store ∖ tonight
+    # ∪ tonight — tonight's docs are the only text hashed, and stable
+    # text is point-read through the store's bucket partitions, so
+    # the night's I/O is delta-proportional, never O(corpus)
     counts.update(
         {
             f"refresh_{k}": v
             for k, v in cmd_corpus_refresh(
                 spark,
-                snap_path,
+                kept_dir,
                 state_dir,
                 state_in=prior_state,
                 store_dir=kept_store,
                 postings_dir=postings,
                 ivf_dir=ivf,
                 night=night,
+                delta_direct=not first,
+                keep_langs=keep_langs,
+                sample_pct=sample_pct,
+                jaccard_threshold=jaccard_threshold,
+                max_bucket=max_bucket,
             ).items()
         }
     )
@@ -692,7 +754,7 @@ def cmd_corpus_nightly(
             {
                 f"tokenizer_{k}": v
                 for k, v in cmd_tokenizer_train(
-                    spark, snap_path, tok, n_merges, shards, ctx_len
+                    spark, kept_dir, tok, n_merges, shards, ctx_len
                 ).items()
             }
         )
@@ -816,6 +878,106 @@ def cmd_ivf_retrain(
     return retrain_ivf_store(spark, ivf_dir, out_dir, n_cells=n_cells, iters=iters)
 
 
+def cmd_nightly_verify(spark: SparkSession, root_dir: str) -> dict:
+    """Cross-store consistency audit for a corpus-nightly root
+    (``pipeline/nightly_audit.py``): the night log vs every store's
+    own completion evidence — URL/content ledger epochs, rotated
+    refresh states + knobs, kept/IVF/postings id sets, shard-store
+    night tags (read through the pointer log). Exit code 1 on any
+    divergence; the operator-facing counterpart of shards-verify."""
+    from radares_spark.pipeline.nightly_audit import verify_nightly_root
+
+    return verify_nightly_root(spark, root_dir)
+
+
+def cmd_corpus_maintain(
+    spark: SparkSession,
+    root_dir: str,
+    ivf: str = "auto",
+    n_cells: int | None = None,
+    iters: int = 3,
+    reshard_tokenizer: str | None = None,
+    night: str | None = None,
+) -> dict:
+    """Periodic artifact maintenance for a corpus-nightly root — the
+    composition that CONSUMES the maintenance telemetry and finishes
+    the write-new-then-swap story (r9 verdict ask #2: retrain/reshard
+    ended at "the caller flips the path"; nothing flipped it).
+
+    - ``--ivf auto`` reads the serving IVF store's ``_telemetry``
+      sidecar (written by every nightly refresh) and retrains ONLY
+      when ``retrain_due`` is set (``force`` retrains unconditionally,
+      ``skip`` leaves it alone). The rebuild lands in
+      ``<root>/ivf_store.m<k>``; the pointer flips after.
+    - ``--reshard-tokenizer <artifact>`` re-encodes the kept corpus
+      under a NEW frozen tokenizer into ``<root>/shards.m<k>``
+      (completed-night tags carried, so old-night replays stay
+      no-ops), then flips ``shards`` AND ``tokenizer`` in ONE pointer
+      append — the pair can never be observed half-swapped.
+
+    Crash contract: each rebuild writes a fresh ``.m<k>`` directory
+    and the pointer log appends LAST, so a crash mid-maintenance
+    leaves the old store serving and a re-run rebuilds into the same
+    (overwritable) candidate dir. ``corpus-nightly`` resolves every
+    maintained artifact through the pointer log, so the next night
+    adopts the swap automatically."""
+    from radares_spark.io import fs as iofs
+    from radares_spark.pipeline.stores import flip_stores, resolve_store
+
+    if ivf not in ("auto", "force", "skip"):
+        raise ValueError(f"--ivf must be auto|force|skip, got {ivf!r}")
+    counts: dict = {}
+
+    if ivf != "skip":
+        cur = resolve_store(spark, root_dir, "ivf_store")
+        due = ivf == "force"
+        if ivf == "auto":
+            tel = f"{cur}/_telemetry"
+            due = iofs.has_parquet(spark, tel) and bool(
+                spark.read.parquet(tel).head()["retrain_due"]
+            )
+        counts["ivf_retrain_due"] = int(due)
+        if due:
+            from radares_spark.pipeline.stores import pointer_history
+
+            k = len(pointer_history(spark, root_dir))
+            out = os.path.join(root_dir, f"ivf_store.m{k}")
+            counts.update(
+                {
+                    f"ivf_{kk}": v
+                    for kk, v in cmd_ivf_retrain(
+                        spark, cur, out, n_cells=n_cells, iters=iters
+                    ).items()
+                }
+            )
+            counts["ivf_flip_idx"] = flip_stores(
+                spark, root_dir, {"ivf_store": out}
+            )
+
+    if reshard_tokenizer:
+        from radares_spark.pipeline.stores import pointer_history
+
+        cur_shards = resolve_store(spark, root_dir, "shards")
+        kept = os.path.join(root_dir, "kept_store")
+        k = len(pointer_history(spark, root_dir))
+        out = os.path.join(root_dir, f"shards.m{k}")
+        counts.update(
+            {
+                f"shards_{kk}": v
+                for kk, v in cmd_shards_reshard(
+                    spark, kept, reshard_tokenizer, cur_shards, out,
+                    # namespaced so nightly-verify never mistakes a
+                    # maintenance tag for a night the log should hold
+                    night=f"maintain-{night}" if night else None,
+                ).items()
+            }
+        )
+        counts["shards_flip_idx"] = flip_stores(
+            spark, root_dir, {"shards": out, "tokenizer": reshard_tokenizer}
+        )
+    return counts
+
+
 def cmd_shards_export(
     spark: SparkSession,
     shards_dir: str,
@@ -871,6 +1033,25 @@ def cmd_shards_verify(
     return shards_verify(spark, shards_dir, tok_dir)
 
 
+def _add_refresh_knobs(p) -> None:
+    """The curation knobs recorded in the refresh state's knobs meta:
+    night one sets them, every later night must repeat them or the
+    refresh fails fast (pipeline/refresh._check_knobs). Shared by
+    corpus-refresh and corpus-nightly so a state built under
+    non-default knobs stays drivable through either face."""
+    p.add_argument("--keep-langs", default="en", help="comma-separated language allowlist (state knob)")
+    p.add_argument("--sample-pct", type=int, default=100, help="post-dedup keep percentage (state knob)")
+    p.add_argument("--jaccard-threshold", type=float, default=0.8, help="near-dup verification threshold (state knob)")
+
+
+def _knob_kwargs(args) -> dict:
+    return dict(
+        keep_langs=tuple(s for s in args.keep_langs.split(",") if s),
+        sample_pct=args.sample_pct,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+
+
 def _print_sorted(counts: dict) -> None:
     for key in sorted(counts):
         print(f"{key}: {counts[key]}")
@@ -903,13 +1084,16 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--out", required=True, help="output dir (kept/ + audit/)")
     cc.add_argument("--max-per-domain", type=int, default=None)
     cr = sub.add_parser("corpus-refresh")
-    cr.add_argument("--docs", required=True, help="tonight's snapshot parquet")
+    cr.add_argument("--docs", required=True, help="tonight's snapshot parquet (with --delta-direct: tonight's NEW docs only)")
     cr.add_argument("--state-out", required=True, help="dir for tonight's state")
     cr.add_argument("--state-in", default=None, help="prior night's state dir (omit for night zero)")
     cr.add_argument("--store", default=None, help="optional kept-corpus parquet to maintain incrementally")
     cr.add_argument("--postings-store", default=None, help="optional BM25 postings index to maintain incrementally (requires --store)")
     cr.add_argument("--ivf-store", default=None, help="optional IVF ANN vector store to maintain incrementally")
     cr.add_argument("--night", default=None, help="idempotency tag for the postings apply: a completed night's re-run is a no-op (the kept/IVF applies are rerun-idempotent by construction)")
+    cr.add_argument("--delta-direct", action="store_true", help="O(delta)-I/O nightly mode: --docs is tonight's docs only and the refresh runs against the virtual snapshot kept-store∖tonight∪tonight (requires --state-in and --store)")
+    cr.add_argument("--max-bucket", type=int, default=None, help="hot-LSH-bucket cap (state knob; the 100TB boilerplate guard)")
+    _add_refresh_knobs(cr)
     sd = sub.add_parser("snapshot-diff")
     sd.add_argument("--old", required=True, help="previous snapshot parquet")
     sd.add_argument("--new", required=True, help="tonight's snapshot parquet")
@@ -937,6 +1121,16 @@ def main(argv: list[str] | None = None) -> int:
     ny.add_argument("--decontam", default=None, help="eval-benchmark parquet (doc_id, text)")
     ny.add_argument("--n-merges", type=int, default=64, help="tokenizer size, first night only")
     ny.add_argument("--ctx-len", type=int, default=None, help="shard sequence length, first night only")
+    _add_refresh_knobs(ny)
+    nv = sub.add_parser("nightly-verify")
+    nv.add_argument("--root", required=True, help="corpus-nightly pipeline root to audit")
+    cm = sub.add_parser("corpus-maintain")
+    cm.add_argument("--root", required=True, help="corpus-nightly pipeline root")
+    cm.add_argument("--ivf", choices=("auto", "force", "skip"), default="auto", help="auto: retrain only when the serving store's _telemetry says retrain_due (written by every nightly refresh)")
+    cm.add_argument("--n-cells", type=int, default=None)
+    cm.add_argument("--iters", type=int, default=3)
+    cm.add_argument("--reshard-tokenizer", default=None, help="NEW frozen tokenizer artifact: re-encode the kept corpus into a new shard store and flip shards+tokenizer pointers together")
+    cm.add_argument("--night", default=None, help="idempotency tag recorded in the new shard store")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -1012,6 +1206,18 @@ def main(argv: list[str] | None = None) -> int:
         stats = cmd_ivf_retrain(spark, args.store, args.out, args.n_cells, args.iters)
         _print_sorted(stats)
         return 0
+    if args.cmd == "nightly-verify":
+        checks = cmd_nightly_verify(spark, args.root)
+        _print_sorted(checks)
+        return 0 if checks["ok"] else 1
+    if args.cmd == "corpus-maintain":
+        counts = cmd_corpus_maintain(
+            spark, args.root, ivf=args.ivf, n_cells=args.n_cells,
+            iters=args.iters, reshard_tokenizer=args.reshard_tokenizer,
+            night=args.night,
+        )
+        _print_sorted(counts)
+        return 0
     if args.cmd == "shards-export":
         counts = cmd_shards_export(
             spark, args.shards, args.out, args.seed, args.n_shards,
@@ -1034,7 +1240,7 @@ def main(argv: list[str] | None = None) -> int:
             max_per_domain=args.max_per_domain,
             semantic_tau=args.semantic_tau, max_bucket=args.max_bucket,
             decontam_path=args.decontam, n_merges=args.n_merges,
-            ctx_len=args.ctx_len,
+            ctx_len=args.ctx_len, **_knob_kwargs(args),
         )
         _print_sorted(counts)
         return 0
@@ -1050,6 +1256,8 @@ def main(argv: list[str] | None = None) -> int:
         counts = cmd_corpus_refresh(
             spark, args.docs, args.state_out, args.state_in, args.store,
             args.postings_store, args.ivf_store, args.night,
+            delta_direct=args.delta_direct, max_bucket=args.max_bucket,
+            **_knob_kwargs(args),
         )
         _print_sorted(counts)
         return 0

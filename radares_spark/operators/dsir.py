@@ -471,9 +471,10 @@ def bigram_logprob(
     scoring can read the model), so it is PINNED once
     (localCheckpoint, the admission-audit precedent) rather than
     re-running the tokenize+md5 pipeline per consumer — the pin is
-    (doc_id, b1, b2) longs, far smaller than the text it replaces;
-    KenLM's Kneser-Ney backoff is an external model, not shipped
-    (same waiver as the unigram stand-in).
+    (doc_id, b1, b2) longs, far smaller than the text it replaces.
+    For proper Kneser-Ney smoothing (the KenLM-style upgrade of this
+    add-alpha form) see :func:`kn_bigram_logprob` and
+    :func:`kn_trigram_logprob` below.
     """
     rows = (
         shingle_rows(docs.select("doc_id", "text"), n=2)
@@ -523,9 +524,7 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 KN_DISCOUNT = 0.75  # Chen & Goodman 1998's fixed absolute discount
 
 
-def kn_bigram_logprob(
-    docs: DataFrame, discount: float = KN_DISCOUNT, n_buckets: int = N_BUCKETS
-) -> DataFrame:
+def kn_bigram_logprob(docs: DataFrame, discount: float = KN_DISCOUNT) -> DataFrame:
     """(doc_id, n_bigrams, avg_neg_logprob) — interpolated KNESER-NEY
     bigram scoring (Kneser & Ney 1995; fixed-discount form of Chen &
     Goodman 1998 §2.7): the proper-smoothing upgrade of
@@ -603,9 +602,7 @@ def corpus_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_logprob(docs)
 
 
-def kn_trigram_logprob(
-    docs: DataFrame, discount: float = KN_DISCOUNT, n_buckets: int = N_BUCKETS
-) -> DataFrame:
+def kn_trigram_logprob(docs: DataFrame, discount: float = KN_DISCOUNT) -> DataFrame:
     """(doc_id, n_trigrams, avg_neg_logprob) — the FULL RECURSIVE
     interpolated Kneser-Ney chain (Chen & Goodman 1998 §2.7) over
     hashed token buckets::

@@ -368,6 +368,14 @@ def refresh_ivf_store(
         (drift is not None and drift > DRIFT_COS_DROP)
         or (skew is not None and skew > SKEW_RATIO)
     )
+    # persist the verdict so maintenance can CONSUME it (corpus-maintain
+    # --ivf auto reads this sidecar; r9 verdict: nothing consumed
+    # retrain_due automatically). One advisory row, overwritten per
+    # refresh — a crash loses nothing but the latest telemetry.
+    spark.createDataFrame(
+        [(drift, skew, retrain_due)],
+        "drift double, cell_skew double, retrain_due boolean",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/_telemetry")
     return {
         "n_delta": n_delta,
         "n_removed": removed_ids.count(),

@@ -1,0 +1,164 @@
+"""nightly-verify — cross-store consistency audit for a corpus-nightly
+root (r9 verdict ask #5: the operator-facing counterpart of
+shards-verify, one level up).
+
+The night log is the root's source of truth for completed nights; every
+store underneath keeps its own completion evidence (URL/content ledger
+epochs, refresh state dirs, shards/postings night-tag sets, the pointer
+log). A crash, a foreign store dropped into the root, or a manually
+mangled log each leave those records DISAGREEING — this audit
+cross-checks them all and reports one named flag per invariant,
+``ok`` only when every flag passes:
+
+- ``log_contiguous``: night-log partitions are idx 0..n-1, no gaps or
+  duplicate tags;
+- ``url_epochs_match`` / ``content_epochs_match``: each completed
+  night appended exactly one admission-ledger epoch (0..n-1);
+- ``states_present``: every completed night has its rotated refresh
+  state (features/audit/knobs) on disk;
+- ``knobs_uniform``: every state records the SAME curation knobs
+  (mixed-knob states would mean carried outcomes under two semantics);
+- ``kept_matches_state``: the kept store's resident ids are exactly
+  the last state's KEPT audit rows;
+- ``ivf_matches_kept`` / ``postings_count_matches``: the ANN store's
+  assignment ledger covers exactly the kept ids, and the postings
+  meta's n_docs equals the kept count (serving stores from a FOREIGN
+  root fail here);
+- ``shards_nights_match`` / ``postings_nights_match``: the completed
+  nights are a PREFIX-closed subset of each store's applied-tag set,
+  and neither store carries a night the log never completed (a
+  half-completed night — crash between a store apply and the log
+  append — shows up as the store being AHEAD of the log: legitimate
+  crash state, but exactly what an operator must see before replaying).
+
+Every check is a kilobyte meta/ledger read or an id-column aggregate —
+never a text scan — so the audit is cheap at any corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io import fs as iofs
+from radares_spark.pipeline.corpus import KEPT
+from radares_spark.pipeline.stores import resolve_store
+
+
+def _ids(df, col):
+    return {r[col] for r in df.select(col).distinct().collect()}
+
+
+def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
+    """Audit one corpus-nightly root; returns flags + counts with
+    ``ok`` aggregating every flag (CLI exits non-zero when not ok).
+    Missing optional stores are skipped (their flags absent), but a
+    missing night log over populated stores is itself a failure —
+    the exact destroyed-log hazard the orchestrator refuses to
+    bootstrap over."""
+    log = os.path.join(root_dir, "night_log")
+    kept_store = os.path.join(root_dir, "kept_store")
+    checks: dict = {}
+
+    if not iofs.has_parquet(spark, log):
+        checks["log_present"] = False
+        checks["ok"] = not iofs.has_parquet(spark, kept_store)
+        return checks
+    checks["log_present"] = True
+    rows = sorted(
+        ((int(r["idx"]), r["night"]) for r in spark.read.parquet(log).collect())
+    )
+    idxs = [i for i, _ in rows]
+    nights = [n for _, n in rows]
+    checks["n_nights"] = len(nights)
+    checks["log_contiguous"] = idxs == list(range(len(idxs))) and len(
+        set(nights)
+    ) == len(nights)
+
+    # --- admission ledgers: one epoch per completed night -------------
+    for name, flag in (("url_ledger", "url_epochs_match"),
+                       ("content_ledger", "content_epochs_match")):
+        led = os.path.join(root_dir, name)
+        if iofs.has_parquet(spark, led):
+            epochs = sorted(iofs.epoch_partitions(spark, led))
+            checks[flag] = epochs == list(range(len(nights)))
+
+    # --- refresh states: present per night, knobs uniform -------------
+    states_ok, knob_rows = True, []
+    for n in nights:
+        sd = os.path.join(root_dir, "state", n)
+        parts_ok = all(
+            iofs.has_parquet(spark, f"{sd}/{p}")
+            for p in ("features", "audit", "knobs")
+        )
+        states_ok = states_ok and parts_ok
+        if parts_ok:
+            knob_rows.append(tuple(spark.read.parquet(f"{sd}/knobs").head()))
+    checks["states_present"] = states_ok
+    if knob_rows:
+        checks["knobs_uniform"] = len(set(knob_rows)) == 1
+
+    # --- kept store vs the last state's audit --------------------------
+    kept_ids: set | None = None
+    if iofs.has_parquet(spark, kept_store) and states_ok and nights:
+        last_state = os.path.join(root_dir, "state", nights[-1])
+        audit_kept = _ids(
+            spark.read.parquet(f"{last_state}/audit").filter(
+                F.col("outcome") == KEPT
+            ),
+            "doc_id",
+        )
+        kept_ids = _ids(spark.read.parquet(kept_store), "doc_id")
+        checks["kept_matches_state"] = kept_ids == audit_kept
+        checks["n_kept"] = len(kept_ids)
+
+    # --- serving stores vs the kept set (foreign-root detector) -------
+    ivf = resolve_store(spark, root_dir, "ivf_store")
+    if kept_ids is not None and iofs.has_parquet(spark, f"{ivf}/_assignment"):
+        checks["ivf_matches_kept"] = (
+            _ids(spark.read.parquet(f"{ivf}/_assignment"), "vec_id") == kept_ids
+        )
+    postings = os.path.join(root_dir, "postings_store")
+    if kept_ids is not None and iofs.has_parquet(spark, f"{postings}/meta"):
+        pmeta = spark.read.parquet(f"{postings}/meta").head().asDict()
+        checks["postings_count_matches"] = int(pmeta["n_docs"]) == len(kept_ids)
+        ptags = list(pmeta.get("nights") or [])
+        # the postings apply only tags nights with a churned index, so
+        # the completed nights it DID tag must appear in log order and
+        # it must never be ahead of the log
+        checks["postings_nights_match"] = [
+            n for n in nights if n in set(ptags)
+        ] == [t for t in ptags if t in set(nights)] and not (
+            set(ptags) - set(nights)
+        )
+
+    # --- shard store: applied tags vs the log -------------------------
+    shards = resolve_store(spark, root_dir, "shards")
+    if iofs.has_parquet(spark, f"{shards}/_meta"):
+        from radares_spark.pipeline.shards import _completed_nights
+
+        stags = _completed_nights(spark.read.parquet(f"{shards}/_meta").head())
+        # corpus-maintain reshard tags its rebuild "maintain-<tag>" and
+        # the streaming twin tags "epoch-..." — neither is a NIGHT, so
+        # neither can contradict the night log
+        night_tags = [
+            t for t in stags
+            if not (t.startswith("maintain-") or t.startswith("epoch-"))
+        ]
+        # every completed night must have reached the store (the append
+        # runs BEFORE the log write) in log order, and any extra night
+        # tag means the store is AHEAD of the log: a half-completed
+        # night awaiting replay, or a store from a foreign root
+        ahead = sorted(set(night_tags) - set(nights))
+        checks["shards_nights_match"] = (
+            [t for t in night_tags if t in set(nights)] == nights and not ahead
+        )
+        if ahead:
+            checks["shards_ahead_of_log"] = ahead
+
+    checks["ok"] = all(
+        v for k, v in checks.items() if isinstance(v, bool)
+    )
+    return checks

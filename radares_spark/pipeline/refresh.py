@@ -254,7 +254,8 @@ def refresh(
     # amortize away at real corpus sizes. The
     # pinned frames are delta-sized (ids, band rows, pairs); the one
     # corpus-sized pin is fp, two hashes per doc, the frame the whole
-    # night keys off.
+    # night keys off. (The nightly orchestrator avoids even that via
+    # refresh_night below, which derives fp from the state ledger.)
     new_fp = new_docs.select("doc_id", content_fingerprint(["text"]).alias("raw_hash"))
     old_fp = prior_feats.select("doc_id", F.col("raw_hash").alias("old_raw"))
     fp = new_fp.join(old_fp, "doc_id", "full_outer").localCheckpoint()
@@ -263,12 +264,204 @@ def refresh(
         | (F.col("raw_hash").isNotNull() & (F.col("raw_hash") != F.col("old_raw")))
     ).select("doc_id").localCheckpoint()
     removed_ids = fp.filter(F.col("raw_hash").isNull()).select("doc_id").localCheckpoint()
+
+    def text_for(ids: DataFrame) -> DataFrame:
+        return new_docs.join(ids.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
+
+    return _refresh_core(
+        spark, text_for, delta_ids, removed_ids,
+        prior_feats, prior_bands, prior_audit, state_out,
+        keep_langs, sample_pct, jaccard_threshold, max_bucket,
+    )
+
+
+def _store_n_buckets(spark: SparkSession, store_dir: str) -> int | None:
+    """The kept store's pinned bucket count, or None for a plain
+    (non-init_store) parquet dir without the ``_meta`` sidecar."""
+    from radares_spark.io import fs as iofs
+
+    if not iofs.has_parquet(spark, f"{store_dir}/_meta"):
+        return None
+    return spark.read.parquet(f"{store_dir}/_meta").head()["n_buckets"]
+
+
+def _pruned_store_text(
+    spark: SparkSession,
+    store_dir: str,
+    ids: DataFrame,
+    n_buckets: int | None,
+    buckets_read: set[int] | None = None,
+) -> DataFrame:
+    """Point-read ``(doc_id, text)`` for ``ids`` from a
+    bucket-partitioned kept store, opening ONLY the ``part_bucket``
+    partitions the ids map to — the delta-proportional read path
+    (≤ |ids| of the store's n_buckets partitions; at 100 TB n_buckets
+    is sized so a bucket is a cheap unit, init_store's contract).
+    Falls back to a plain semi-join scan for stores without the
+    init_store bucket layout."""
+    store = spark.read.parquet(store_dir)
+    if n_buckets is None or "part_bucket" not in store.columns:
+        return store.select("doc_id", "text").join(
+            ids.select("doc_id"), "doc_id", "left_semi"
+        )
+    buckets = sorted(
+        int(r["part_bucket"])
+        for r in ids.select(_store_bucket(n_buckets)).distinct().collect()
+    )
+    if buckets_read is not None:
+        buckets_read.update(buckets)
+    if not buckets:
+        return store.select("doc_id", "text").filter(F.lit(False))
+    return (
+        store.filter(F.col("part_bucket").isin(buckets))
+        .select("doc_id", "text")
+        .join(ids.select("doc_id"), "doc_id", "left_semi")
+    )
+
+
+def refresh_night(
+    spark: SparkSession,
+    tonight_docs: DataFrame,
+    state_in: str,
+    state_out: str,
+    kept_store_dir: str,
+    keep_langs: tuple[str, ...] = ("en",),
+    sample_pct: int = 100,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Delta-direct nightly refresh — the O(delta)-I/O entry point the
+    production night uses (r9 verdict #1: the orchestrator used to
+    materialize the FULL kept corpus to ``nights/<night>/snapshot``
+    and ``refresh()`` then re-hashed every doc's text — an O(corpus)
+    write + read + hash per night wrapped around a recompute that was
+    already delta-proportional).
+
+    Semantics are EXACTLY ``refresh()`` over the virtual snapshot
+    ``kept_store ∖ tonight ∪ tonight``, but nothing corpus-sized is
+    written, read or hashed:
+
+    - delta detection joins tonight's fingerprints against the raw
+      hashes ALREADY recorded in ``state_in/features`` — no stable
+      doc's text is hashed (a stable store doc's text is the text the
+      state fingerprinted, by the store-apply contract);
+    - the stable side of the snapshot is never materialized: stable
+      ids come from the kept store's doc_id column (one narrow
+      column-pruned scan — the exact ids the virtual snapshot holds),
+      and stable TEXT is fetched per-id through the store's
+      part_bucket partitions (``_pruned_store_text``), so text bytes
+      read scale with the delta neighborhood, never the corpus; the
+      stats report ``n_store_buckets_read``;
+    - crash replay converges exactly as the materialized path did:
+      a re-run after a crashed night's store applies sees the mutated
+      store the same way ``refresh()`` saw the re-derived snapshot —
+      tonight's rewritten docs ride tonight's frame, docs the crashed
+      run dropped read as removed.
+    """
+    if state_in == state_out:
+        raise ValueError("state_out must differ from state_in (write-new-then-swap)")
+    _check_knobs(
+        spark, state_in, keep_langs, sample_pct, jaccard_threshold, max_bucket
+    )
+    prior_feats = spark.read.parquet(f"{state_in}/features")
+    prior_bands = spark.read.parquet(f"{state_in}/bands")
+    prior_audit = spark.read.parquet(f"{state_in}/audit")
+
+    tonight = tonight_docs.select("doc_id", "text").localCheckpoint()
+    tonight_ids = tonight.select("doc_id")
+    store_ids = spark.read.parquet(kept_store_dir).select("doc_id").localCheckpoint()
+
+    # a store doc the state never fingerprinted cannot be carried and
+    # cannot be hashed without the corpus text scan this entry point
+    # exists to avoid — it means the store/state pair is out of step
+    # (foreign store, manual edit): fail fast, never silently diverge.
+    # Tonight's own ids are exempt: on a crashed-night REPLAY the store
+    # already holds tonight's applied docs, and those are recomputed
+    # from tonight's frame, never carried.
+    orphans = store_ids.join(
+        prior_feats.select("doc_id"), "doc_id", "left_anti"
+    ).join(tonight_ids, "doc_id", "left_anti")
+    n_orphans = orphans.count()
+    if n_orphans:
+        some = sorted(r["doc_id"] for r in orphans.limit(5).collect())
+        raise ValueError(
+            f"kept store {kept_store_dir!r} holds {n_orphans} doc(s) absent "
+            f"from the prior state's features ledger (e.g. {some}); the "
+            "store and state are out of step — run nightly-verify, or "
+            "rebuild the state with init_state over the real corpus"
+        )
+
+    # delta detection from ledgers alone: tonight's docs are hashed
+    # (O(tonight)); stable docs keep their recorded raw_hash; a prior
+    # doc in neither the store nor tonight is removed — byte-for-byte
+    # the ids refresh() derives by hashing the full snapshot.
+    tonight_fp = tonight.select(
+        "doc_id", content_fingerprint(["text"]).alias("raw_hash")
+    )
+    old_fp = prior_feats.select("doc_id", F.col("raw_hash").alias("old_raw"))
+    fp = tonight_fp.join(old_fp, "doc_id", "left").localCheckpoint()
+    delta_ids = (
+        fp.filter(
+            F.col("old_raw").isNull() | (F.col("raw_hash") != F.col("old_raw"))
+        )
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    removed_ids = (
+        old_fp.select("doc_id")
+        .join(store_ids, "doc_id", "left_anti")
+        .join(tonight_ids, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+
+    n_buckets = _store_n_buckets(spark, kept_store_dir)
+    buckets_read: set[int] = set()
+
+    def text_for(ids: DataFrame) -> DataFrame:
+        wanted = ids.select("doc_id")
+        own = tonight.join(wanted, "doc_id", "left_semi")
+        stable = wanted.join(tonight_ids, "doc_id", "left_anti")
+        return own.unionByName(
+            _pruned_store_text(
+                spark, kept_store_dir, stable, n_buckets, buckets_read
+            )
+        )
+
+    audit, stats = _refresh_core(
+        spark, text_for, delta_ids, removed_ids,
+        prior_feats, prior_bands, prior_audit, state_out,
+        keep_langs, sample_pct, jaccard_threshold, max_bucket,
+    )
+    stats["n_store_buckets_read"] = len(buckets_read)
+    return audit, stats
+
+
+def _refresh_core(
+    spark: SparkSession,
+    text_for,
+    delta_ids: DataFrame,
+    removed_ids: DataFrame,
+    prior_feats: DataFrame,
+    prior_bands: DataFrame,
+    prior_audit: DataFrame,
+    state_out: str,
+    keep_langs: tuple[str, ...],
+    sample_pct: int,
+    jaccard_threshold: float,
+    max_bucket: int | None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Shared refresh body: steps 2–7 of the incremental night, with
+    text access abstracted behind ``text_for(ids) -> (doc_id, text)``
+    so the generic entry (full snapshot frame) and the delta-direct
+    nightly entry (tonight ∪ pruned store point-reads) run the SAME
+    churn logic — equivalence between the two is pinned row-for-row in
+    tests/test_refresh_delta.py."""
     gone_ids = delta_ids.unionByName(removed_ids)  # rows whose OLD state is void
 
     # -- 2. features: recompute delta, carry the rest -----------------
-    feats_delta = _features(
-        new_docs.join(delta_ids, "doc_id", "left_semi")
-    ).localCheckpoint()
+    feats_delta = _features(text_for(delta_ids)).localCheckpoint()
     feats_stable = prior_feats.drop("exact_keep").join(gone_ids, "doc_id", "left_anti")
 
     # -- 3. exact-dedup keeper churn, per affected hash ---------------
@@ -324,7 +517,7 @@ def refresh(
         .localCheckpoint()
     )
     fresh_bands = lsh_bands(
-        minhash_signatures(new_docs.join(need_bands, "doc_id", "left_semi"))
+        minhash_signatures(text_for(need_bands))
     ).localCheckpoint()
     bands_new = _write_read(
         prior_bands.join(void_ids, "doc_id", "left_anti").unionByName(fresh_bands),
@@ -394,7 +587,7 @@ def refresh(
         .distinct()
     )
     verified = verify_near_pairs(
-        pairs, new_docs.join(member_ids, "doc_id", "left_semi"), jaccard_threshold
+        pairs, text_for(member_ids), jaccard_threshold
     ).localCheckpoint()
     near_affected = verified.select(F.col("doc_b").alias("doc_id")).distinct()
 
@@ -580,6 +773,37 @@ def apply_refresh_to_store(
     return {"n_churned_docs": n_docs, "n_buckets_rewritten": n_buckets_hit}
 
 
+def night_snapshot_source(
+    spark: SparkSession,
+    tonight: DataFrame,
+    kept_store_dir: str,
+    churn: tuple[DataFrame, DataFrame, DataFrame],
+) -> DataFrame:
+    """The store-rewrite source for a delta-direct night: tonight's
+    docs plus the kept store's CHURNED part_bucket partitions only.
+    Over the churned buckets (the only rows ``apply_refresh_to_store``
+    writes) this is row-equal to the full virtual snapshot
+    ``kept_store ∖ tonight ∪ tonight`` — but it reads exactly the
+    partitions the apply is about to rewrite, never the corpus."""
+    entered, left, rewritten = churn
+    churned = entered.unionByName(left).unionByName(rewritten).distinct()
+    tonight = tonight.select("doc_id", "text")
+    store = spark.read.parquet(kept_store_dir)
+    n = _store_n_buckets(spark, kept_store_dir)
+    if n is not None and "part_bucket" in store.columns:
+        buckets = sorted(
+            int(r["part_bucket"])
+            for r in churned.select(_store_bucket(n)).distinct().collect()
+        )
+        store = store.filter(
+            F.col("part_bucket").isin(buckets) if buckets else F.lit(False)
+        )
+    stable = store.select("doc_id", "text").join(
+        tonight.select("doc_id"), "doc_id", "left_anti"
+    )
+    return stable.unionByName(tonight)
+
+
 # --- serving-store bridges: one snapshot diff drives every store ------
 
 
@@ -623,10 +847,11 @@ def apply_refresh_to_postings_store(
     entered, left, rewritten = churn or kept_churn(spark, state_in, state_out)
     remove_ids = left.unionByName(rewritten).distinct()
     add_ids = entered.unionByName(rewritten).distinct()
-    remove_docs = (
-        spark.read.parquet(kept_store_dir)
-        .select("doc_id", "text")
-        .join(remove_ids, "doc_id", "left_semi")
+    # pruned point-read of the removed docs' OLD text: only the
+    # part_bucket partitions holding remove_ids are opened (plain
+    # semi-join scan for stores without the init_store layout)
+    remove_docs = _pruned_store_text(
+        spark, kept_store_dir, remove_ids, _store_n_buckets(spark, kept_store_dir)
     )
     add_docs = new_docs.select("doc_id", "text").join(
         add_ids, "doc_id", "left_semi"

@@ -1,0 +1,104 @@
+"""Crash-safe serving-store pointers — the swap half of the
+artifact-maintenance story.
+
+``shards-reshard`` and ``ivf-retrain`` both build a NEW store next to
+the serving one and end at "the caller flips the path" (write-new-
+then-swap). This module is that flip, made crash-safe and consumable
+by the nightly orchestrator:
+
+- the pointer log is an APPEND-ONLY parquet under
+  ``<root>/store_pointers``, one ``idx=<n>`` partition per flip (the
+  night-log discipline: prior partitions are never rewritten, so no
+  crash window can destroy history and silently repoint every store);
+- one flip may carry SEVERAL rows (e.g. ``shards`` + ``tokenizer``
+  move together after a reshard) — they land in ONE partition write,
+  so a reader never observes the pair half-flipped;
+- ``resolve_store`` returns the highest-idx entry for a name, falling
+  back to the canonical ``<root>/<name>`` dir when a store was never
+  repointed — existing roots keep working untouched;
+- a crash BEFORE the append leaves the old store serving; a crash
+  AFTER it leaves the new one serving; there is no in-between state.
+
+Reference parity: the reference swaps tables by transactional rename
+(``/root/reference/database/schema.sql`` unique-index + replace);
+here the swap is a metadata append because object stores have no
+atomic directory rename at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io import fs as iofs
+
+POINTER_LOG = "store_pointers"
+
+
+def _log_dir(root_dir: str) -> str:
+    return os.path.join(root_dir, POINTER_LOG)
+
+
+def resolve_store(spark: SparkSession, root_dir: str, name: str) -> str:
+    """The current serving path for ``name`` under ``root_dir``: the
+    latest pointer-log entry, else the canonical ``<root>/<name>``."""
+    log = _log_dir(root_dir)
+    default = os.path.join(root_dir, name)
+    if not iofs.has_parquet(spark, log):
+        return default
+    rows = (
+        spark.read.parquet(log)
+        .filter(F.col("store") == name)
+        .orderBy(F.col("idx").desc())
+        .limit(1)
+        .collect()
+    )
+    return rows[0]["path"] if rows else default
+
+
+def flip_stores(
+    spark: SparkSession, root_dir: str, moves: dict[str, str]
+) -> int:
+    """Atomically repoint the stores in ``moves`` (name -> new path):
+    ONE appended ``idx=<n>`` partition carries every row, so paired
+    artifacts (shard store + its tokenizer) can never be observed
+    half-flipped. Refuses a path that does not hold parquet — a flip
+    to a missing/empty store would brick every reader. Returns the
+    flip index."""
+    for name, path in moves.items():
+        if not iofs.has_parquet(spark, path):
+            raise ValueError(
+                f"refusing to point {name!r} at {path!r}: no parquet "
+                "there — build the new store first (write-new-then-swap)"
+            )
+    log = _log_dir(root_dir)
+    next_idx = 0
+    if iofs.has_parquet(spark, log):
+        top = spark.read.parquet(log).agg(F.max("idx").alias("m")).head()["m"]
+        next_idx = int(top) + 1
+    (
+        spark.createDataFrame(
+            [(next_idx, n, p) for n, p in sorted(moves.items())],
+            "idx int, store string, path string",
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("idx")
+        .parquet(log)
+    )
+    return next_idx
+
+
+def pointer_history(spark: SparkSession, root_dir: str) -> list[tuple[int, str, str]]:
+    """Every flip ever taken, oldest first — the audit surface
+    nightly-verify cross-checks stores against."""
+    log = _log_dir(root_dir)
+    if not iofs.has_parquet(spark, log):
+        return []
+    return [
+        (int(r["idx"]), r["store"], r["path"])
+        for r in spark.read.parquet(log).orderBy("idx", "store").collect()
+    ]

@@ -26,7 +26,12 @@ the store's own lifecycle already provides the replay guard:
   Restarts reuse the marker (replays still dedup); WIPING the
   checkpoint — same path or new — mints a fresh namespace, so new
   data always lands. A checkpoint-path hash would not survive the
-  wipe-and-reuse-the-same-path case.
+  wipe-and-reuse-the-same-path case. Upgrade window: a marker-miss
+  over a checkpoint that ALREADY committed batches (one born before
+  the marker existed) pins the legacy un-namespaced tag format
+  instead of minting — otherwise a batch that crashed between its
+  append and its commit would replay under a new tag and
+  double-append once.
 
 Sequencing: ``append_shards`` is inherently serial (each night reads
 the meta the previous one wrote). foreachBatch delivers micro-batches
@@ -85,7 +90,21 @@ def run_shards_stream(
     if fs.has_parquet(spark, ns_path):
         run_ns = spark.read.parquet(ns_path).head()["ns"]
     else:
-        run_ns = uuid.uuid4().hex[:12]
+        # upgrade window: a checkpoint born BEFORE the namespace marker
+        # existed already committed batches under legacy un-namespaced
+        # tags (epoch-<id>). Minting a fresh namespace for it would let
+        # a batch that crashed between a completed append and its
+        # checkpoint commit replay under a NEW tag and double-append
+        # once — so a marker-miss over a checkpoint with committed
+        # batches pins the LEGACY format (ns = "") for that
+        # checkpoint's lifetime: replays keep matching their recorded
+        # tags, and epoch ids inside one checkpoint are monotonic so
+        # the r9 fresh-checkpoint collision cannot occur here.
+        legacy = fs.exists(spark, f"{checkpoint}/commits") and any(
+            not n.startswith(".")
+            for n in fs.list_names(spark, f"{checkpoint}/commits")
+        )
+        run_ns = "" if legacy else uuid.uuid4().hex[:12]
         # overwrite, not errorifexists: a crash MID-mint leaves the dir
         # with no committed parquet — has_parquet stays False and the
         # re-mint must not brick on the leftover directory
@@ -103,7 +122,9 @@ def run_shards_stream(
             batch,
             word_syms,
             merges,
-            night=f"epoch-{run_ns}-{epoch_id}",
+            night=(
+                f"epoch-{run_ns}-{epoch_id}" if run_ns else f"epoch-{epoch_id}"
+            ),
             vocab=vocab,
         )
 

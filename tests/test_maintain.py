@@ -1,0 +1,152 @@
+"""corpus-maintain + the crash-safe store-pointer log
+(pipeline/stores.py): maintenance rebuilds land in a fresh dir, ONE
+appended pointer partition flips serving, corpus-nightly reads through
+the pointer, a crash mid-swap leaves the old store serving, and
+old-night replays stay no-ops after a shard swap (reshard carries the
+completed-night tags)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.cli import (
+    cmd_corpus_maintain,
+    cmd_corpus_nightly,
+    cmd_ivf_retrain,
+    cmd_tokenizer_train,
+)
+from radares_spark.pipeline.stores import (
+    flip_stores,
+    pointer_history,
+    resolve_store,
+)
+from tests.test_nightly_e2e import _body, _write_pages
+
+
+def test_pointer_log_resolve_flip_and_refusal(spark, tmp_path):
+    root = str(tmp_path / "root")
+    # no log yet: canonical fallback
+    assert resolve_store(spark, root, "ivf_store") == os.path.join(root, "ivf_store")
+    # refuse to point at nothing
+    with pytest.raises(ValueError, match="no parquet"):
+        flip_stores(spark, root, {"ivf_store": str(tmp_path / "missing")})
+    # a real target flips; the latest entry wins; unrelated names
+    # keep their canonical fallback
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame([(1,)], ["x"]).write.parquet(a)
+    spark.createDataFrame([(2,)], ["x"]).write.parquet(b)
+    assert flip_stores(spark, root, {"ivf_store": a}) == 0
+    assert resolve_store(spark, root, "ivf_store") == a
+    assert resolve_store(spark, root, "shards") == os.path.join(root, "shards")
+    # one flip may carry a PAIR (shards + tokenizer move together)
+    assert flip_stores(spark, root, {"shards": a, "tokenizer": b}) == 1
+    assert resolve_store(spark, root, "shards") == a
+    assert resolve_store(spark, root, "tokenizer") == b
+    assert flip_stores(spark, root, {"ivf_store": b}) == 2
+    assert resolve_store(spark, root, "ivf_store") == b
+    assert [i for i, _, _ in pointer_history(spark, root)] == [0, 1, 1, 2]
+
+
+def _run_night(spark, tmp_path, root, night, pages, tag=""):
+    src = tmp_path / f"pages_{night}{tag}"
+    _write_pages(spark, src, pages)
+    return cmd_corpus_nightly(
+        spark, str(src), root, night, n_merges=8, ctx_len=16
+    )
+
+
+@pytest.mark.slow
+def test_maintain_swap_story_end_to_end(spark, tmp_path):
+    A, B, C, D = (_body(t) for t in ("alpha", "beta", "gamma", "delta"))
+    root = str(tmp_path / "root")
+    _run_night(spark, tmp_path, root, "n1",
+               [(1, "https://a.example.com/1", A),
+                (2, "https://b.example.com/2", B)])
+    c2 = _run_night(spark, tmp_path, root, "n2",
+                    [(10, "https://c.example.com/10", C)])
+    assert c2["kept"] == 1
+
+    # the nightly refresh persisted its telemetry verdict
+    tel_dir = os.path.join(root, "ivf_store", "_telemetry")
+    assert os.path.isdir(tel_dir)
+
+    # --- auto mode consumes the sidecar: not due -> no-op -------------
+    # (drift/skew legitimately trip at this toy scale, so pin not-due)
+    def _plant(due):
+        spark.createDataFrame(
+            [(0.5, 99.0, due)],
+            "drift double, cell_skew double, retrain_due boolean",
+        ).repartition(1).write.mode("overwrite").parquet(tel_dir)
+
+    _plant(False)
+    counts = cmd_corpus_maintain(spark, root, ivf="auto")
+    assert counts == {"ivf_retrain_due": 0}
+    assert resolve_store(spark, root, "ivf_store") == os.path.join(root, "ivf_store")
+
+    # --- retrain_due set (what a drifted/skewed store reports) --------
+    _plant(True)
+    counts = cmd_corpus_maintain(spark, root, ivf="auto")
+    assert counts["ivf_retrain_due"] == 1 and counts["ivf_n_vectors"] > 0
+    new_ivf = resolve_store(spark, root, "ivf_store")
+    assert new_ivf == os.path.join(root, "ivf_store.m0")
+    # old store byte-untouched and still on disk (serving until now)
+    assert os.path.isdir(os.path.join(root, "ivf_store"))
+
+    # --- crash mid-swap: a rebuilt store WITHOUT a pointer append
+    # changes nothing (the flip is the last, atomic step)
+    cmd_ivf_retrain(spark, new_ivf, os.path.join(root, "ivf_store.crashed"))
+    assert resolve_store(spark, root, "ivf_store") == new_ivf
+
+    # --- the next night reads THROUGH the pointer: a semantic twin of
+    # doc 10 (resident only in the RETRAINED store's corpus) is gated
+    C_twin = " ".join(reversed(C.split()))
+    c3 = _run_night(spark, tmp_path, root, "n3",
+                    [(20, "https://d.example.com/20", C_twin),
+                     (21, "https://e.example.com/21", D)])
+    assert c3["semantic_dup"] == 1 and c3["kept"] == 1
+    # and the refresh applied tonight's delta to the NEW store
+    assert 21 in {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{new_ivf}/_assignment").collect()
+    }
+
+    # --- reshard under a NEW tokenizer; shards+tokenizer flip together
+    new_tok = str(tmp_path / "tok16")
+    cmd_tokenizer_train(
+        spark, os.path.join(root, "kept_store"), new_tok, n_merges=16
+    )
+    counts = cmd_corpus_maintain(
+        spark, root, ivf="skip", reshard_tokenizer=new_tok, night="m1"
+    )
+    new_shards = resolve_store(spark, root, "shards")
+    assert new_shards.endswith(".m1")  # one prior pointer row (the ivf flip)
+    assert resolve_store(spark, root, "tokenizer") == new_tok
+    assert counts["shards_n_sealed"] >= 1
+    assert counts["shards_tokenizer_changed"] == 1
+
+    # --- old-night replay after the swap stays a no-op: roll the
+    # night log back to its post-n2 state and replay n3 — the
+    # resharded store carried the completed-night tags, the crawl
+    # preserves its outputs, and every store converges
+    want_meta = spark.read.parquet(f"{new_shards}/_meta").head().asDict()
+    want_kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{root}/kept_store").collect()
+    )
+    log = f"{root}/night_log"
+    saved = str(tmp_path / "log_n2")
+    shutil.copytree(log, saved)
+    shutil.rmtree(f"{log}/idx=2")
+    c3b = _run_night(spark, tmp_path, root, "n3",
+                     [(20, "https://d.example.com/20", C_twin),
+                      (21, "https://e.example.com/21", D)], tag="_replay")
+    assert c3b["shards_already_appended"] == 1
+    assert spark.read.parquet(f"{new_shards}/_meta").head().asDict() == want_meta
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{root}/kept_store").collect()
+    ) == want_kept

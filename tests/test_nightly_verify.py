@@ -1,0 +1,84 @@
+"""nightly-verify (pipeline/nightly_audit.py): a healthy
+corpus-nightly root passes every cross-store flag; a planted
+half-completed night (store ahead of the night log), a foreign store,
+and a destroyed log each trip their own named flag and the exit
+code."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from radares_spark.cli import cmd_nightly_verify, main
+from tests.test_nightly_e2e import _body, _write_pages
+
+
+def test_nightly_verify_flags(spark, tmp_path, capsys):
+    A, B, C = (_body(t) for t in ("alpha", "beta", "gamma"))
+    root = str(tmp_path / "root")
+    src1, src2 = tmp_path / "p1", tmp_path / "p2"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A),
+                               (2, "https://b.example.com/2", B)])
+    _write_pages(spark, src2, [(10, "https://c.example.com/10", C)])
+    assert main(["corpus-nightly", "--pages", str(src1), "--root", root,
+                 "--night", "n1", "--n-merges", "8", "--ctx-len", "16"]) == 0
+    assert main(["corpus-nightly", "--pages", str(src2), "--root", root,
+                 "--night", "n2", "--n-merges", "8"]) == 0
+    capsys.readouterr()
+
+    # --- healthy root: every flag green, exit code 0 ------------------
+    assert main(["nightly-verify", "--root", root]) == 0
+    printed = capsys.readouterr().out
+    assert "ok: True" in printed
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["ok"] and checks["n_nights"] == 2
+    for flag in ("log_contiguous", "url_epochs_match", "content_epochs_match",
+                 "states_present", "knobs_uniform", "kept_matches_state",
+                 "ivf_matches_kept", "postings_count_matches",
+                 "postings_nights_match", "shards_nights_match"):
+        assert checks[flag] is True, flag
+
+    log = f"{root}/night_log"
+    saved_log = str(tmp_path / "saved_log")
+    shutil.copytree(log, saved_log)
+
+    # --- planted half-completed night: n2's stores landed but the log
+    # append "crashed" — every tagged store is now AHEAD of the log
+    shutil.rmtree(f"{log}/idx=1")
+    checks = cmd_nightly_verify(spark, root)
+    assert not checks["ok"]
+    assert checks["shards_nights_match"] is False
+    assert checks["shards_ahead_of_log"] == ["n2"]
+    assert checks["postings_nights_match"] is False
+    shutil.rmtree(log)
+    shutil.copytree(saved_log, log)
+    assert cmd_nightly_verify(spark, root)["ok"]
+
+    # --- destroyed log over populated stores ---------------------------
+    shutil.rmtree(log)
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["log_present"] is False and not checks["ok"]
+    shutil.copytree(saved_log, log)
+
+    # --- foreign serving store: an IVF assignment ledger from some
+    # other root covers the wrong ids
+    ivf_assign = f"{root}/ivf_store/_assignment"
+    saved_assign = str(tmp_path / "saved_assign")
+    shutil.copytree(ivf_assign, saved_assign)
+    spark.createDataFrame([(999999, 0)], "vec_id long, cell int").repartition(
+        1
+    ).write.mode("overwrite").parquet(ivf_assign)
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["ivf_matches_kept"] is False and not checks["ok"]
+    shutil.rmtree(ivf_assign)
+    shutil.copytree(saved_assign, ivf_assign)
+
+    # --- foreign kept store: a resident the state never audited -------
+    spark.createDataFrame([(888888, "foreign doc text")], "doc_id long, text string").withColumn(
+        "part_bucket", F.lit(int(888888 % 64))
+    ).write.mode("append").partitionBy("part_bucket").parquet(f"{root}/kept_store")
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["kept_matches_state"] is False and not checks["ok"]
+    assert main(["nightly-verify", "--root", root]) == 1

@@ -259,3 +259,64 @@ def test_wiped_checkpoint_same_path_appends_new_data(spark, env, tmp_path):
     run_shards_stream(spark, land2, env["tok"], store, ckpt)
     t2 = spark.read.parquet(f"{store}/_meta").head()["next_token_offset"]
     assert t2 > t1, "wiped-checkpoint incarnation silently no-opped"
+
+
+def test_pre_upgrade_checkpoint_pins_legacy_tags(spark, env, tmp_path):
+    """Upgrade window (r9 ADVICE): a checkpoint born BEFORE the
+    namespace marker existed has committed batches under legacy
+    un-namespaced tags. On marker-miss over such a checkpoint the
+    stream must pin the LEGACY tag format (ns="") — minting a fresh
+    namespace would let a batch that crashed between its append and
+    its commit replay under a new tag and double-append once."""
+    import shutil
+
+    word_syms, merges = env["word_syms"], env["merges"]
+    store = str(tmp_path / "store")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    ckpt = str(tmp_path / "ckpt")
+    landing = str(tmp_path / "landing")
+    _night_df(spark, NIGHTS[0]).coalesce(1).write.mode("append").parquet(landing)
+    run_shards_stream(spark, landing, env["tok"], store, ckpt)
+    # simulate the pre-upgrade checkpoint: committed batches, no marker
+    shutil.rmtree(os.path.join(ckpt, "_radares_run_ns"))
+    # rewrite the store's recorded tags to the legacy format the
+    # pre-upgrade stream actually wrote (epoch-<id>, no namespace)
+    meta_dir = f"{store}/_meta"
+    meta = spark.read.parquet(meta_dir).head().asDict()
+    legacy_nights = [
+        f"epoch-{t.rsplit('-', 1)[-1]}" if t.startswith("epoch-") else t
+        for t in (meta.get("nights") or [])
+    ]
+    patched = spark.createDataFrame(
+        [tuple(
+            legacy_nights if k == "nights"
+            else (legacy_nights[-1] if k == "last_night" else meta[k])
+            for k in meta
+        )],
+        list(meta.keys()),
+    ).repartition(1)
+    patched.write.mode("overwrite").parquet(meta_dir)
+
+    # next batch over the SAME checkpoint: legacy format is pinned
+    _night_df(spark, NIGHTS[1]).coalesce(1).write.mode("append").parquet(landing)
+    run_shards_stream(spark, landing, env["tok"], store, ckpt)
+    assert spark.read.parquet(f"{ckpt}/_radares_run_ns").head()["ns"] == ""
+    meta2 = spark.read.parquet(meta_dir).head()
+    assert "epoch-1" in list(meta2["nights"]), list(meta2["nights"])
+    t2 = meta2["next_token_offset"]
+
+    # the ADVICE scenario: crash between append and commit — deleting
+    # the newest commit marker replays the batch; the legacy tag is
+    # recognized and nothing double-appends
+    commits_dir = os.path.join(ckpt, "commits")
+    newest = sorted(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )[-1]
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_shards_stream(spark, landing, env["tok"], store, ckpt)
+    assert (
+        spark.read.parquet(meta_dir).head()["next_token_offset"] == t2
+    ), "replayed pre-upgrade batch double-appended"
