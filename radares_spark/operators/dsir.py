@@ -797,7 +797,11 @@ KN_TRIGRAM_SQL = f"""
 """
 
 
-LIBRARY_SPECS: dict[str, QuerySpec] = {
+# r10 window rotation: the recursive KN trigram enters the 50-entry
+# driver window (plans/__init__ appends DRIVER_SPECS last);
+# pivot_status_by_segment moved to relational's library tier, with R2
+# staying driver-covered via radar_bins_long.
+DRIVER_SPECS: dict[str, QuerySpec] = {
     "corpus_kn_trigram_logprob": QuerySpec(
         name="corpus_kn_trigram_logprob",
         fn=corpus_kn_trigram_logprob,
@@ -810,6 +814,9 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "hint (trigram model is corpus-bounded — AQE shuffles it on "
         "the triple key at scale).",
     ),
+}
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
     "corpus_kn_bigram_logprob": QuerySpec(
         name="corpus_kn_bigram_logprob",
         fn=corpus_kn_bigram_logprob,

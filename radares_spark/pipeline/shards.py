@@ -949,12 +949,18 @@ def shards_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
     # vocabulary-sized: the distinct-word table with char symbols (the
     # zero-merge tokenizer); the corpus token stream still resolves ids
-    # through encode_ids' dictionary join, never a per-token probe
+    # through encode_ids' dictionary join, never a per-token probe.
+    # PINNED (the reshard vocab-pin precedent): encode_ids consumes
+    # word_syms three times (token_vocab, the in-vocab join, the OOV
+    # anti-join) and its upstream is a corpus-wide distinct explode —
+    # lazy form re-ran that scan per consumer (measured at sf0.1:
+    # warm 4.5 -> 3.9 s, cold 12.7 -> 11.4 s with the pin).
     word_syms = (
         docs.select(F.explode(F.split(norm, " ")).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
         .select("word", _initial_symbols(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
     )
     seqs = pack_ids(encode_ids(docs, word_syms), ctx_len=SHARD_CTX)
     tiled = _spans_tiling_fold(lambda acc: acc["ok"])

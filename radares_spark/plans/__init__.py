@@ -37,6 +37,10 @@ from radares_spark.plans import tpch_extra  # noqa: E402,F401
 # under the driver oracle) enters; q4_priority_exists moves to the
 # library tier in tpch_more (J3 stays via q18/q21, F2 via
 # relational_checks_suite, A1 via calendar_gap_fill_orders).
+# r10 rotation: corpus_kn_trigram_logprob (the recursive Kneser-Ney
+# LM score) enters; pivot_status_by_segment moves to the library tier
+# in relational (R2 stays driver-covered via radar_bins_long).
+from radares_spark.operators import dsir as _dsir  # noqa: E402
 from radares_spark.operators import retrieval as _retrieval  # noqa: E402
 from radares_spark.pipeline import shards as _shards  # noqa: E402
 from radares_spark.pipeline import snapshot as _snapshot  # noqa: E402
@@ -45,6 +49,7 @@ for _spec in (
     *_snapshot.DRIVER_SPECS.values(),
     *_retrieval.DRIVER_SPECS.values(),
     *_shards.DRIVER_SPECS.values(),
+    *_dsir.DRIVER_SPECS.values(),
 ):
     assert _spec.name not in REGISTRY, _spec.name
     REGISTRY[_spec.name] = _spec

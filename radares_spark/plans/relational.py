@@ -35,7 +35,21 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
-from radares_spark.registry import register
+from radares_spark.registry import QuerySpec, register
+
+# Library tier (plans/library.py aggregates): demoted from the
+# 50-entry driver window but swept by the same strict DuckDB
+# comparison in test_oracle_parity.
+LIBRARY_SPECS: dict[str, QuerySpec] = {}
+
+
+def _library(name: str, oracle: str, survey: str, doc: str = ""):
+    def wrap(fn):
+        LIBRARY_SPECS[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc
+        )
+        return fn
+    return wrap
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -455,7 +469,11 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@_library(
+    # r10 window rotation: demoted to library tier to put the
+    # Kneser-Ney trigram LM under the driver oracle — R2 (wide<->long
+    # reshape) stays driver-covered via radar_bins_long; still
+    # strict-hash-swept here.
     "pivot_status_by_segment",
     oracle="""
     SELECT c_mktsegment,

@@ -36,6 +36,10 @@ SANCTIONED_NESTED_LOOP = {
     "q15_top_supplier",
     "text_bm25_topk",
     "text_hybrid_rrf_topk",
+    # r10 rotation: the KN recursion joins the ONE-ROW grand total
+    # (sum of unigram buckets) to the model — a broadcast of exactly
+    # one row, the q11/q15 scalar-total pattern
+    "corpus_kn_trigram_logprob",
 }
 
 
