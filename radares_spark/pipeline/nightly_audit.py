@@ -47,8 +47,15 @@ from radares_spark.pipeline.corpus import KEPT
 from radares_spark.pipeline.stores import resolve_store
 
 
-def _ids(df, col):
-    return {r[col] for r in df.select(col).distinct().collect()}
+def _sets_equal(a, a_col, b, b_col) -> bool:
+    """Distributed id-set equality: two anti-join counts, never a
+    driver collect (at corpus scale these are billions of ids)."""
+    a = a.select(F.col(a_col).alias("id")).distinct()
+    b = b.select(F.col(b_col).alias("id")).distinct()
+    return (
+        a.join(b, "id", "left_anti").limit(1).count() == 0
+        and b.join(a, "id", "left_anti").limit(1).count() == 0
+    )
 
 
 def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
@@ -101,29 +108,30 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         checks["knobs_uniform"] = len(set(knob_rows)) == 1
 
     # --- kept store vs the last state's audit --------------------------
-    kept_ids: set | None = None
+    kept = None  # lazy (doc_id) frame — compared via anti-joins, never collected
+    n_kept = None
     if iofs.has_parquet(spark, kept_store) and states_ok and nights:
         last_state = os.path.join(root_dir, "state", nights[-1])
-        audit_kept = _ids(
-            spark.read.parquet(f"{last_state}/audit").filter(
-                F.col("outcome") == KEPT
-            ),
-            "doc_id",
+        audit_kept = spark.read.parquet(f"{last_state}/audit").filter(
+            F.col("outcome") == KEPT
         )
-        kept_ids = _ids(spark.read.parquet(kept_store), "doc_id")
-        checks["kept_matches_state"] = kept_ids == audit_kept
-        checks["n_kept"] = len(kept_ids)
+        kept = spark.read.parquet(kept_store)
+        checks["kept_matches_state"] = _sets_equal(
+            kept, "doc_id", audit_kept, "doc_id"
+        )
+        n_kept = kept.select("doc_id").distinct().count()
+        checks["n_kept"] = n_kept
 
     # --- serving stores vs the kept set (foreign-root detector) -------
     ivf = resolve_store(spark, root_dir, "ivf_store")
-    if kept_ids is not None and iofs.has_parquet(spark, f"{ivf}/_assignment"):
-        checks["ivf_matches_kept"] = (
-            _ids(spark.read.parquet(f"{ivf}/_assignment"), "vec_id") == kept_ids
+    if kept is not None and iofs.has_parquet(spark, f"{ivf}/_assignment"):
+        checks["ivf_matches_kept"] = _sets_equal(
+            spark.read.parquet(f"{ivf}/_assignment"), "vec_id", kept, "doc_id"
         )
     postings = os.path.join(root_dir, "postings_store")
-    if kept_ids is not None and iofs.has_parquet(spark, f"{postings}/meta"):
+    if kept is not None and iofs.has_parquet(spark, f"{postings}/meta"):
         pmeta = spark.read.parquet(f"{postings}/meta").head().asDict()
-        checks["postings_count_matches"] = int(pmeta["n_docs"]) == len(kept_ids)
+        checks["postings_count_matches"] = int(pmeta["n_docs"]) == n_kept
         ptags = list(pmeta.get("nights") or [])
         # the postings apply only tags nights with a churned index, so
         # the completed nights it DID tag must appear in log order and

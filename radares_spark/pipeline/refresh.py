@@ -371,7 +371,11 @@ def refresh_night(
 
     tonight = tonight_docs.select("doc_id", "text").localCheckpoint()
     tonight_ids = tonight.select("doc_id")
-    store_ids = spark.read.parquet(kept_store_dir).select("doc_id").localCheckpoint()
+    # deliberately LAZY: at corpus scale this is billions of ids, and
+    # its two consumers (the orphan gate, removed_ids) each cost one
+    # column-pruned doc_id scan — far cheaper than pinning the column
+    # in executor memory
+    store_ids = spark.read.parquet(kept_store_dir).select("doc_id")
 
     # a store doc the state never fingerprinted cannot be carried and
     # cannot be hashed without the corpus text scan this entry point
