@@ -168,3 +168,41 @@ def test_missing_night_log_over_populated_root_fails_fast(spark, tmp_path):
     shutil.rmtree(f"{root}/night_log")
     with pytest.raises(ValueError, match="night log .* is missing"):
         cmd_corpus_nightly(spark, str(src), root, "n1", n_merges=8)
+
+
+def test_corpus_nightly_threads_refresh_knobs(spark, tmp_path, capsys):
+    """r9 verdict #2/#3: the ONE command must be drivable under
+    non-default curation knobs — night one records them in the state's
+    knobs meta, later nights repeating them compose cleanly, a later
+    night under DIFFERENT knobs fails fast (the knobs-meta gate), and
+    no night ever materializes a snapshot (the delta-direct contract)."""
+    import pytest
+
+    A, B, C = (_body(t) for t in ("alpha", "beta", "gamma"))
+    root = str(tmp_path / "root")
+    knobs = ["--keep-langs", "en", "--sample-pct", "100",
+             "--jaccard-threshold", "0.7", "--max-bucket", "8"]
+    src1, src2 = tmp_path / "p1", tmp_path / "p2"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A),
+                               (2, "https://b.example.com/2", B)])
+    _write_pages(spark, src2, [(10, "https://c.example.com/10", C)])
+    assert main(["corpus-nightly", "--pages", str(src1), "--root", root,
+                 "--night", "n1", "--n-merges", "8", "--ctx-len", "16",
+                 *knobs]) == 0
+    # the state records the non-default knobs
+    row = spark.read.parquet(f"{root}/state/n1/knobs").head()
+    assert row["jaccard_threshold"] == 0.7 and row["max_bucket"] == 8
+    assert main(["corpus-nightly", "--pages", str(src2), "--root", root,
+                 "--night", "n2", "--n-merges", "8", *knobs]) == 0
+    printed = capsys.readouterr().out
+    assert "night_index: 1" in printed
+    # the delta-direct contract: NO night ever wrote a snapshot
+    for night in ("n1", "n2"):
+        assert not os.path.exists(f"{root}/nights/{night}/snapshot"), night
+    # a third night under DIFFERENT knobs (defaults) must fail fast,
+    # not silently mix semantics into the carried outcomes
+    src3 = tmp_path / "p3"
+    _write_pages(spark, src3, [(20, "https://d.example.com/20", _body("delta"))])
+    with pytest.raises(ValueError, match="knobs"):
+        main(["corpus-nightly", "--pages", str(src3), "--root", root,
+              "--night", "n3"])

@@ -221,3 +221,49 @@ def test_refresh_night_rejects_store_state_divergence(spark, tmp_path):
         refresh_night(
             spark, _df(spark, _tonight_rows()), s0, f"{root}/state/n1", store
         )
+
+
+def test_refresh_night_text_bytes_are_corpus_independent(spark, tmp_path):
+    """The BYTES half of the scale law (r9 verdict #1's Done bar):
+    with bucket size held constant (n_buckets sized with the corpus —
+    init_store's 100 TB contract), 4x the residents with the SAME
+    tonight delta writes the same text bytes: the night's text I/O is
+    the delta neighborhood, never the corpus. The narrow per-night
+    state ledger (hashes + flags, no text) is the one documented
+    O(corpus) write and is excluded here."""
+    import glob
+    import os
+
+    written_bytes = {}
+    for scale, nb, tag in ((1, 16, "a"), (4, 64, "b")):
+        root = str(tmp_path / tag)
+        store = f"{root}/kept_store"
+        docs0 = _df(spark, _base_corpus(n=24 * scale))
+        s0 = f"{root}/state/n0"
+        init_state(spark, docs0, s0)
+        init_store(spark, docs0, s0, store, n_buckets=nb)
+        s1 = f"{root}/state/n1"
+        tonight_df = _df(spark, _tonight_rows())
+
+        def _files():
+            return {
+                f: os.stat(f).st_size
+                for f in glob.glob(f"{store}/**/*.parquet", recursive=True)
+            }
+
+        before = _files()
+        _, _stats = refresh_night(spark, tonight_df, s0, s1, store)
+        churn = tuple(f.localCheckpoint() for f in kept_churn(spark, s0, s1))
+        apply_refresh_to_store(
+            spark,
+            night_snapshot_source(spark, tonight_df, store, churn),
+            s0, s1, store, n_buckets=nb, churn=churn,
+        )
+        after = _files()
+        written_bytes[tag] = sum(
+            sz for f, sz in after.items() if f not in before
+        )
+    assert written_bytes["a"] > 0  # the delta did rewrite something
+    # equal-up-to-parquet-jitter, nowhere near the 4x a corpus-
+    # proportional write would show
+    assert written_bytes["b"] <= 1.8 * written_bytes["a"] + 4096, written_bytes
