@@ -525,7 +525,7 @@ def main() -> None:
         streaming = _bench_streaming(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         streaming = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-    streaming["nightly_refresh"] = _bench_nightly_refresh(spark, sf_dir)
+    nightly_refresh = _bench_nightly_refresh(spark, sf_dir)
 
     total = round(sum(warm[n] for n in HEADLINE if n in warm), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -551,6 +551,9 @@ def main() -> None:
                 else None,
                 "cold_s": cold,
                 "streaming": streaming,
+                # batch ops timings (not streams): the delta-direct
+                # nightly refresh, the r10 structural-I/O proof
+                "nightly_refresh": nightly_refresh,
                 # --- scalar summary: keep LAST, see key-order note ---
                 # compact frozen-14 warm map (r7 verdict #8): the bulky
                 # per-query maps above are the first casualty of the

@@ -922,7 +922,11 @@ def cmd_corpus_maintain(
     maintained artifact through the pointer log, so the next night
     adopts the swap automatically."""
     from radares_spark.io import fs as iofs
-    from radares_spark.pipeline.stores import flip_stores, resolve_store
+    from radares_spark.pipeline.stores import (
+        flip_stores,
+        next_flip_index,
+        resolve_store,
+    )
 
     if ivf not in ("auto", "force", "skip"):
         raise ValueError(f"--ivf must be auto|force|skip, got {ivf!r}")
@@ -938,10 +942,11 @@ def cmd_corpus_maintain(
             )
         counts["ivf_retrain_due"] = int(due)
         if due:
-            from radares_spark.pipeline.stores import pointer_history
-
-            k = len(pointer_history(spark, root_dir))
-            out = os.path.join(root_dir, f"ivf_store.m{k}")
+            # candidate dir named by the flip index it will take, so
+            # .m<k> suffixes always correlate with pointer-log entries
+            out = os.path.join(
+                root_dir, f"ivf_store.m{next_flip_index(spark, root_dir)}"
+            )
             counts.update(
                 {
                     f"ivf_{kk}": v
@@ -955,12 +960,11 @@ def cmd_corpus_maintain(
             )
 
     if reshard_tokenizer:
-        from radares_spark.pipeline.stores import pointer_history
-
         cur_shards = resolve_store(spark, root_dir, "shards")
         kept = os.path.join(root_dir, "kept_store")
-        k = len(pointer_history(spark, root_dir))
-        out = os.path.join(root_dir, f"shards.m{k}")
+        out = os.path.join(
+            root_dir, f"shards.m{next_flip_index(spark, root_dir)}"
+        )
         counts.update(
             {
                 f"shards_{kk}": v

@@ -12,10 +12,13 @@ cross-checks them all and reports one named flag per invariant,
 
 - ``log_contiguous``: night-log partitions are idx 0..n-1, no gaps or
   duplicate tags;
-- ``url_epochs_match`` / ``content_epochs_match``: each completed
-  night appended exactly one admission-ledger epoch (0..n-1);
+- ``url_epochs_match`` / ``content_epochs_match``: url-ledger epochs
+  are contiguous from zero with at most one per completed night
+  (a zero-admission night appends none), and content-ledger epoch
+  numbers — which track the url ledger's — are a subset of them;
 - ``states_present``: every completed night has its rotated refresh
-  state (features/audit/knobs) on disk;
+  state (features/audit; knobs where the state is new enough to
+  record them) on disk;
 - ``knobs_uniform``: every state records the SAME curation knobs
   (mixed-knob states would mean carried outcomes under two semantics);
 - ``kept_matches_state``: the kept store's resident ids are exactly
@@ -84,24 +87,40 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         set(nights)
     ) == len(nights)
 
-    # --- admission ledgers: one epoch per completed night -------------
-    for name, flag in (("url_ledger", "url_epochs_match"),
-                       ("content_ledger", "content_epochs_match")):
-        led = os.path.join(root_dir, name)
-        if iofs.has_parquet(spark, led):
-            epochs = sorted(iofs.epoch_partitions(spark, led))
-            checks[flag] = epochs == list(range(len(nights)))
+    # --- admission ledgers ---------------------------------------------
+    # A night that admits nothing appends NO url epoch (an empty
+    # dynamic-overwrite write creates no partition), and a night whose
+    # final kept set is empty appends no content epoch — so the url
+    # ledger's epochs must be contiguous-from-zero and at most one per
+    # completed night, and the content ledger's epoch NUMBERS track
+    # the url ledger's (one night number fixed up front, the r8
+    # two-ledger rule), so they must be a subset of the url epochs.
+    url_epochs: list[int] = []
+    url_led = os.path.join(root_dir, "url_ledger")
+    if iofs.has_parquet(spark, url_led):
+        url_epochs = sorted(iofs.epoch_partitions(spark, url_led))
+        checks["url_epochs_match"] = (
+            url_epochs == list(range(len(url_epochs)))
+            and len(url_epochs) <= len(nights)
+        )
+    con_led = os.path.join(root_dir, "content_ledger")
+    if iofs.has_parquet(spark, con_led):
+        con_epochs = set(iofs.epoch_partitions(spark, con_led))
+        checks["content_epochs_match"] = con_epochs <= set(url_epochs)
 
     # --- refresh states: present per night, knobs uniform -------------
+    # knobs/ is only required where it exists: states predating the
+    # knobs meta are explicitly tolerated by the refresh layer
+    # (_check_knobs skips them), so the audit must not out-strict the
+    # code that writes the state
     states_ok, knob_rows = True, []
     for n in nights:
         sd = os.path.join(root_dir, "state", n)
         parts_ok = all(
-            iofs.has_parquet(spark, f"{sd}/{p}")
-            for p in ("features", "audit", "knobs")
+            iofs.has_parquet(spark, f"{sd}/{p}") for p in ("features", "audit")
         )
         states_ok = states_ok and parts_ok
-        if parts_ok:
+        if parts_ok and iofs.has_parquet(spark, f"{sd}/knobs"):
             knob_rows.append(tuple(spark.read.parquet(f"{sd}/knobs").head()))
     checks["states_present"] = states_ok
     if knob_rows:

@@ -287,6 +287,34 @@ def _store_n_buckets(spark: SparkSession, store_dir: str) -> int | None:
     return spark.read.parquet(f"{store_dir}/_meta").head()["n_buckets"]
 
 
+def _store_partitions_for(
+    spark: SparkSession,
+    store_dir: str,
+    ids: DataFrame,
+    n_buckets: int | None,
+    buckets_read: set[int] | None = None,
+) -> DataFrame:
+    """The kept store pruned to the ``part_bucket`` partitions ``ids``
+    map to — ALL rows of exactly those partitions (callers narrow
+    further): the delta-proportional read unit (≤ |ids| of the store's
+    n_buckets partitions; at 100 TB n_buckets is sized so a bucket is
+    a cheap unit, init_store's contract). The bucket list is a
+    driver-side collect of ≤ n_buckets ints, never of ids. Stores
+    without the init_store bucket layout return the plain full read."""
+    store = spark.read.parquet(store_dir)
+    if n_buckets is None or "part_bucket" not in store.columns:
+        return store
+    buckets = sorted(
+        int(r["part_bucket"])
+        for r in ids.select(_store_bucket(n_buckets)).distinct().collect()
+    )
+    if buckets_read is not None:
+        buckets_read.update(buckets)
+    return store.filter(
+        F.col("part_bucket").isin(buckets) if buckets else F.lit(False)
+    )
+
+
 def _pruned_store_text(
     spark: SparkSession,
     store_dir: str,
@@ -295,27 +323,10 @@ def _pruned_store_text(
     buckets_read: set[int] | None = None,
 ) -> DataFrame:
     """Point-read ``(doc_id, text)`` for ``ids`` from a
-    bucket-partitioned kept store, opening ONLY the ``part_bucket``
-    partitions the ids map to — the delta-proportional read path
-    (≤ |ids| of the store's n_buckets partitions; at 100 TB n_buckets
-    is sized so a bucket is a cheap unit, init_store's contract).
-    Falls back to a plain semi-join scan for stores without the
-    init_store bucket layout."""
-    store = spark.read.parquet(store_dir)
-    if n_buckets is None or "part_bucket" not in store.columns:
-        return store.select("doc_id", "text").join(
-            ids.select("doc_id"), "doc_id", "left_semi"
-        )
-    buckets = sorted(
-        int(r["part_bucket"])
-        for r in ids.select(_store_bucket(n_buckets)).distinct().collect()
-    )
-    if buckets_read is not None:
-        buckets_read.update(buckets)
-    if not buckets:
-        return store.select("doc_id", "text").filter(F.lit(False))
+    bucket-partitioned kept store: :func:`_store_partitions_for` opens
+    only the ids' partitions, then a semi-join narrows to the ids."""
     return (
-        store.filter(F.col("part_bucket").isin(buckets))
+        _store_partitions_for(spark, store_dir, ids, n_buckets, buckets_read)
         .select("doc_id", "text")
         .join(ids.select("doc_id"), "doc_id", "left_semi")
     )
@@ -792,16 +803,9 @@ def night_snapshot_source(
     entered, left, rewritten = churn
     churned = entered.unionByName(left).unionByName(rewritten).distinct()
     tonight = tonight.select("doc_id", "text")
-    store = spark.read.parquet(kept_store_dir)
-    n = _store_n_buckets(spark, kept_store_dir)
-    if n is not None and "part_bucket" in store.columns:
-        buckets = sorted(
-            int(r["part_bucket"])
-            for r in churned.select(_store_bucket(n)).distinct().collect()
-        )
-        store = store.filter(
-            F.col("part_bucket").isin(buckets) if buckets else F.lit(False)
-        )
+    store = _store_partitions_for(
+        spark, kept_store_dir, churned, _store_n_buckets(spark, kept_store_dir)
+    )
     stable = store.select("doc_id", "text").join(
         tonight.select("doc_id"), "doc_id", "left_anti"
     )

@@ -17,7 +17,11 @@ by the nightly orchestrator:
   back to the canonical ``<root>/<name>`` dir when a store was never
   repointed — existing roots keep working untouched;
 - a crash BEFORE the append leaves the old store serving; a crash
-  AFTER it leaves the new one serving; there is no in-between state.
+  AFTER it leaves the new one serving; there is no in-between state;
+- single-writer, like every store in this repo (the shard store's
+  documented contract): two concurrent maintenance runs could mint
+  the same idx and dynamic-overwrite each other's flip — serialize
+  maintenance, never run two against one root.
 
 Reference parity: the reference swaps tables by transactional rename
 (``/root/reference/database/schema.sql`` unique-index + replace);
@@ -58,6 +62,17 @@ def resolve_store(spark: SparkSession, root_dir: str, name: str) -> str:
     return rows[0]["path"] if rows else default
 
 
+def next_flip_index(spark: SparkSession, root_dir: str) -> int:
+    """The idx the NEXT flip will take (max recorded idx + 1, or 0) —
+    maintenance names its candidate dirs ``<store>.m<idx>`` with this,
+    so dir suffixes always match pointer-log flip indices."""
+    log = _log_dir(root_dir)
+    if not iofs.has_parquet(spark, log):
+        return 0
+    top = spark.read.parquet(log).agg(F.max("idx").alias("m")).head()["m"]
+    return int(top) + 1
+
+
 def flip_stores(
     spark: SparkSession, root_dir: str, moves: dict[str, str]
 ) -> int:
@@ -74,10 +89,7 @@ def flip_stores(
                 "there — build the new store first (write-new-then-swap)"
             )
     log = _log_dir(root_dir)
-    next_idx = 0
-    if iofs.has_parquet(spark, log):
-        top = spark.read.parquet(log).agg(F.max("idx").alias("m")).head()["m"]
-        next_idx = int(top) + 1
+    next_idx = next_flip_index(spark, root_dir)
     (
         spark.createDataFrame(
             [(next_idx, n, p) for n, p in sorted(moves.items())],

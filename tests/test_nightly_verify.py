@@ -56,6 +56,20 @@ def test_nightly_verify_flags(spark, tmp_path, capsys):
     shutil.copytree(saved_log, log)
     assert cmd_nightly_verify(spark, root)["ok"]
 
+    # --- zero-admission night (review find): re-discovering ONLY
+    # already-ledgered URLs appends NO url epoch (an empty dynamic
+    # overwrite creates no partition) and keeps nothing — the night
+    # still completes, and the audit must read the root as healthy
+    assert main(["corpus-nightly", "--pages", str(src2), "--root", root,
+                 "--night", "n3", "--n-merges", "8"]) == 0
+    capsys.readouterr()
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["ok"] and checks["n_nights"] == 3
+    assert checks["url_epochs_match"] and checks["content_epochs_match"]
+    # re-snapshot the now-3-night log for the sections below
+    saved_log = str(tmp_path / "saved_log3")
+    shutil.copytree(log, saved_log)
+
     # --- destroyed log over populated stores ---------------------------
     shutil.rmtree(log)
     checks = cmd_nightly_verify(spark, root)
