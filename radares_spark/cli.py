@@ -682,11 +682,12 @@ def cmd_corpus_nightly(
         # store with tonight's docs alone and re-seal the shard store
         # under a fresh tokenizer over old-vocab epochs). Two
         # distinguishers, both must pass: the URL ledger holds ONLY
-        # epoch 0 (any higher epoch proves completed later nights),
-        # and THIS night's out dir already exists (a crash replay
-        # re-runs the same tag; a new tag over a logless root is new
-        # work and must not bootstrap).
-        if any(e > 0 for e in iofs.epoch_partitions(spark, url_led)) or not (
+        # epoch 0 (a higher epoch proves completed later nights, and
+        # so does the compacted epoch=-1 — a crashed BOOTSTRAP night
+        # can never have been compacted), and THIS night's out dir
+        # already exists (a crash replay re-runs the same tag; a new
+        # tag over a logless root is new work and must not bootstrap).
+        if any(e != 0 for e in iofs.epoch_partitions(spark, url_led)) or not (
             iofs.has_parquet(spark, os.path.join(out_dir, "url_audit"))
         ):
             raise ValueError(
@@ -898,6 +899,7 @@ def cmd_corpus_maintain(
     iters: int = 3,
     reshard_tokenizer: str | None = None,
     night: str | None = None,
+    compact_ledgers: bool = False,
 ) -> dict:
     """Periodic artifact maintenance for a corpus-nightly root — the
     composition that CONSUMES the maintenance telemetry and finishes
@@ -915,12 +917,26 @@ def cmd_corpus_maintain(
       no-ops), then flips ``shards`` AND ``tokenizer`` in ONE pointer
       append — the pair can never be observed half-swapped.
 
+    - ``--compact-ledgers`` folds the nightly admission ledgers'
+      one-epoch-per-night partitions (a year of nights = hundreds of
+      small parquet dirs) into one deduplicated ``epoch=-1`` partition
+      each, via the streaming ledgers' superset-monotone compaction
+      core. Both ledgers fold together — their epoch NUMBERS are
+      paired (the two-ledger night-number rule), so compacting one
+      alone would desynchronize them. Epoch numbering restarts at 0
+      afterwards (``max(-1)+1``), so the night-number crash contract
+      and nightly-verify's contiguity check carry over unchanged.
+
     Crash contract: each rebuild writes a fresh ``.m<k>`` directory
     and the pointer log appends LAST, so a crash mid-maintenance
     leaves the old store serving and a re-run rebuilds into the same
     (overwritable) candidate dir. ``corpus-nightly`` resolves every
     maintained artifact through the pointer log, so the next night
-    adopts the swap automatically."""
+    adopts the swap automatically. Like every store here, maintenance
+    is SINGLE-WRITER: never run it with a night in flight (a crashed
+    night's replay after a mid-crash compaction still converges — its
+    URLs read as prior residents and the preserved-outputs path takes
+    over — but the per-outcome counts it reports change)."""
     from radares_spark.io import fs as iofs
     from radares_spark.pipeline.stores import (
         flip_stores,
@@ -979,6 +995,24 @@ def cmd_corpus_maintain(
         counts["shards_flip_idx"] = flip_stores(
             spark, root_dir, {"shards": out, "tokenizer": reshard_tokenizer}
         )
+
+    if compact_ledgers:
+        from radares_spark.streaming.admission_stream import compact_ledger
+        from radares_spark.streaming.url_stream import compact_url_ledger
+
+        # batch nightly ledgers have no stream checkpoint to gate on:
+        # within the single-writer maintenance window every present
+        # epoch belongs to a finished (or convergently replayable)
+        # night, so the ungated fold is the right call
+        url_led = os.path.join(root_dir, "url_ledger")
+        con_led = os.path.join(root_dir, "content_ledger")
+        n_before = len(iofs.epoch_partitions(spark, url_led)) + len(
+            iofs.epoch_partitions(spark, con_led)
+        )
+        compact_url_ledger(spark, url_led)
+        if iofs.has_parquet(spark, con_led):
+            compact_ledger(spark, con_led)
+        counts["ledger_epochs_folded"] = n_before
     return counts
 
 
@@ -1135,6 +1169,7 @@ def main(argv: list[str] | None = None) -> int:
     cm.add_argument("--iters", type=int, default=3)
     cm.add_argument("--reshard-tokenizer", default=None, help="NEW frozen tokenizer artifact: re-encode the kept corpus into a new shard store and flip shards+tokenizer pointers together")
     cm.add_argument("--night", default=None, help="idempotency tag recorded in the new shard store")
+    cm.add_argument("--compact-ledgers", action="store_true", help="fold the url/content admission ledgers' per-night epoch partitions into one deduplicated epoch=-1 partition each (the small-files remedy; both ledgers fold together)")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -1218,7 +1253,7 @@ def main(argv: list[str] | None = None) -> int:
         counts = cmd_corpus_maintain(
             spark, args.root, ivf=args.ivf, n_cells=args.n_cells,
             iters=args.iters, reshard_tokenizer=args.reshard_tokenizer,
-            night=args.night,
+            night=args.night, compact_ledgers=args.compact_ledgers,
         )
         _print_sorted(counts)
         return 0

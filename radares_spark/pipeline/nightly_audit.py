@@ -95,18 +95,25 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
     # completed night, and the content ledger's epoch NUMBERS track
     # the url ledger's (one night number fixed up front, the r8
     # two-ledger rule), so they must be a subset of the url epochs.
-    url_epochs: list[int] = []
+    # epoch=-1 is the ledgers' COMPACTED partition (corpus-maintain
+    # --compact-ledgers folds completed nights into it and numbering
+    # restarts at 0), so it is exempt from the contiguity arithmetic
+    url_pos: list[int] = []
     url_led = os.path.join(root_dir, "url_ledger")
     if iofs.has_parquet(spark, url_led):
-        url_epochs = sorted(iofs.epoch_partitions(spark, url_led))
+        url_pos = sorted(
+            e for e in iofs.epoch_partitions(spark, url_led) if e >= 0
+        )
         checks["url_epochs_match"] = (
-            url_epochs == list(range(len(url_epochs)))
-            and len(url_epochs) <= len(nights)
+            url_pos == list(range(len(url_pos)))
+            and len(url_pos) <= len(nights)
         )
     con_led = os.path.join(root_dir, "content_ledger")
     if iofs.has_parquet(spark, con_led):
-        con_epochs = set(iofs.epoch_partitions(spark, con_led))
-        checks["content_epochs_match"] = con_epochs <= set(url_epochs)
+        con_pos = {
+            e for e in iofs.epoch_partitions(spark, con_led) if e >= 0
+        }
+        checks["content_epochs_match"] = con_pos <= set(url_pos)
 
     # --- refresh states: present per night, knobs uniform -------------
     # knobs/ is only required where it exists: states predating the

@@ -150,3 +150,29 @@ def test_maintain_swap_story_end_to_end(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(f"{root}/kept_store").collect()
     ) == want_kept
+
+    # --- ledger compaction: per-night epochs fold into epoch=-1,
+    # dedup history survives, the audit stays green, and the next
+    # night numbers from zero again
+    from radares_spark.cli import cmd_nightly_verify
+
+    def _eps(d):
+        return sorted(
+            int(x.split("=", 1)[1])
+            for x in os.listdir(os.path.join(root, d))
+            if x.startswith("epoch=")
+        )
+
+    assert _eps("url_ledger") == [0, 1, 2]
+    counts = cmd_corpus_maintain(spark, root, ivf="skip", compact_ledgers=True)
+    assert counts["ledger_epochs_folded"] >= 3
+    assert _eps("url_ledger") == [-1]
+    assert _eps("content_ledger") == [-1]
+    assert cmd_nightly_verify(spark, root)["ok"]
+    # compacted history still dedups: re-discovering night-1's URL
+    # admits nothing (and appends no new epoch)
+    c4 = _run_night(spark, tmp_path, root, "n4",
+                    [(1, "https://a.example.com/1", A)])
+    assert c4.get("fetched", 0) == 0 and c4["url_dup_ledger"] == 1
+    assert _eps("url_ledger") == [-1]
+    assert cmd_nightly_verify(spark, root)["ok"]
