@@ -900,6 +900,7 @@ def cmd_corpus_maintain(
     reshard_tokenizer: str | None = None,
     night: str | None = None,
     compact_ledgers: bool = False,
+    compact_shards: bool = False,
 ) -> dict:
     """Periodic artifact maintenance for a corpus-nightly root — the
     composition that CONSUMES the maintenance telemetry and finishes
@@ -917,6 +918,11 @@ def cmd_corpus_maintain(
       no-ops), then flips ``shards`` AND ``tokenizer`` in ONE pointer
       append — the pair can never be observed half-swapped.
 
+    - ``--compact-shards`` folds the shard store's per-night epoch
+      partitions into one ``epoch=-1`` partition in a new store
+      (``pipeline/shards.compact_shards`` — content-identical: meta,
+      frontier and night tags carried, ~128 MiB files) and flips the
+      ``shards`` pointer; the tokenizer is untouched.
     - ``--compact-ledgers`` folds the nightly admission ledgers'
       one-epoch-per-night partitions (a year of nights = hundreds of
       small parquet dirs) into one deduplicated ``epoch=-1`` partition
@@ -994,6 +1000,20 @@ def cmd_corpus_maintain(
         )
         counts["shards_flip_idx"] = flip_stores(
             spark, root_dir, {"shards": out, "tokenizer": reshard_tokenizer}
+        )
+
+    if compact_shards:
+        from radares_spark.pipeline.shards import compact_shards as _compact
+
+        cur_shards = resolve_store(spark, root_dir, "shards")
+        out = os.path.join(
+            root_dir, f"shards.m{next_flip_index(spark, root_dir)}"
+        )
+        counts.update(
+            {f"shards_compact_{k}": v for k, v in _compact(spark, cur_shards, out).items()}
+        )
+        counts["shards_compact_flip_idx"] = flip_stores(
+            spark, root_dir, {"shards": out}
         )
 
     if compact_ledgers:
@@ -1170,6 +1190,7 @@ def main(argv: list[str] | None = None) -> int:
     cm.add_argument("--reshard-tokenizer", default=None, help="NEW frozen tokenizer artifact: re-encode the kept corpus into a new shard store and flip shards+tokenizer pointers together")
     cm.add_argument("--night", default=None, help="idempotency tag recorded in the new shard store")
     cm.add_argument("--compact-ledgers", action="store_true", help="fold the url/content admission ledgers' per-night epoch partitions into one deduplicated epoch=-1 partition each (the small-files remedy; both ledgers fold together)")
+    cm.add_argument("--compact-shards", action="store_true", help="fold the shard store's per-night epoch partitions into one epoch=-1 partition in a NEW store (~128MiB files), then flip the pointer — content-identical: meta/frontier/tags carried, verify and exports unchanged")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -1254,6 +1275,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.root, ivf=args.ivf, n_cells=args.n_cells,
             iters=args.iters, reshard_tokenizer=args.reshard_tokenizer,
             night=args.night, compact_ledgers=args.compact_ledgers,
+            compact_shards=args.compact_shards,
         )
         _print_sorted(counts)
         return 0

@@ -758,6 +758,76 @@ def reshard_shards(
     }
 
 
+# target ~32M ids (~128 MiB of int32) per compacted parquet file
+_COMPACT_TOKENS_PER_FILE = 32 << 20
+
+
+def compact_shards(
+    spark: SparkSession, shards_dir: str, out_dir: str
+) -> dict:
+    """Fold a sealed store's one-epoch-per-night partitions into a
+    single ``epoch=-1`` partition in a NEW store (write-new-then-swap:
+    the serving store is byte-untouched until the caller flips the
+    pointer — ``corpus-maintain --compact-shards`` does both).
+
+    The remedy for the OTHER small-files tail of years of nightly
+    appends: the admission ledgers compact via the streaming core, and
+    the shard store compacts here — content-identically. Same sealed
+    rows (re-chunked to ~128 MiB files, seq_id-sorted), same meta
+    (epoch NUMBERING continues where it left off — appends never write
+    -1, the ledger-compaction convention), same carried frontier
+    sidecar and completed-night tag set; so ``shards_verify``'s
+    invariants, epoch exports, the next ``append_shards`` and
+    old-night replay no-ops are all unchanged. Unlike ``reshard``
+    (which re-encodes the corpus under a new tokenizer), compaction
+    only rewrites the sealed parquet — one scan, one write."""
+    if out_dir.rstrip("/") == shards_dir.rstrip("/"):
+        raise ValueError(
+            "compaction writes a NEW store (write-new-then-swap); "
+            "out_dir must differ from the serving store"
+        )
+    meta = _meta_row(spark, shards_dir)
+    ctx_len, next_epoch = int(meta["ctx_len"]), int(meta["next_epoch"])
+    n_epoch_dirs = sum(
+        1 for nme in list_names(spark, shards_dir) if nme.startswith("epoch=")
+    )
+    sealed = read_shards(spark, shards_dir).drop("epoch").withColumn(
+        "epoch", F.lit(-1)
+    )
+    n = sealed.count()
+    per_file = max(1, _COMPACT_TOKENS_PER_FILE // max(ctx_len, 1))
+    n_files = max(1, -(-n // per_file))
+    if n:
+        (
+            sealed.repartition(n_files)
+            .sortWithinPartitions("seq_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
+    if next_epoch > 0:
+        # the carried frontier rides along so the next append resumes
+        # exactly where the old store left off
+        spark.read.parquet(f"{shards_dir}/_frontier_{next_epoch - 1}").repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{out_dir}/_frontier_{next_epoch - 1}")
+    _write_meta(
+        spark,
+        out_dir,
+        ctx_len,
+        meta["vocab_fp"],
+        next_epoch,
+        int(meta["next_token_offset"]),
+        meta.asDict().get("last_night"),
+        _completed_nights(meta),
+    )
+    return {
+        "n_sealed": int(n),
+        "n_epochs_folded": n_epoch_dirs,
+        "n_files": int(n_files),
+    }
+
+
 def _spans_tiling_fold(finish):
     """(pos, ok) fold over ``doc_spans``: each span's ``begin`` must
     equal the running sum of prior span lengths. ``finish`` maps the

@@ -176,3 +176,46 @@ def test_maintain_swap_story_end_to_end(spark, tmp_path):
     assert c4.get("fetched", 0) == 0 and c4["url_dup_ledger"] == 1
     assert _eps("url_ledger") == [-1]
     assert cmd_nightly_verify(spark, root)["ok"]
+
+    # --- shard-store compaction: epoch dirs fold into epoch=-1 in a
+    # new store, content-identical (rows, meta, tags, frontier), the
+    # verifier passes, the audit stays green, and the next night
+    # appends to the compacted store under the carried numbering
+    from radares_spark.cli import cmd_shards_verify
+    from radares_spark.pipeline.shards import read_shards
+
+    def _shard_rows(store):
+        return sorted(
+            (r["seq_id"], tuple(r["input_ids"]))
+            for r in read_shards(spark, store).collect()
+        )
+
+    cur = resolve_store(spark, root, "shards")
+    want_rows = _shard_rows(cur)
+    want_meta2 = spark.read.parquet(f"{cur}/_meta").head().asDict()
+    counts = cmd_corpus_maintain(spark, root, ivf="skip", compact_shards=True)
+    assert counts["shards_compact_n_epochs_folded"] >= 1
+    compacted = resolve_store(spark, root, "shards")
+    assert compacted != cur
+    assert _shard_rows(compacted) == want_rows
+    assert spark.read.parquet(f"{compacted}/_meta").head().asDict() == want_meta2
+    assert [
+        d for d in os.listdir(compacted) if d.startswith("epoch=")
+    ] == ["epoch=-1"]
+    checks = cmd_shards_verify(
+        spark, compacted, resolve_store(spark, root, "tokenizer")
+    )
+    assert checks["ok"], checks
+    assert cmd_nightly_verify(spark, root)["ok"]
+    # template-disjoint prose (a shared template with one word swapped
+    # is itself a near-dup — the r8 test-corpus lesson)
+    E = (
+        "meanwhile the observatory logbook records wind pressure and "
+        "the slow drift of instruments across a cold clear evening " * 5
+    ) + "ends here tonight"
+    c5 = _run_night(spark, tmp_path, root, "n5",
+                    [(50, "https://f.example.com/50", E)])
+    assert c5["kept"] == 1
+    meta5 = spark.read.parquet(f"{compacted}/_meta").head()
+    assert "n5" in list(meta5["nights"])
+    assert meta5["next_epoch"] == want_meta2["next_epoch"] + 1
