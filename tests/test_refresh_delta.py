@@ -267,3 +267,28 @@ def test_refresh_night_text_bytes_are_corpus_independent(spark, tmp_path):
     # equal-up-to-parquet-jitter, nowhere near the 4x a corpus-
     # proportional write would show
     assert written_bytes["b"] <= 1.8 * written_bytes["a"] + 4096, written_bytes
+
+
+def test_pruned_store_read_partition_filters_in_plan(spark, tmp_path):
+    """Plan-asserted (the bucketed-join snapshot idiom): the stable-
+    text point read reaches the parquet scan as a PartitionFilters
+    IN-list on part_bucket — Spark opens only the ids' partitions,
+    which is the physical mechanism behind n_store_buckets_read."""
+    from radares_spark.pipeline.refresh import (
+        _pruned_store_text,
+        _store_n_buckets,
+    )
+
+    root = str(tmp_path)
+    docs = _df(spark, _base_corpus())
+    s0, store = f"{root}/s0", f"{root}/kept_store"
+    init_state(spark, docs, s0)
+    init_store(spark, docs, s0, store)
+    ids = _df(spark, [(101, "x"), (105, "y")]).select("doc_id")
+    out = _pruned_store_text(spark, store, ids, _store_n_buckets(spark, store))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[part_bucket#\d+ IN \((\d+(?:,\d+)*)\)\]", plan)
+    assert m, plan
+    assert set(m.group(1).split(",")) == {str(101 % 64), str(105 % 64)}
