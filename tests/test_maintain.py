@@ -7,14 +7,10 @@ completed-night tags)."""
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 
 import pytest
-
-from pyspark.sql import functions as F
-
 from radares_spark.cli import (
     cmd_corpus_maintain,
     cmd_corpus_nightly,

@@ -6,7 +6,6 @@ code."""
 
 from __future__ import annotations
 
-import os
 import shutil
 
 from pyspark.sql import functions as F
