@@ -74,7 +74,21 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
 
     if not iofs.has_parquet(spark, log):
         checks["log_present"] = False
-        checks["ok"] = not iofs.has_parquet(spark, kept_store)
+        # a log-less root is healthy only when it holds NOTHING a
+        # completed night would have landed — probing the kept store
+        # alone would read a destroyed log over populated shards /
+        # ledgers / pointer log as healthy (r10 advice)
+        checks["ok"] = not any(
+            iofs.has_parquet(spark, os.path.join(root_dir, p))
+            for p in (
+                "kept_store",
+                "url_ledger",
+                "content_ledger",
+                "shards/_meta",
+                "store_pointers",
+                "state_ledger",
+            )
+        )
         return checks
     checks["log_present"] = True
     rows = sorted(
@@ -173,7 +187,8 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
     if iofs.has_parquet(spark, f"{shards}/_meta"):
         from radares_spark.pipeline.shards import _completed_nights
 
-        stags = _completed_nights(spark.read.parquet(f"{shards}/_meta").head())
+        meta_row = spark.read.parquet(f"{shards}/_meta").head()
+        stags = _completed_nights(meta_row)
         # corpus-maintain reshard tags its rebuild "maintain-<tag>" and
         # the streaming twin tags "epoch-..." — neither is a NIGHT, so
         # neither can contradict the night log
@@ -186,9 +201,21 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         # tag means the store is AHEAD of the log: a half-completed
         # night awaiting replay, or a store from a foreign root
         ahead = sorted(set(night_tags) - set(nights))
-        checks["shards_nights_match"] = (
-            [t for t in night_tags if t in set(nights)] == nights and not ahead
-        )
+        if meta_row.asDict().get("nights"):
+            checks["shards_nights_match"] = (
+                [t for t in night_tags if t in set(nights)] == nights
+                and not ahead
+            )
+        else:
+            # store meta predating the ``nights`` column records only
+            # the LAST applied tag (pipeline/shards._completed_nights'
+            # documented fallback) — demanding the full prefix would
+            # false-alarm on every healthy multi-night pre-upgrade
+            # root (r10 advice), so require only that the recorded
+            # last night, IF it is a night at all (a maintenance tag
+            # may have superseded it), is the log's last completed one
+            ok_tags = [[]] + ([[nights[-1]]] if nights else [])
+            checks["shards_nights_match"] = night_tags in ok_tags and not ahead
         if ahead:
             checks["shards_ahead_of_log"] = ahead
 

@@ -16,6 +16,10 @@ by the nightly orchestrator:
 - ``resolve_store`` returns the highest-idx entry for a name, falling
   back to the canonical ``<root>/<name>`` dir when a store was never
   repointed — existing roots keep working untouched;
+- entries for stores living UNDER the root are recorded root-RELATIVE
+  and re-joined to ``root_dir`` at resolve time, so relocating or
+  renaming a root never leaves the log pointing at dangling absolute
+  paths (pre-existing absolute entries keep resolving as written);
 - a crash BEFORE the append leaves the old store serving; a crash
   AFTER it leaves the new one serving; there is no in-between state;
 - single-writer, like every store in this repo (the shard store's
@@ -45,6 +49,24 @@ def _log_dir(root_dir: str) -> str:
     return os.path.join(root_dir, POINTER_LOG)
 
 
+def _to_logged(root_dir: str, path: str) -> str:
+    """Root-relative form for a path under ``root_dir`` (portability:
+    a relocated root keeps resolving); paths OUTSIDE the root stay
+    absolute — they name shared artifacts the root genuinely points
+    away to (e.g. a tokenizer trained elsewhere)."""
+    base = root_dir.rstrip("/") + "/"
+    return path[len(base):] if path.startswith(base) else path
+
+
+def _from_logged(root_dir: str, logged: str) -> str:
+    """Resolve a logged entry: relative entries join the CURRENT root;
+    absolute/URI entries (including every pre-relative-log entry)
+    resolve as written."""
+    if "://" in logged or os.path.isabs(logged):
+        return logged
+    return os.path.join(root_dir, logged)
+
+
 def resolve_store(spark: SparkSession, root_dir: str, name: str) -> str:
     """The current serving path for ``name`` under ``root_dir``: the
     latest pointer-log entry, else the canonical ``<root>/<name>``."""
@@ -59,7 +81,7 @@ def resolve_store(spark: SparkSession, root_dir: str, name: str) -> str:
         .limit(1)
         .collect()
     )
-    return rows[0]["path"] if rows else default
+    return _from_logged(root_dir, rows[0]["path"]) if rows else default
 
 
 def next_flip_index(spark: SparkSession, root_dir: str) -> int:
@@ -92,7 +114,10 @@ def flip_stores(
     next_idx = next_flip_index(spark, root_dir)
     (
         spark.createDataFrame(
-            [(next_idx, n, p) for n, p in sorted(moves.items())],
+            [
+                (next_idx, n, _to_logged(root_dir, p))
+                for n, p in sorted(moves.items())
+            ],
             "idx int, store string, path string",
         )
         .repartition(1)
@@ -105,12 +130,13 @@ def flip_stores(
 
 
 def pointer_history(spark: SparkSession, root_dir: str) -> list[tuple[int, str, str]]:
-    """Every flip ever taken, oldest first — the audit surface
-    nightly-verify cross-checks stores against."""
+    """Every flip ever taken, oldest first (paths resolved against the
+    current root) — the audit surface nightly-verify cross-checks
+    stores against."""
     log = _log_dir(root_dir)
     if not iofs.has_parquet(spark, log):
         return []
     return [
-        (int(r["idx"]), r["store"], r["path"])
+        (int(r["idx"]), r["store"], _from_logged(root_dir, r["path"]))
         for r in spark.read.parquet(log).orderBy("idx", "store").collect()
     ]

@@ -47,14 +47,23 @@ never listed, read, or rewritten, so epochs stay O(batch) forever.
 
 from __future__ import annotations
 
+import re
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
 from radares_spark.io import fs
 from radares_spark.operators.bpe import load_tokenizer
-from radares_spark.pipeline.shards import append_shards, token_vocab
+from radares_spark.pipeline.shards import (
+    _completed_nights,
+    append_shards,
+    token_vocab,
+)
 from radares_spark.streaming.admission_stream import stream_docs
+
+# the namespaced stream tag format this module mints: epoch-<ns>-<id>
+_NAMESPACED_TAG = re.compile(r"epoch-([0-9a-f]{12})-\d+")
 
 
 def run_shards_stream(
@@ -105,6 +114,37 @@ def run_shards_stream(
             for n in fs.list_names(spark, f"{checkpoint}/commits")
         )
         run_ns = "" if legacy else uuid.uuid4().hex[:12]
+        if legacy:
+            # cross-check before pinning (r10 advice): a POST-upgrade
+            # checkpoint that lost only its marker file would
+            # otherwise silently pin ns="" and a crashed batch's
+            # replay tag would not match its recorded namespaced tag
+            # (one double-append). The store's own completed tags
+            # carry the namespace — recover it when they name exactly
+            # one, warn loudly when they are ambiguous.
+            ns_seen = {
+                m.group(1)
+                for m in (
+                    _NAMESPACED_TAG.fullmatch(t)
+                    for t in _completed_nights(
+                        spark.read.parquet(f"{shards_dir}/_meta").head()
+                    )
+                )
+                if m
+            }
+            if len(ns_seen) == 1:
+                run_ns = next(iter(ns_seen))
+            elif ns_seen:
+                warnings.warn(
+                    f"checkpoint {checkpoint!r} has committed batches but "
+                    "no namespace marker, and the shard store records "
+                    f"tags under {len(ns_seen)} distinct namespaces — "
+                    "pinning the legacy un-namespaced format; a batch "
+                    "that crashed between its append and its commit may "
+                    "replay under a non-matching tag and double-append "
+                    "once",
+                    stacklevel=2,
+                )
         # overwrite, not errorifexists: a crash MID-mint leaves the dir
         # with no committed parquet — has_parquet stays False and the
         # re-mint must not brick on the leftover directory

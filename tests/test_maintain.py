@@ -49,6 +49,28 @@ def test_pointer_log_resolve_flip_and_refusal(spark, tmp_path):
     assert [i for i, _, _ in pointer_history(spark, root)] == [0, 1, 1, 2]
 
 
+def test_pointer_log_survives_root_relocation(spark, tmp_path):
+    """r10 ADVICE: entries for stores UNDER the root are recorded
+    root-relative, so moving/renaming the root keeps every flipped
+    store resolving; paths outside the root stay absolute."""
+    root = str(tmp_path / "root_v1")
+    inside = os.path.join(root, "ivf_store.m0")
+    outside = str(tmp_path / "shared_tok")
+    spark.createDataFrame([(1,)], ["x"]).write.parquet(inside)
+    spark.createDataFrame([(2,)], ["x"]).write.parquet(outside)
+    flip_stores(spark, root, {"ivf_store": inside, "tokenizer": outside})
+    assert resolve_store(spark, root, "ivf_store") == inside
+    # relocate the root wholesale
+    root2 = str(tmp_path / "root_v2")
+    shutil.move(root, root2)
+    assert resolve_store(spark, root2, "ivf_store") == os.path.join(
+        root2, "ivf_store.m0"
+    )
+    assert resolve_store(spark, root2, "tokenizer") == outside
+    hist = pointer_history(spark, root2)
+    assert (0, "ivf_store", os.path.join(root2, "ivf_store.m0")) in hist
+
+
 def _run_night(spark, tmp_path, root, night, pages, tag=""):
     src = tmp_path / f"pages_{night}{tag}"
     _write_pages(spark, src, pages)

@@ -88,6 +88,25 @@ def test_nightly_verify_flags(spark, tmp_path, capsys):
     shutil.rmtree(ivf_assign)
     shutil.copytree(saved_assign, ivf_assign)
 
+    # --- pre-upgrade shards meta (r10 ADVICE): a store whose meta
+    # predates the `nights` column records only last_night — the
+    # audit must not demand the full prefix on such a healthy
+    # multi-night root (only that the last recorded night is the
+    # log's last)
+    meta_dir = f"{root}/shards/_meta"
+    meta = spark.read.parquet(meta_dir).head().asDict()
+    saved_meta = str(tmp_path / "saved_meta")
+    shutil.copytree(meta_dir, saved_meta)
+    legacy = {k: v for k, v in meta.items() if k != "nights"}
+    spark.createDataFrame(
+        [tuple(legacy.values())], list(legacy.keys())
+    ).repartition(1).write.mode("overwrite").parquet(meta_dir)
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["shards_nights_match"] is True
+    assert checks["ok"], checks
+    shutil.rmtree(meta_dir)
+    shutil.copytree(saved_meta, meta_dir)
+
     # --- foreign kept store: a resident the state never audited -------
     spark.createDataFrame([(888888, "foreign doc text")], "doc_id long, text string").withColumn(
         "part_bucket", F.lit(int(888888 % 64))
@@ -95,3 +114,21 @@ def test_nightly_verify_flags(spark, tmp_path, capsys):
     checks = cmd_nightly_verify(spark, root)
     assert checks["kept_matches_state"] is False and not checks["ok"]
     assert main(["nightly-verify", "--root", root]) == 1
+
+
+def test_logless_root_with_only_ledgers_reads_unhealthy(spark, tmp_path):
+    """r10 ADVICE: a destroyed log over a root holding ANY completed-
+    night evidence (here: a url ledger, no kept store) must read
+    unhealthy — the old probe checked the kept store alone."""
+    import os
+
+    from radares_spark.cli import cmd_nightly_verify
+
+    root = str(tmp_path / "r2")
+    spark.createDataFrame([(1,)], ["x"]).write.parquet(
+        os.path.join(root, "url_ledger")
+    )
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["log_present"] is False and not checks["ok"]
+    # a genuinely empty root stays healthy
+    assert cmd_nightly_verify(spark, str(tmp_path / "empty"))["ok"]

@@ -320,3 +320,42 @@ def test_pre_upgrade_checkpoint_pins_legacy_tags(spark, env, tmp_path):
     assert (
         spark.read.parquet(meta_dir).head()["next_token_offset"] == t2
     ), "replayed pre-upgrade batch double-appended"
+
+
+def test_lost_marker_recovers_namespace_from_store_tags(spark, env, tmp_path):
+    """r10 ADVICE: a POST-upgrade checkpoint that loses only its
+    _radares_run_ns marker must not silently pin ns="" — the store's
+    recorded tags carry the namespace, and when they name exactly one
+    the stream re-pins IT, so a crashed batch's replay tag still
+    matches its recorded namespaced tag."""
+    import shutil
+
+    word_syms, merges = env["word_syms"], env["merges"]
+    store = str(tmp_path / "store")
+    init_shards(spark, store, token_vocab(word_syms, merges), ctx_len=CTX)
+    ckpt = str(tmp_path / "ckpt")
+    landing = str(tmp_path / "landing")
+    _night_df(spark, NIGHTS[0]).coalesce(1).write.mode("append").parquet(landing)
+    run_shards_stream(spark, landing, env["tok"], store, ckpt)
+    ns0 = spark.read.parquet(f"{ckpt}/_radares_run_ns").head()["ns"]
+    assert ns0
+    shutil.rmtree(os.path.join(ckpt, "_radares_run_ns"))
+    _night_df(spark, NIGHTS[1]).coalesce(1).write.mode("append").parquet(landing)
+    run_shards_stream(spark, landing, env["tok"], store, ckpt)
+    assert spark.read.parquet(f"{ckpt}/_radares_run_ns").head()["ns"] == ns0
+    tags = list(spark.read.parquet(f"{store}/_meta").head()["nights"])
+    assert any(t.startswith(f"epoch-{ns0}-") for t in tags), tags
+    # crash-replay under the recovered namespace stays a no-op
+    t2 = spark.read.parquet(f"{store}/_meta").head()["next_token_offset"]
+    commits_dir = os.path.join(ckpt, "commits")
+    newest = sorted(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )[-1]
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_shards_stream(spark, landing, env["tok"], store, ckpt)
+    assert (
+        spark.read.parquet(f"{store}/_meta").head()["next_token_offset"] == t2
+    ), "replayed batch double-appended under a fresh namespace"
