@@ -272,28 +272,42 @@ STREAM_BATCHES = 4  # landed files => micro-batches (maxFilesPerTrigger=1)
 
 
 def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
-    """The delta-direct nightly refresh (r10 — pipeline/refresh.py
-    ``refresh_night``): the production night's core loop, timed as a
-    deployment runs it. Night-zero setup (init_state + init_store over
-    the documents table) is EXCLUDED — a deployment initializes once
-    and refreshes forever. The timed window is one night with a ~2%
-    delta (1% resident rewrites + 1% new docs): ledger-join delta
-    detection, delta-only feature/band/near recompute with stable text
-    point-read through the store's bucket partitions, and the
-    churned-bucket kept-store rewrite. ``n_store_buckets_read`` in the
-    output is the structural I/O proof — it scales with the delta
-    neighborhood, never the corpus."""
+    """The delta-direct nightly refresh (pipeline/refresh.py
+    ``refresh_night``) timed as corpus-nightly actually runs it — the
+    WHOLE night after crawl (r10 verdict #3: the old window omitted
+    the postings and IVF applies): delta detection against the delta
+    STATE LEDGER (the r11 production layout), delta-only
+    feature/band/near recompute with stable text point-read through
+    the store's bucket partitions, kept-churn, and all three store
+    applies (postings -> IVF -> kept store). Night-zero setup
+    (init_state + the three store inits) is EXCLUDED — a deployment
+    initializes once and refreshes forever.
+
+    TWO delta points (~2% and ~20% of residents) pin the
+    fixed-overhead amortization the r10 verdict asked to demonstrate:
+    at toy scale a night is ~25 small Spark jobs of fixed
+    scheduler/commit cost, so rows/s at a tiny delta reads alarmingly
+    low; the 10x point plus the solved-out ``fixed_night_s_est`` /
+    ``marginal_ms_per_row`` show the floor amortizing (at a real
+    corpus delta the marginal term dominates).
+    ``n_store_buckets_read`` stays the structural I/O proof — it
+    scales with the delta neighborhood, never the corpus."""
     import shutil
     import tempfile
 
     from radares_spark.pipeline.refresh import (
+        apply_refresh_to_ivf_store,
+        apply_refresh_to_postings_store,
         apply_refresh_to_store,
+        init_ivf_from_state,
+        init_postings_from_state,
         init_state,
         init_store,
         kept_churn,
         night_snapshot_source,
         refresh_night,
     )
+    from radares_spark.pipeline.state_ledger import LedgerState
 
     root = tempfile.mkdtemp(prefix="radares_bench_refresh_")
     try:
@@ -301,41 +315,74 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("doc_id", "text")
         )
-        s0, s1 = os.path.join(root, "s0"), os.path.join(root, "s1")
+        led = os.path.join(root, "state_ledger")
         store = os.path.join(root, "store")
-        init_state(spark, docs, s0)
-        init_store(spark, docs, s0, store)
+        postings = os.path.join(root, "postings")
+        ivf = os.path.join(root, "ivf")
+        s = [LedgerState(led, e) for e in range(3)]
+        init_state(spark, docs, s[0])
+        init_store(spark, docs, s[0], store)
+        init_postings_from_state(spark, docs, s[0], postings)
+        init_ivf_from_state(spark, docs, s[0], ivf)
         n_resident = docs.count()
-        tonight = (
-            docs.filter(F.col("doc_id") % 100 == 0)
-            .select(
-                "doc_id",
-                F.concat(F.col("text"), F.lit(" tonight edit")).alias("text"),
-            )
-            .unionByName(
-                docs.filter(F.col("doc_id") % 100 == 1).select(
-                    (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+
+        def night(idx: int, mod: int, tag: str) -> dict:
+            tonight = (
+                docs.filter(F.col("doc_id") % mod == 0)
+                .select(
+                    "doc_id",
+                    F.concat(
+                        F.col("text"), F.lit(f" edit {tag}")
+                    ).alias("text"),
                 )
+                .unionByName(
+                    docs.filter(F.col("doc_id") % mod == 1).select(
+                        (F.col("doc_id") + 10_000_000 * idx).alias("doc_id"),
+                        "text",
+                    )
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        n_delta = tonight.count()
-        t0 = time.perf_counter()
-        _, stats = refresh_night(spark, tonight, s0, s1, store)
-        churn = tuple(f.localCheckpoint() for f in kept_churn(spark, s0, s1))
-        apply_refresh_to_store(
-            spark,
-            night_snapshot_source(spark, tonight, store, churn),
-            s0, s1, store, churn=churn,
-        )
-        t = time.perf_counter() - t0
+            n_delta = tonight.count()
+            t0 = time.perf_counter()
+            _, stats = refresh_night(spark, tonight, s[idx - 1], s[idx], store)
+            churn = tuple(
+                f.localCheckpoint()
+                for f in kept_churn(spark, s[idx - 1], s[idx])
+            )
+            apply_refresh_to_postings_store(
+                spark, tonight, s[idx - 1], s[idx], store, postings,
+                night=f"n{idx}", churn=churn,
+            )
+            apply_refresh_to_ivf_store(
+                spark, tonight, s[idx - 1], s[idx], ivf, churn=churn
+            )
+            apply_refresh_to_store(
+                spark,
+                night_snapshot_source(spark, tonight, store, churn),
+                s[idx - 1], s[idx], store, churn=churn,
+            )
+            t = time.perf_counter() - t0
+            return {
+                "delta_rows": n_delta,
+                "wall_s": round(t, 3),
+                "delta_rows_per_s": round(n_delta / t, 1),
+                "n_store_buckets_read": stats.get("n_store_buckets_read"),
+                "n_rebanded": stats.get("n_rebanded"),
+            }
+
+        one = night(1, 100, "a")   # ~2% delta — the nightly shape
+        ten = night(2, 10, "b")    # ~20% delta — the amortization point
+        d1, d10 = one["delta_rows"], ten["delta_rows"]
+        t1, t10 = one["wall_s"], ten["wall_s"]
+        fixed = (t1 * d10 - t10 * d1) / max(d10 - d1, 1)
+        marginal = (t10 - t1) / max(d10 - d1, 1)
         return {
             "resident_docs": n_resident,
-            "delta_rows": n_delta,
-            "wall_s": round(t, 3),
-            "delta_rows_per_s": round(n_delta / t, 1),
-            "n_store_buckets_read": stats.get("n_store_buckets_read"),
-            "n_rebanded": stats.get("n_rebanded"),
+            **one,
+            "delta_10x": ten,
+            "fixed_night_s_est": round(fixed, 3),
+            "marginal_ms_per_row": round(marginal * 1000, 3),
         }
     except Exception as exc:  # noqa: BLE001 — isolation is the point
         return {"error": f"{type(exc).__name__}: {exc}"[:300]}
@@ -386,12 +433,29 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 max_files_per_trigger=1,
             )
             t = time.perf_counter() - t0
+            # r10 verdict #4: attribute the per-epoch FIXED cost by
+            # timing one ZERO-ROW micro-batch (an empty landed file)
+            # through the same checkpoint — pure file-log/plan/commit
+            # overhead. Cross-session rows/s drift can then be read
+            # against the floor instead of looking like regression.
+            frame.limit(0).coalesce(1).write.mode("append").parquet(landing)
+            t0 = time.perf_counter()
+            runner(
+                spark,
+                landing,
+                os.path.join(root, f"{key}_ledger"),
+                os.path.join(root, f"{key}_audit"),
+                os.path.join(root, f"{key}_ckpt"),
+                max_files_per_trigger=1,
+            )
+            fixed = time.perf_counter() - t0
             out[key] = {
                 "epochs": epochs,
                 "rows": n,
                 "wall_s": round(t, 3),
                 "rows_per_s": round(n / t, 1),
                 "epochs_per_s": round(epochs / t, 3),
+                "fixed_epoch_s": round(fixed, 3),
             }
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             out[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
@@ -448,12 +512,26 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             max_files_per_trigger=1,
         )
         t = time.perf_counter() - t0
+        # per-epoch fixed cost via one zero-row micro-batch (same
+        # rationale as the admission streams above)
+        d.limit(0).coalesce(1).write.mode("append").parquet(landing)
+        t0 = time.perf_counter()
+        run_shards_stream(
+            spark,
+            landing,
+            tok,
+            store,
+            os.path.join(root, "shards_ckpt"),
+            max_files_per_trigger=1,
+        )
+        fixed = time.perf_counter() - t0
         out["shards_append"] = {
             "epochs": epochs,
             "rows": n,
             "wall_s": round(t, 3),
             "rows_per_s": round(n / t, 1),
             "epochs_per_s": round(epochs / t, 3),
+            "fixed_epoch_s": round(fixed, 3),
         }
     except Exception as exc:  # noqa: BLE001 — isolation is the point
         out["shards_append"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}

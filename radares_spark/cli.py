@@ -152,8 +152,8 @@ def cmd_snapshot_diff(
 def cmd_corpus_refresh(
     spark: SparkSession,
     docs_path: str,
-    state_out: str,
-    state_in: str | None = None,
+    state_out,
+    state_in=None,
     store_dir: str | None = None,
     postings_dir: str | None = None,
     ivf_dir: str | None = None,
@@ -614,7 +614,11 @@ def cmd_corpus_nightly(
 
         url_ledger/ content_ledger/   cross-run admission ledgers
         nights/<night>/               kept/ audit/ url_audit/
-        state/<night>/                refresh state (rotated nightly)
+        state_ledger/                 refresh state, ONE epoch-delta
+                                      ledger (night N appends only its
+                                      changed rows as epoch=N; roots
+                                      predating it keep their rotated
+                                      state/<night>/ dirs)
         kept_store/ postings_store/ ivf_store/   serving stores
         tokenizer/ shards/            frozen artifact + shard store
         night_log                     completed nights, written LAST
@@ -664,7 +668,6 @@ def cmd_corpus_nightly(
     tok = resolve_store(spark, root_dir, "tokenizer")
     shards = resolve_store(spark, root_dir, "shards")
     out_dir = os.path.join(root_dir, "nights", night)
-    state_dir = os.path.join(root_dir, "state", night)
     log = os.path.join(root_dir, "night_log")
 
     done: list[str] = []
@@ -700,9 +703,26 @@ def cmd_corpus_nightly(
     if night in done:
         return {"already_completed": 1}
     first = not done
-    prior_state = (
-        os.path.join(root_dir, "state", done[-1]) if done else None
+    # refresh state: NEW roots use the delta state ledger (one epoch
+    # appended per night, r10 verdict #1); roots that already rotate
+    # state/<night>/ dirs keep doing so — the two layouts share every
+    # code path below via the refresh layer's str|LedgerState dispatch
+    # resolved through the pointer log: corpus-reinit swaps in a fresh
+    # ledger (state_ledger.m<k>) when the curation knobs change
+    state_led = resolve_store(spark, root_dir, "state_ledger")
+    legacy_state = not iofs.has_parquet(spark, state_led) and iofs.has_parquet(
+        spark, os.path.join(root_dir, "state")
     )
+    if legacy_state:
+        prior_state = (
+            os.path.join(root_dir, "state", done[-1]) if done else None
+        )
+        state_dir = os.path.join(root_dir, "state", night)
+    else:
+        from radares_spark.pipeline.state_ledger import LedgerState
+
+        prior_state = LedgerState(state_led, len(done) - 1) if done else None
+        state_dir = LedgerState(state_led, len(done))
 
     counts = cmd_crawl_nightly(
         spark,
@@ -772,7 +792,28 @@ def cmd_corpus_nightly(
     # partition (the URL/content-ledger discipline): prior nights'
     # partitions are never rewritten, so no crash window can destroy
     # the log and silently reset the pipeline to night zero (a
-    # read-modify-overwrite deletes the dir before rewriting it)
+    # read-modify-overwrite deletes the dir before rewriting it).
+    # Single-writer fail-fast (r10 verdict #2): two concurrent nights
+    # against one root would mint the same idx and the later write
+    # would silently bury the earlier night — an atomic idx claim
+    # (content = the night tag) catches the race up front: the claim
+    # loser sees a DIFFERENT night's claim and raises before touching
+    # the log, while a replay of a night that crashed between claim
+    # and append recognizes its OWN tag and completes. The read-back
+    # below catches the weak-atomicity remainder (object stores
+    # without atomic create): a buried writer sees the other night's
+    # row and raises instead of reporting success for a night the log
+    # never recorded.
+    claim = f"{log}/_claim_idx_{len(done)}"
+    if not iofs.claim_marker(spark, claim, night):
+        if iofs.read_marker(spark, claim) != night:
+            raise ValueError(
+                f"night-log idx {len(done)} is already claimed "
+                f"({claim!r}) by a DIFFERENT night: another corpus-"
+                "nightly run is (or was) completing against this root — "
+                "never run two nights concurrently; if that run is "
+                "dead, delete the claim file and re-run"
+            )
     (
         spark.createDataFrame([(len(done), night)], "idx int, night string")
         .repartition(1)
@@ -781,6 +822,19 @@ def cmd_corpus_nightly(
         .partitionBy("idx")
         .parquet(log)
     )
+    recorded = [
+        r["night"]
+        for r in spark.read.parquet(log)
+        .filter(F.col("idx") == len(done))
+        .collect()
+    ]
+    if recorded != [night]:
+        raise ValueError(
+            f"night log idx {len(done)} reads back {recorded} instead of "
+            f"[{night!r}]: a concurrent writer overwrote this night's "
+            "log entry — its stores may hold a night the log never "
+            "recorded; run nightly-verify and replay this night"
+        )
     counts["night_index"] = len(done)
     return counts
 
@@ -901,6 +955,7 @@ def cmd_corpus_maintain(
     night: str | None = None,
     compact_ledgers: bool = False,
     compact_shards: bool = False,
+    compact_states: bool = False,
 ) -> dict:
     """Periodic artifact maintenance for a corpus-nightly root — the
     composition that CONSUMES the maintenance telemetry and finishes
@@ -918,6 +973,14 @@ def cmd_corpus_maintain(
       no-ops), then flips ``shards`` AND ``tokenizer`` in ONE pointer
       append — the pair can never be observed half-swapped.
 
+    - ``--compact-states`` folds the delta state ledger's completed
+      per-night epochs into its ``epoch=-1`` base
+      (``pipeline/state_ledger.compact_state_ledger``): the fold is
+      gated on the night log (a crashed night's un-logged epoch never
+      folds, so its replay still runs against the prior view), reads
+      below the recorded floor fail fast, and retention is thereby
+      bounded — a year of nights keeps one base plus the epochs since
+      the last maintenance window.
     - ``--compact-shards`` folds the shard store's per-night epoch
       partitions into one ``epoch=-1`` partition in a new store
       (``pipeline/shards.compact_shards`` — content-identical: meta,
@@ -1026,14 +1089,168 @@ def cmd_corpus_maintain(
         # night, so the ungated fold is the right call
         url_led = os.path.join(root_dir, "url_ledger")
         con_led = os.path.join(root_dir, "content_ledger")
-        n_before = len(iofs.epoch_partitions(spark, url_led)) + len(
-            iofs.epoch_partitions(spark, con_led)
+        # count only per-night (e >= 0) partitions: a pre-existing
+        # epoch=-1 from an earlier compaction is not folded work, and
+        # counting it would overstate a second --compact-ledgers run
+        n_before = len(
+            [e for e in iofs.epoch_partitions(spark, url_led) if e >= 0]
+        ) + len(
+            [e for e in iofs.epoch_partitions(spark, con_led) if e >= 0]
         )
         compact_url_ledger(spark, url_led)
         if iofs.has_parquet(spark, con_led):
             compact_ledger(spark, con_led)
         counts["ledger_epochs_folded"] = n_before
+
+    if compact_states:
+        from radares_spark.pipeline.state_ledger import compact_state_ledger
+
+        led = resolve_store(spark, root_dir, "state_ledger")
+        if not iofs.has_parquet(spark, led):
+            raise ValueError(
+                "--compact-states requires the delta state ledger "
+                f"({led!r}); a legacy root's rotated state/<night>/ dirs "
+                "have no epochs to fold — prune them by deleting old "
+                "night dirs (keep the last) instead"
+            )
+        log = os.path.join(root_dir, "night_log")
+        n_done = (
+            spark.read.parquet(log).count()
+            if iofs.has_parquet(spark, log)
+            else 0
+        )
+        if n_done == 0:
+            raise ValueError(
+                "--compact-states found no completed nights in the night "
+                "log — only logged nights may fold (a crashed night's "
+                "epoch must stay a replayable delta)"
+            )
+        folded = compact_state_ledger(spark, led, n_done - 1)
+        counts["state_epochs_folded"] = sum(folded.values())
+        counts["state_compacted_thru"] = n_done - 1
     return counts
+
+
+def cmd_corpus_reinit(
+    spark: SparkSession,
+    root_dir: str,
+    keep_langs: tuple[str, ...] = ("en",),
+    sample_pct: int = 100,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
+    n_cells: int = 8,
+) -> dict:
+    """Change a root's curation knobs — the documented migration path
+    the knobs-meta fail-fast points at (knobs are immutable for a
+    state's lifetime; a year in, an operator who wants a different
+    ``jaccard_threshold`` previously had no supported move).
+
+    An OFFLINE, O(corpus) migration (run it like a reshard: no night
+    in flight; the nightly cadence costs stay delta-proportional —
+    this is a once-per-policy-change rebuild):
+
+    1. materialize the kept store's residents to ``reinit_snapshot/``
+       (the durable source every later step reads, so a crashed rerun
+       never reads a half-rebuilt store);
+    2. ``init_state`` over the snapshot under the NEW knobs into a
+       fresh ledger ``state_ledger.m<k>`` at epoch ``n_nights - 1`` —
+       the next night reads it as "last night's state" and runs
+       delta-direct under the new knobs;
+    3. re-derive the serving stores from the snapshot + new audit:
+       kept store and postings rebuilt in place (they read the
+       snapshot, never themselves), IVF retrained into
+       ``ivf_store.m<k>``;
+    4. flip ``state_ledger`` + ``ivf_store`` in ONE pointer append
+       (never observed half-migrated), then drop the snapshot.
+
+    Old state history is ARCHIVED, not destroyed: the previous ledger
+    dir stays on disk under its old name/pointer entry. The shard
+    store is untouched — sealed training history keeps any docs the
+    new knobs would now drop; run ``corpus-maintain
+    --reshard-tokenizer`` afterwards if the training corpus must
+    shrink to the new kept set. A crash mid-reinit leaves the OLD
+    ledger serving (the flip is last); rerun to completion before the
+    next night. Rerunning a COMPLETED reinit fails fast on the
+    identical-knobs guard."""
+    from radares_spark.io import fs as iofs
+    from radares_spark.pipeline.refresh import (
+        init_ivf_from_state,
+        init_postings_from_state,
+        init_state,
+        init_store,
+    )
+    from radares_spark.pipeline.state_ledger import LedgerState
+    from radares_spark.pipeline.stores import (
+        flip_stores,
+        next_flip_index,
+        resolve_store,
+    )
+
+    log = os.path.join(root_dir, "night_log")
+    if not iofs.has_parquet(spark, log):
+        raise ValueError(
+            "corpus-reinit needs a completed root (night log missing) — "
+            "for a fresh root just run corpus-nightly with the knobs"
+        )
+    n_done = spark.read.parquet(log).count()
+    cur_led = resolve_store(spark, root_dir, "state_ledger")
+    knobs = dict(
+        keep_langs=tuple(keep_langs),
+        sample_pct=sample_pct,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+    if iofs.has_parquet(spark, f"{cur_led}/knobs"):
+        row = spark.read.parquet(f"{cur_led}/knobs").head()
+        same = (
+            row["keep_langs"] == ",".join(knobs["keep_langs"])
+            and row["sample_pct"] == sample_pct
+            and row["jaccard_threshold"] == jaccard_threshold
+            and row["max_bucket"]
+            == (-1 if max_bucket is None else int(max_bucket))
+        )
+        if same:
+            raise ValueError(
+                "corpus-reinit under the state's CURRENT knobs is a no-op "
+                "(if a prior reinit crashed after its flip, delete the "
+                "leftover reinit_snapshot/ and carry on)"
+            )
+
+    kept_store = os.path.join(root_dir, "kept_store")
+    snap = os.path.join(root_dir, "reinit_snapshot")
+    if not iofs.exists(spark, f"{snap}/_SUCCESS"):
+        # _SUCCESS-gated: a crashed partial snapshot rewrites in full
+        spark.read.parquet(kept_store).select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(snap)
+    docs = spark.read.parquet(snap)
+    n_residents = docs.count()  # before the snapshot is GC'd below
+
+    k = next_flip_index(spark, root_dir)
+    new_led = LedgerState(
+        os.path.join(root_dir, f"state_ledger.m{k}"), max(n_done - 1, 0)
+    )
+    init_state(spark, docs, new_led, **knobs)
+    init_store(spark, docs, new_led, kept_store)
+    postings = os.path.join(root_dir, "postings_store")
+    init_postings_from_state(spark, docs, new_led, postings)
+    new_ivf = os.path.join(root_dir, f"ivf_store.m{k}")
+    init_ivf_from_state(spark, docs, new_led, new_ivf, n_cells=n_cells)
+    flip_idx = flip_stores(
+        spark,
+        root_dir,
+        {"state_ledger": new_led.ledger_dir, "ivf_store": new_ivf},
+    )
+    iofs.delete(spark, snap)
+    n_kept = (
+        spark.read.parquet(kept_store).select("doc_id").distinct().count()
+    )
+    return {
+        "reinit_flip_idx": flip_idx,
+        "n_residents": n_residents,
+        "n_kept_after": n_kept,
+        "state_epoch": new_led.epoch,
+    }
 
 
 def cmd_shards_export(
@@ -1191,6 +1408,12 @@ def main(argv: list[str] | None = None) -> int:
     cm.add_argument("--night", default=None, help="idempotency tag recorded in the new shard store")
     cm.add_argument("--compact-ledgers", action="store_true", help="fold the url/content admission ledgers' per-night epoch partitions into one deduplicated epoch=-1 partition each (the small-files remedy; both ledgers fold together)")
     cm.add_argument("--compact-shards", action="store_true", help="fold the shard store's per-night epoch partitions into one epoch=-1 partition in a NEW store (~128MiB files), then flip the pointer — content-identical: meta/frontier/tags carried, verify and exports unchanged")
+    cm.add_argument("--compact-states", action="store_true", help="fold the delta state ledger's completed per-night epochs into its epoch=-1 base (night-log gated: a crashed night's epoch never folds); bounds state retention to one base + the epochs since the last fold")
+    ri = sub.add_parser("corpus-reinit")
+    ri.add_argument("--root", required=True, help="corpus-nightly pipeline root")
+    _add_refresh_knobs(ri)
+    ri.add_argument("--max-bucket", type=int, default=None, help="hot-LSH-bucket cap (state knob)")
+    ri.add_argument("--n-cells", type=int, default=8, help="IVF cells for the rebuilt ANN store")
     tt = sub.add_parser("tokenizer-train")
     tt.add_argument("--docs", required=True, help="training corpus parquet (doc_id, text)")
     tt.add_argument("--out", required=True, help="tokenizer artifact dir")
@@ -1276,6 +1499,14 @@ def main(argv: list[str] | None = None) -> int:
             iters=args.iters, reshard_tokenizer=args.reshard_tokenizer,
             night=args.night, compact_ledgers=args.compact_ledgers,
             compact_shards=args.compact_shards,
+            compact_states=args.compact_states,
+        )
+        _print_sorted(counts)
+        return 0
+    if args.cmd == "corpus-reinit":
+        counts = cmd_corpus_reinit(
+            spark, args.root, **_knob_kwargs(args),
+            max_bucket=args.max_bucket, n_cells=args.n_cells,
         )
         _print_sorted(counts)
         return 0

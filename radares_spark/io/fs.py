@@ -75,6 +75,53 @@ def delete(spark: SparkSession, path_str: str) -> None:
         fs.delete(path, True)
 
 
+def claim_marker(spark: SparkSession, path_str: str, content: str = "") -> bool:
+    """Atomically create a claim file carrying ``content``; False when
+    one already exists — the single-writer fail-fast primitive (two
+    writers about to mint the same ledger partition race on the SAME
+    marker name; exactly one wins). ``FileSystem.create(path,
+    overwrite=false)`` is atomic create-if-absent on HDFS and local
+    filesystems; object stores without atomic create degrade to
+    best-effort, which still catches every non-simultaneous
+    double-writer. Won claims stay in place forever (append-only
+    discipline: one claim per partition, like the partition itself);
+    the content lets a DETERMINISTIC re-run of the same work (a
+    crashed night's replay, a re-flip of the same swap) recognize its
+    own prior claim via :func:`read_marker` and proceed, while a
+    different writer fails fast."""
+    fs, path = _fs_and_path(spark, path_str)
+    parent = path.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    try:
+        out = fs.create(path, False)
+    except Exception:
+        if fs.exists(path):
+            return False
+        raise
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def read_marker(spark: SparkSession, path_str: str) -> str | None:
+    """The content a claim was created with, or None when no claim
+    exists (an unreadable/empty claim reads as "" — callers treat a
+    content mismatch conservatively, as a foreign writer)."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def last_committed_epoch(spark: SparkSession, checkpoint: str) -> int | None:
     """Highest batch id with a commit marker in a Structured Streaming
     checkpoint, or None before the first commit — the only epochs

@@ -801,7 +801,22 @@ KN_TRIGRAM_SQL = f"""
 # driver window (plans/__init__ appends DRIVER_SPECS last);
 # pivot_status_by_segment moved to relational's library tier, with R2
 # staying driver-covered via radar_bins_long.
+# r11 rotation: the interpolated KN bigram joins it (the whole
+# Kneser-Ney family now under the driver oracle); cube_orders moved to
+# relational's library tier with A3's grouping lattice still
+# driver-covered via grouping_analytics_lineitem.
 DRIVER_SPECS: dict[str, QuerySpec] = {
+    "corpus_kn_bigram_logprob": QuerySpec(
+        name="corpus_kn_bigram_logprob",
+        fn=corpus_kn_bigram_logprob,
+        oracle=KN_BIGRAM_SQL,
+        survey="LLM-pipeline (interpolated Kneser-Ney bigram LM score "
+        "— the proper-smoothing KenLM/CCNet stand-in)",
+        doc="avg -log p_KN(w|prev) per doc: fixed-discount absolute "
+        "discounting with continuation-count unigram interpolation, "
+        "all four statistics tiny rollups of the one broadcast-sized "
+        "hashed-pair table; gram stream pinned once.",
+    ),
     "corpus_kn_trigram_logprob": QuerySpec(
         name="corpus_kn_trigram_logprob",
         fn=corpus_kn_trigram_logprob,
@@ -817,17 +832,6 @@ DRIVER_SPECS: dict[str, QuerySpec] = {
 }
 
 LIBRARY_SPECS: dict[str, QuerySpec] = {
-    "corpus_kn_bigram_logprob": QuerySpec(
-        name="corpus_kn_bigram_logprob",
-        fn=corpus_kn_bigram_logprob,
-        oracle=KN_BIGRAM_SQL,
-        survey="LLM-pipeline (interpolated Kneser-Ney bigram LM score "
-        "— the proper-smoothing KenLM/CCNet stand-in)",
-        doc="avg -log p_KN(w|prev) per doc: fixed-discount absolute "
-        "discounting with continuation-count unigram interpolation, "
-        "all four statistics tiny rollups of the one broadcast-sized "
-        "hashed-pair table; gram stream pinned once.",
-    ),
     "corpus_bigram_logprob": QuerySpec(
         name="corpus_bigram_logprob",
         fn=corpus_bigram_logprob,

@@ -16,11 +16,15 @@ cross-checks them all and reports one named flag per invariant,
   are contiguous from zero with at most one per completed night
   (a zero-admission night appends none), and content-ledger epoch
   numbers — which track the url ledger's — are a subset of them;
-- ``states_present``: every completed night has its rotated refresh
-  state (features/audit; knobs where the state is new enough to
-  record them) on disk;
+- ``states_present``: the refresh state is intact — for a delta state
+  ledger (``state_ledger/``): the tables exist, every per-night epoch
+  maps to a logged night (one allowed AHEAD as crash state), and the
+  compaction floor never exceeds the completed nights; for legacy
+  rotated ``state/<night>`` dirs: every completed night's dir is on
+  disk;
 - ``knobs_uniform``: every state records the SAME curation knobs
-  (mixed-knob states would mean carried outcomes under two semantics);
+  (mixed-knob states would mean carried outcomes under two semantics;
+  the ledger holds one knobs meta by construction);
 - ``kept_matches_state``: the kept store's resident ids are exactly
   the last state's KEPT audit rows;
 - ``ivf_matches_kept`` / ``postings_count_matches``: the ANN store's
@@ -129,32 +133,75 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         }
         checks["content_epochs_match"] = con_pos <= set(url_pos)
 
-    # --- refresh states: present per night, knobs uniform -------------
-    # knobs/ is only required where it exists: states predating the
+    # --- refresh state: per-night dirs (legacy) or the delta ledger ----
+    # knobs are only required where they exist: states predating the
     # knobs meta are explicitly tolerated by the refresh layer
     # (_check_knobs skips them), so the audit must not out-strict the
     # code that writes the state
-    states_ok, knob_rows = True, []
-    for n in nights:
-        sd = os.path.join(root_dir, "state", n)
-        parts_ok = all(
-            iofs.has_parquet(spark, f"{sd}/{p}") for p in ("features", "audit")
+    state_led = resolve_store(spark, root_dir, "state_ledger")
+    last_audit = None  # the audit view the kept store must match
+    if iofs.has_parquet(spark, state_led):
+        from radares_spark.pipeline.state_ledger import (
+            LedgerState,
+            compaction_floor,
+            read_state,
         )
-        states_ok = states_ok and parts_ok
-        if parts_ok and iofs.has_parquet(spark, f"{sd}/knobs"):
-            knob_rows.append(tuple(spark.read.parquet(f"{sd}/knobs").head()))
-    checks["states_present"] = states_ok
-    if knob_rows:
-        checks["knobs_uniform"] = len(set(knob_rows)) == 1
+
+        # delta ledger (one epoch appended per night; carry = no
+        # write, so per-night presence is unobservable by design):
+        # every positive epoch must map to a logged night — with ONE
+        # epoch allowed AHEAD of the log (a crashed night awaiting
+        # replay, same contract as the shards/postings tags) — and the
+        # compaction floor must never exceed the completed nights (a
+        # folded un-logged epoch would bake a replayable night into
+        # the base)
+        states_ok = all(
+            iofs.has_parquet(spark, f"{state_led}/{t}")
+            for t in ("features", "audit")
+        )
+        eps = {
+            e
+            for t in ("features", "bands", "audit")
+            for e in iofs.epoch_partitions(spark, f"{state_led}/{t}")
+        }
+        ahead = sorted(e for e in eps if e >= len(nights))
+        states_ok = states_ok and all(e >= -1 for e in eps) and ahead in (
+            [], [len(nights)]
+        )
+        if ahead:
+            checks["state_ahead_of_log"] = ahead
+        floor = compaction_floor(spark, state_led)
+        if floor is not None:
+            states_ok = states_ok and floor <= len(nights) - 1
+        checks["states_present"] = states_ok
+        checks["knobs_uniform"] = iofs.has_parquet(spark, f"{state_led}/knobs")
+        if states_ok and nights:
+            last_audit = read_state(
+                spark, LedgerState(state_led, len(nights) - 1), "audit"
+            )
+    else:
+        states_ok, knob_rows = True, []
+        for n in nights:
+            sd = os.path.join(root_dir, "state", n)
+            parts_ok = all(
+                iofs.has_parquet(spark, f"{sd}/{p}") for p in ("features", "audit")
+            )
+            states_ok = states_ok and parts_ok
+            if parts_ok and iofs.has_parquet(spark, f"{sd}/knobs"):
+                knob_rows.append(tuple(spark.read.parquet(f"{sd}/knobs").head()))
+        checks["states_present"] = states_ok
+        if knob_rows:
+            checks["knobs_uniform"] = len(set(knob_rows)) == 1
+        if states_ok and nights:
+            last_audit = spark.read.parquet(
+                os.path.join(root_dir, "state", nights[-1], "audit")
+            )
 
     # --- kept store vs the last state's audit --------------------------
     kept = None  # lazy (doc_id) frame — compared via anti-joins, never collected
     n_kept = None
-    if iofs.has_parquet(spark, kept_store) and states_ok and nights:
-        last_state = os.path.join(root_dir, "state", nights[-1])
-        audit_kept = spark.read.parquet(f"{last_state}/audit").filter(
-            F.col("outcome") == KEPT
-        )
+    if iofs.has_parquet(spark, kept_store) and last_audit is not None:
+        audit_kept = last_audit.filter(F.col("outcome") == KEPT)
         kept = spark.read.parquet(kept_store)
         checks["kept_matches_state"] = _sets_equal(
             kept, "doc_id", audit_kept, "doc_id"

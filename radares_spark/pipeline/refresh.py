@@ -79,6 +79,67 @@ from radares_spark.pipeline.corpus import (
 )
 from radares_spark.io.fs import delete as fs_delete
 from radares_spark.pipeline.snapshot import content_fingerprint
+from radares_spark.pipeline.state_ledger import (
+    LedgerState,
+    compaction_floor,
+    read_state,
+    write_state_epoch,
+)
+
+# Every public entry below takes states as ``str | LedgerState``: a
+# str is the legacy full-rewrite layout (one dir per night, every
+# table rewritten in full); a LedgerState addresses one epoch of the
+# delta state ledger (pipeline/state_ledger.py), where a night writes
+# ONLY its changed rows — the delta-proportional production shape.
+
+
+def _state_read(spark: SparkSession, state, table: str) -> DataFrame:
+    if isinstance(state, LedgerState):
+        return read_state(spark, state, table)
+    return spark.read.parquet(f"{state}/{table}")
+
+
+def _state_write(
+    spark: SparkSession,
+    state,
+    table: str,
+    full: DataFrame,
+    delta: DataFrame,
+    dead: DataFrame,
+) -> DataFrame:
+    """Land one table of one night's refreshed state, returning the
+    disk-backed read-back frame (the lineage break every downstream
+    step keys off). Dir states write ``full``; a LedgerState writes
+    ONLY ``delta`` rows + ``dead`` tombstones to its epoch partition —
+    carry = no write, so the nightly state write scales with the
+    delta, never the corpus (r10 verdict #1)."""
+    if isinstance(state, LedgerState):
+        write_state_epoch(spark, state, table, delta, dead)
+        return read_state(spark, state, table)
+    return _write_read(full, f"{state}/{table}")
+
+
+def _knobs_dir(state) -> str:
+    """Knobs live once per ledger (immutable for its lifetime) vs once
+    per night dir in the legacy layout."""
+    base = state.ledger_dir if isinstance(state, LedgerState) else state
+    return f"{base}/knobs"
+
+
+def _check_floor(spark: SparkSession, state) -> None:
+    """An as-of read below the ledger's compaction floor would
+    silently serve a base view that already contains LATER nights'
+    changes — fail fast instead."""
+    if not isinstance(state, LedgerState):
+        return
+    floor = compaction_floor(spark, state.ledger_dir)
+    if floor is not None and state.epoch < floor:
+        raise ValueError(
+            f"state ledger {state.ledger_dir!r} is compacted through "
+            f"epoch {floor}; the as-of epoch {state.epoch} view no "
+            "longer exists (bounded retention) — refresh against the "
+            "floor or a later epoch"
+        )
 
 
 def _features(docs: DataFrame) -> DataFrame:
@@ -106,14 +167,22 @@ def _write_read(df: DataFrame, path: str) -> DataFrame:
 
 def _write_knobs(
     spark: SparkSession,
-    state_dir: str,
+    state_dir,
     keep_langs: tuple[str, ...],
     sample_pct: int,
     jaccard_threshold: float,
     max_bucket: int | None,
 ) -> None:
     """One-row knobs meta (the postings-store meta idiom): the knobs
-    are part of the state's meaning, so they travel with it."""
+    are part of the state's meaning, so they travel with it. A ledger
+    records them ONCE (immutable for its lifetime — _check_knobs
+    already proved tonight's match), not once per night."""
+    from radares_spark.io import fs as iofs
+
+    if isinstance(state_dir, LedgerState) and iofs.has_parquet(
+        spark, _knobs_dir(state_dir)
+    ):
+        return
     spark.createDataFrame(
         [
             (
@@ -124,7 +193,7 @@ def _write_knobs(
             )
         ],
         "keep_langs string, sample_pct int, jaccard_threshold double, max_bucket int",
-    ).repartition(1).write.mode("overwrite").parquet(f"{state_dir}/knobs")
+    ).repartition(1).write.mode("overwrite").parquet(_knobs_dir(state_dir))
     # repartition(1), never coalesce(1), on local relations — the
     # coalesce form serializes 32 Python slices in one task, ~4 s of
     # fixed cost per write (see shards._write_meta)
@@ -132,7 +201,7 @@ def _write_knobs(
 
 def _check_knobs(
     spark: SparkSession,
-    state_in: str,
+    state_in,
     keep_langs: tuple[str, ...],
     sample_pct: int,
     jaccard_threshold: float,
@@ -143,9 +212,9 @@ def _check_knobs(
     SAME semantics. States predating the knobs meta skip the check."""
     from radares_spark.io import fs as iofs
 
-    if not iofs.has_parquet(spark, f"{state_in}/knobs"):
+    if not iofs.has_parquet(spark, _knobs_dir(state_in)):
         return
-    row = spark.read.parquet(f"{state_in}/knobs").collect()[0]
+    row = spark.read.parquet(_knobs_dir(state_in)).collect()[0]
     want = (
         ",".join(keep_langs),
         int(sample_pct),
@@ -170,14 +239,17 @@ def _check_knobs(
 def init_state(
     spark: SparkSession,
     docs: DataFrame,
-    state_dir: str,
+    state_dir,
     keep_langs: tuple[str, ...] = ("en",),
     sample_pct: int = 100,
     jaccard_threshold: float = 0.8,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Night zero: full batch curation, landing the reusable state.
-    Returns the audit (read back from the state dir)."""
+    """Night zero: full batch curation, landing the reusable state
+    (``state_dir``: legacy dir, or a LedgerState whose epoch becomes
+    the ledger's base — every row is that epoch's "delta").
+    Returns the audit (read back from the state)."""
+    none_dead = docs.select("doc_id").limit(0)
     feats = _features(docs)
     keeper = feats.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
     feats = (
@@ -185,11 +257,11 @@ def init_state(
         .withColumn("exact_keep", F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
     )
-    feats = _write_read(feats, f"{state_dir}/features")
+    feats = _state_write(spark, state_dir, "features", feats, feats, none_dead)
 
     alive_ids = feats.filter(_alive(feats, keep_langs)).select("doc_id")
     bands = lsh_bands(minhash_signatures(docs.join(alive_ids, "doc_id", "left_semi")))
-    bands = _write_read(bands, f"{state_dir}/bands")
+    bands = _state_write(spark, state_dir, "bands", bands, bands, none_dead)
 
     if max_bucket is not None:
         cand, _hot = lsh_pairs_capped(bands, max_bucket)
@@ -209,14 +281,14 @@ def init_state(
     _write_knobs(
         spark, state_dir, keep_langs, sample_pct, jaccard_threshold, max_bucket
     )
-    return _write_read(audit, f"{state_dir}/audit")
+    return _state_write(spark, state_dir, "audit", audit, audit, none_dead)
 
 
 def refresh(
     spark: SparkSession,
     new_docs: DataFrame,
-    state_in: str,
-    state_out: str,
+    state_in,
+    state_out,
     keep_langs: tuple[str, ...] = ("en",),
     sample_pct: int = 100,
     jaccard_threshold: float = 0.8,
@@ -237,12 +309,13 @@ def refresh(
     mismatches fail fast via the state's knobs meta."""
     if state_in == state_out:
         raise ValueError("state_out must differ from state_in (write-new-then-swap)")
+    _check_floor(spark, state_in)
     _check_knobs(
         spark, state_in, keep_langs, sample_pct, jaccard_threshold, max_bucket
     )
-    prior_feats = spark.read.parquet(f"{state_in}/features")
-    prior_bands = spark.read.parquet(f"{state_in}/bands")
-    prior_audit = spark.read.parquet(f"{state_in}/audit")
+    prior_feats = _state_read(spark, state_in, "features")
+    prior_bands = _state_read(spark, state_in, "bands")
+    prior_audit = _state_read(spark, state_in, "audit")
 
     # -- 1. delta detection on the raw-byte fingerprint ---------------
     # Every small multi-consumer frame below is PINNED with an eager
@@ -335,8 +408,8 @@ def _pruned_store_text(
 def refresh_night(
     spark: SparkSession,
     tonight_docs: DataFrame,
-    state_in: str,
-    state_out: str,
+    state_in,
+    state_out,
     kept_store_dir: str,
     keep_langs: tuple[str, ...] = ("en",),
     sample_pct: int = 100,
@@ -373,12 +446,13 @@ def refresh_night(
     """
     if state_in == state_out:
         raise ValueError("state_out must differ from state_in (write-new-then-swap)")
+    _check_floor(spark, state_in)
     _check_knobs(
         spark, state_in, keep_langs, sample_pct, jaccard_threshold, max_bucket
     )
-    prior_feats = spark.read.parquet(f"{state_in}/features")
-    prior_bands = spark.read.parquet(f"{state_in}/bands")
-    prior_audit = spark.read.parquet(f"{state_in}/audit")
+    prior_feats = _state_read(spark, state_in, "features")
+    prior_bands = _state_read(spark, state_in, "bands")
+    prior_audit = _state_read(spark, state_in, "audit")
 
     tonight = tonight_docs.select("doc_id", "text").localCheckpoint()
     tonight_ids = tonight.select("doc_id")
@@ -461,7 +535,7 @@ def _refresh_core(
     prior_feats: DataFrame,
     prior_bands: DataFrame,
     prior_audit: DataFrame,
-    state_out: str,
+    state_out,
     keep_langs: tuple[str, ...],
     sample_pct: int,
     jaccard_threshold: float,
@@ -510,8 +584,17 @@ def _refresh_core(
             prior_feats.select("doc_id", "exact_keep"), "doc_id"
         )  # hash untouched => prior keeper decision stands
     )
-    feats_new = _write_read(
-        carried.unionByName(recomputed), f"{state_out}/features"
+    # ledger delta = exactly the recomputed rows (delta-bounded by the
+    # affected-hash semi-joins above; a recomputed row that happens to
+    # equal its prior value shadows equal content) + tombstones for
+    # removed docs; carried rows are carried BY NOT BEING WRITTEN
+    feats_new = _state_write(
+        spark,
+        state_out,
+        "features",
+        full=carried.unionByName(recomputed),
+        delta=recomputed,
+        dead=removed_ids,
     )
 
     # -- 4. aliveness churn (quality/lang flips ride delta_ids;
@@ -534,9 +617,24 @@ def _refresh_core(
     fresh_bands = lsh_bands(
         minhash_signatures(text_for(need_bands))
     ).localCheckpoint()
-    bands_new = _write_read(
-        prior_bands.join(void_ids, "doc_id", "left_anti").unionByName(fresh_bands),
-        f"{state_out}/bands",
+    # ledger delta: a re-banded doc writes its FULL current row-set
+    # (lsh_bands emits every band per doc, so the newest epoch fully
+    # shadows the old); a voided doc with no fresh rows tombstones —
+    # but only if it HAD prior rows (never-alive delta docs don't)
+    band_dead = (
+        void_ids.join(fresh_bands.select("doc_id"), "doc_id", "left_anti")
+        .join(prior_bands.select("doc_id"), "doc_id", "left_semi")
+        .distinct()
+    )
+    bands_new = _state_write(
+        spark,
+        state_out,
+        "bands",
+        full=prior_bands.join(void_ids, "doc_id", "left_anti").unionByName(
+            fresh_bands
+        ),
+        delta=fresh_bands,
+        dead=band_dead,
     )
     churned = (
         prior_bands.join(void_ids, "doc_id", "left_semi")
@@ -623,7 +721,22 @@ def _refresh_core(
     audit = feats_new.join(near, "doc_id", "left").select(
         "doc_id", outcome_ladder(keep_langs, sample_pct).alias("outcome")
     )
-    audit = _write_read(audit, f"{state_out}/audit")
+    # outcome is a deterministic function of a doc's features row and
+    # its near flag, so it can only change for docs whose features
+    # were recomputed or whose bucket neighborhood churned (near flags
+    # flip only inside `affected`; near_carry preserves the rest) —
+    # the ledger delta is that union, tombstones are the removed docs
+    audit_changed = (
+        recomputed.select("doc_id").unionByName(affected).distinct()
+    )
+    audit = _state_write(
+        spark,
+        state_out,
+        "audit",
+        full=audit,
+        delta=audit.join(audit_changed, "doc_id", "left_semi"),
+        dead=removed_ids,
+    )
     _write_knobs(
         spark, state_out, keep_langs, sample_pct, jaccard_threshold, max_bucket
     )
@@ -650,16 +763,16 @@ def _refresh_core(
 N_STORE_BUCKETS = 64
 
 
-def _kept(spark: SparkSession, state_dir: str) -> DataFrame:
+def _kept(spark: SparkSession, state_dir) -> DataFrame:
     return (
-        spark.read.parquet(f"{state_dir}/audit")
+        _state_read(spark, state_dir, "audit")
         .filter(F.col("outcome") == KEPT)
         .select("doc_id")
     )
 
 
 def kept_churn(
-    spark: SparkSession, state_in: str, state_out: str
+    spark: SparkSession, state_in, state_out
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """``(entered, left, rewritten)`` doc_id frames describing how the
     KEPT set changed across one refresh — the single churn computation
@@ -671,20 +784,82 @@ def kept_churn(
     compared). All three are audit/ledger-sized id joins, never
     corpus text. Callers maintaining SEVERAL stores from one night
     compute this once (pinned) and pass it via each apply's
-    ``churn`` param — the CLI previously re-ran it per store."""
+    ``churn`` param — the CLI previously re-ran it per store.
+
+    Consecutive epochs of ONE state ledger take the delta-bounded
+    fast path: every doc whose kept-membership or content changed is
+    IN tonight's epoch partitions by the ledger's write contract, so
+    the churn reads the ``epoch=N`` partitions plus a semi-joined
+    prior view instead of four corpus-wide audits (equivalence to the
+    generic path is pinned in tests/test_state_ledger.py)."""
+    if (
+        isinstance(state_in, LedgerState)
+        and isinstance(state_out, LedgerState)
+        and state_in.ledger_dir == state_out.ledger_dir
+        and state_out.epoch == state_in.epoch + 1
+    ):
+        return _kept_churn_ledger_delta(spark, state_in, state_out)
     kept_old = _kept(spark, state_in)
     kept_new = _kept(spark, state_out)
     entered = kept_new.join(kept_old, "doc_id", "left_anti")
     left = kept_old.join(kept_new, "doc_id", "left_anti")
-    fp_old = spark.read.parquet(f"{state_in}/features").select(
+    fp_old = _state_read(spark, state_in, "features").select(
         "doc_id", F.col("raw_hash").alias("old_raw")
     )
-    fp_new = spark.read.parquet(f"{state_out}/features").select("doc_id", "raw_hash")
+    fp_new = _state_read(spark, state_out, "features").select(
+        "doc_id", "raw_hash"
+    )
     rewritten = (
         kept_new.join(kept_old, "doc_id", "left_semi")
         .join(fp_old, "doc_id")
         .join(fp_new, "doc_id")
         .filter(F.col("raw_hash") != F.col("old_raw"))
+        .select("doc_id")
+    )
+    return entered, left, rewritten
+
+
+def _kept_churn_ledger_delta(
+    spark: SparkSession, state_in: "LedgerState", state_out: "LedgerState"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """kept_churn over one ledger night from its delta partitions: a
+    doc entering/leaving the kept set has a changed outcome (in the
+    audit's ``epoch=N``); a rewritten doc has a changed raw_hash (in
+    the features' ``epoch=N``). The prior side reads only the changed
+    docs' history (broadcast semi-join pushed into the scan), so the
+    whole computation is O(tonight's delta), not O(corpus)."""
+
+    def _delta_and_prior(table: str, cols: list[str]):
+        raw = spark.read.parquet(state_out.table_dir(table))
+        tonight = raw.filter(F.col("epoch") == F.lit(state_out.epoch))
+        ids = tonight.select("doc_id").distinct()
+        prior_rows = raw.filter(F.col("epoch") <= F.lit(state_in.epoch)).join(
+            ids, "doc_id", "left_semi"
+        )
+        latest = prior_rows.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+        prior = (
+            prior_rows.join(latest, ["doc_id", "epoch"])
+            .filter(~F.col("_deleted"))
+            .select("doc_id", *cols)
+        )
+        return tonight, prior
+
+    a_new, a_old = _delta_and_prior("audit", ["outcome"])
+    kept_now = a_new.filter(
+        ~F.col("_deleted") & (F.col("outcome") == KEPT)
+    ).select("doc_id")
+    kept_before = a_old.filter(F.col("outcome") == KEPT).select("doc_id")
+    entered = kept_now.join(kept_before, "doc_id", "left_anti")
+    left = kept_before.join(kept_now, "doc_id", "left_anti")
+
+    f_new, f_old = _delta_and_prior("features", ["raw_hash"])
+    rewritten = (
+        f_new.filter(~F.col("_deleted"))
+        .select("doc_id", "raw_hash")
+        .join(f_old.select("doc_id", F.col("raw_hash").alias("old_raw")), "doc_id")
+        .filter(F.col("raw_hash") != F.col("old_raw"))
+        .join(kept_now, "doc_id", "left_semi")
+        .join(kept_before, "doc_id", "left_semi")
         .select("doc_id")
     )
     return entered, left, rewritten
@@ -697,7 +872,7 @@ def _store_bucket(n_buckets: int):
 def init_store(
     spark: SparkSession,
     docs: DataFrame,
-    state_dir: str,
+    state_dir,
     store_dir: str,
     n_buckets: int = N_STORE_BUCKETS,
 ) -> None:
@@ -706,7 +881,7 @@ def init_store(
     The bucket is the REWRITE UNIT for refresh nights: at 100 TB,
     ``n_buckets`` is sized so one bucket is an acceptable rewrite
     (churning b buckets rewrites b/n of the store, never all of it)."""
-    audit = spark.read.parquet(f"{state_dir}/audit")
+    audit = _state_read(spark, state_dir, "audit")
     kept = docs.join(
         audit.filter(F.col("outcome") == KEPT), "doc_id", "left_semi"
     ).withColumn("part_bucket", _store_bucket(n_buckets))
@@ -723,8 +898,8 @@ def init_store(
 def apply_refresh_to_store(
     spark: SparkSession,
     new_docs: DataFrame,
-    state_in: str,
-    state_out: str,
+    state_in,
+    state_out,
     store_dir: str,
     n_buckets: int = N_STORE_BUCKETS,
     churn: tuple[DataFrame, DataFrame, DataFrame] | None = None,
@@ -816,7 +991,7 @@ def night_snapshot_source(
 
 
 def init_postings_from_state(
-    spark: SparkSession, docs: DataFrame, state_dir: str, postings_dir: str
+    spark: SparkSession, docs: DataFrame, state_dir, postings_dir: str
 ) -> None:
     """Night zero of the retrieval index: BM25 postings over exactly
     the kept docs (operators/retrieval.build_postings_store)."""
@@ -830,8 +1005,8 @@ def init_postings_from_state(
 def apply_refresh_to_postings_store(
     spark: SparkSession,
     new_docs: DataFrame,
-    state_in: str,
-    state_out: str,
+    state_in,
+    state_out,
     kept_store_dir: str,
     postings_dir: str,
     night: str | None = None,
@@ -889,7 +1064,7 @@ def _kept_vectors(docs: DataFrame, dim: int) -> DataFrame:
 def init_ivf_from_state(
     spark: SparkSession,
     docs: DataFrame,
-    state_dir: str,
+    state_dir,
     ivf_dir: str,
     dim: int | None = None,
     n_cells: int = 8,
@@ -911,8 +1086,8 @@ def init_ivf_from_state(
 def apply_refresh_to_ivf_store(
     spark: SparkSession,
     new_docs: DataFrame,
-    state_in: str,
-    state_out: str,
+    state_in,
+    state_out,
     ivf_dir: str,
     dim: int | None = None,
     churn: tuple[DataFrame, DataFrame, DataFrame] | None = None,

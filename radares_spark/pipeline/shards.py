@@ -798,8 +798,14 @@ def compact_shards(
     per_file = max(1, _COMPACT_TOKENS_PER_FILE // max(ctx_len, 1))
     n_files = max(1, -(-n // per_file))
     if n:
+        # range-partition on seq_id (r10 advice): round-robin
+        # repartition made every file an internally-sorted RANDOM
+        # sample, so a sequential training read hopped files; range
+        # partitioning gives contiguous non-overlapping seq_id spans
+        # per file for free (one range-exchange instead of one
+        # round-robin exchange — same shuffle count)
         (
-            sealed.repartition(n_files)
+            sealed.repartitionByRange(n_files, "seq_id")
             .sortWithinPartitions("seq_id")
             .write.mode("overwrite")
             .partitionBy("epoch")

@@ -22,10 +22,13 @@ by the nightly orchestrator:
   paths (pre-existing absolute entries keep resolving as written);
 - a crash BEFORE the append leaves the old store serving; a crash
   AFTER it leaves the new one serving; there is no in-between state;
-- single-writer, like every store in this repo (the shard store's
-  documented contract): two concurrent maintenance runs could mint
-  the same idx and dynamic-overwrite each other's flip — serialize
-  maintenance, never run two against one root.
+- single-writer, ENFORCED (r10 verdict #2): each flip atomically
+  claims ``_claim_idx_<n>`` inside the log dir (claim content = the
+  moves) before appending its partition, so two concurrent
+  maintenance runs minting the same idx fail fast instead of silently
+  dynamic-overwriting each other — while a deterministic re-run of a
+  flip that crashed between claim and append recognizes its own claim
+  and completes.
 
 Reference parity: the reference swaps tables by transactional rename
 (``/root/reference/database/schema.sql`` unique-index + replace);
@@ -112,6 +115,25 @@ def flip_stores(
             )
     log = _log_dir(root_dir)
     next_idx = next_flip_index(spark, root_dir)
+    # single-writer fail-fast (r10 verdict #2): two concurrent
+    # maintenance runs both compute the same next_idx and would
+    # silently dynamic-overwrite each other's flip partition — an
+    # atomic claim on the idx turns that into a loud error (the
+    # `_`-prefix keeps the marker invisible to parquet reads of the
+    # log). The claim carries the moves, so a re-run of a flip that
+    # crashed between claim and append recognizes its own claim and
+    # proceeds (the partition rewrite is deterministic); a DIFFERENT
+    # writer's claim raises.
+    claim = f"{log}/_claim_idx_{next_idx}"
+    content = repr(sorted({n: _to_logged(root_dir, p) for n, p in moves.items()}.items()))
+    if not iofs.claim_marker(spark, claim, content):
+        if iofs.read_marker(spark, claim) != content:
+            raise ValueError(
+                f"flip idx {next_idx} is already claimed ({claim!r}) by a "
+                "DIFFERENT swap: another maintenance writer is (or was) "
+                "flipping this root — serialize maintenance; if that run "
+                "is dead, delete the claim file and re-run"
+            )
     (
         spark.createDataFrame(
             [

@@ -40,6 +40,10 @@ from radares_spark.plans import tpch_extra  # noqa: E402,F401
 # r10 rotation: corpus_kn_trigram_logprob (the recursive Kneser-Ney
 # LM score) enters; pivot_status_by_segment moves to the library tier
 # in relational (R2 stays driver-covered via radar_bins_long).
+# r11 rotation: corpus_kn_bigram_logprob enters (the whole KN family
+# now under the driver oracle); cube_orders moves to the library tier
+# in relational (A3's grouping lattice stays driver-covered via
+# grouping_analytics_lineitem + q1 + radar_stats_suite).
 from radares_spark.operators import dsir as _dsir  # noqa: E402
 from radares_spark.operators import retrieval as _retrieval  # noqa: E402
 from radares_spark.pipeline import shards as _shards  # noqa: E402

@@ -452,7 +452,14 @@ def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@_library(
+    # r11 window rotation: demoted to the library tier to finish the
+    # Kneser-Ney family under the driver oracle (the interpolated
+    # bigram joins the recursive trigram) — A3's grouping lattice
+    # stays driver-covered via grouping_analytics_lineitem (arbitrary
+    # GROUPING SETS = the same Expand+aggregate machinery CUBE
+    # expands to) plus q1/radar_stats_suite; still strict-hash-swept
+    # here.
     "cube_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

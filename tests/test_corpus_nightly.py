@@ -78,6 +78,13 @@ def test_corpus_nightly_three_nights(spark, tmp_path, capsys):
     c3 = cmd_corpus_nightly(spark, str(src3), root, "n3", n_merges=8)
     assert c3["kept"] == 1 and c3["night_index"] == 2
     want_kept = _rows(spark, f"{root}/kept_store", ["doc_id", "text"])
+    want_state = {
+        t: _rows(
+            spark, f"{root}/state_ledger/{t}",
+            ["doc_id", "epoch", "_deleted"],
+        )
+        for t in ("features", "bands", "audit")
+    }
     want_shards_meta = spark.read.parquet(f"{root}/shards/_meta").head().asDict()
     want_postings = _rows(
         spark, f"{root}/postings_store/postings",
@@ -102,6 +109,15 @@ def test_corpus_nightly_three_nights(spark, tmp_path, capsys):
     ) == want_postings
     assert spark.read.parquet(f"{root}/postings_store/meta").head().asDict() == want_pmeta
     assert _rows(spark, f"{root}/ivf_store", ["vec_id", "cell"]) == want_ivf
+    # the replayed night's state-ledger epoch landed identically (the
+    # delta ledger's crash contract: clear the partial epoch, rewrite)
+    assert {
+        t: _rows(
+            spark, f"{root}/state_ledger/{t}",
+            ["doc_id", "epoch", "_deleted"],
+        )
+        for t in ("features", "bands", "audit")
+    } == want_state
     assert [r["night"] for r in spark.read.parquet(f"{root}/night_log").orderBy("idx").collect()] == ["n1", "n2", "n3"]
 
     # the three nights' kept docs all reached the shard store: global
@@ -189,8 +205,8 @@ def test_corpus_nightly_threads_refresh_knobs(spark, tmp_path, capsys):
     assert main(["corpus-nightly", "--pages", str(src1), "--root", root,
                  "--night", "n1", "--n-merges", "8", "--ctx-len", "16",
                  *knobs]) == 0
-    # the state records the non-default knobs
-    row = spark.read.parquet(f"{root}/state/n1/knobs").head()
+    # the state records the non-default knobs (once, at the ledger root)
+    row = spark.read.parquet(f"{root}/state_ledger/knobs").head()
     assert row["jaccard_threshold"] == 0.7 and row["max_bucket"] == 8
     assert main(["corpus-nightly", "--pages", str(src2), "--root", root,
                  "--night", "n2", "--n-merges", "8", *knobs]) == 0
@@ -206,3 +222,78 @@ def test_corpus_nightly_threads_refresh_knobs(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="knobs"):
         main(["corpus-nightly", "--pages", str(src3), "--root", root,
               "--night", "n3"])
+
+
+def test_legacy_state_dir_root_keeps_working(spark, tmp_path):
+    """Roots built before the delta state ledger rotate state/<night>/
+    dirs; corpus-nightly must keep driving them in that layout (and
+    nightly-verify must keep auditing it) instead of forking the state
+    history into a fresh ledger mid-root."""
+    from radares_spark.cli import cmd_nightly_verify
+    from radares_spark.pipeline.refresh import _state_read
+    from radares_spark.pipeline.state_ledger import LedgerState
+
+    A, B, C = (_body(t) for t in ("alpha", "beta", "gamma"))
+    root = str(tmp_path / "root")
+    src1, src2 = tmp_path / "p1", tmp_path / "p2"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A),
+                               (2, "https://b.example.com/2", B)])
+    _write_pages(spark, src2, [(10, "https://c.example.com/10", C)])
+    cmd_corpus_nightly(spark, str(src1), root, "n1", n_merges=8, ctx_len=16)
+
+    # downgrade the root to the legacy layout: materialize night-1's
+    # state dir from the ledger view, then drop the ledger
+    led = f"{root}/state_ledger"
+    for t in ("features", "bands", "audit"):
+        _state_read(spark, LedgerState(led, 0), t).write.parquet(
+            f"{root}/state/n1/{t}"
+        )
+    spark.read.parquet(f"{led}/knobs").write.parquet(f"{root}/state/n1/knobs")
+    shutil.rmtree(led)
+
+    # night 2 continues in the legacy layout
+    c2 = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    assert c2["kept"] == 1 and c2["night_index"] == 1
+    assert os.path.isdir(f"{root}/state/n2/audit")
+    assert not os.path.exists(led)
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["ok"] and checks["states_present"], checks
+
+
+def test_night_log_claim_blocks_concurrent_night(spark, tmp_path):
+    """r10 verdict #2: two corpus-nightly runs against one root would
+    mint the same night-log idx and the later write would silently
+    bury the earlier night — the claim loser now raises (its stores
+    are the familiar ahead-of-log crash state, replayable), and a
+    replay under the CLAIMED tag completes against its own claim."""
+    import pytest
+
+    from radares_spark.io import fs as iofs
+
+    A, B = _body("alpha"), _body("beta")
+    root = str(tmp_path / "root")
+    src1, src2 = tmp_path / "p1", tmp_path / "p2"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A)])
+    _write_pages(spark, src2, [(2, "https://b.example.com/2", B)])
+    cmd_corpus_nightly(spark, str(src1), root, "n1", n_merges=8, ctx_len=16)
+
+    # a concurrent run claimed idx 1 under a DIFFERENT night tag
+    claim = f"{root}/night_log/_claim_idx_1"
+    assert iofs.claim_marker(spark, claim, "other-night")
+    with pytest.raises(ValueError, match="DIFFERENT night"):
+        cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    # the log never recorded n2 — exactly the replayable crash state
+    assert [
+        r["night"]
+        for r in spark.read.parquet(f"{root}/night_log").orderBy("idx").collect()
+    ] == ["n1"]
+
+    # crash-between-claim-and-append replay: the claim names OUR night
+    iofs.delete(spark, claim)
+    assert iofs.claim_marker(spark, claim, "n2")
+    c2 = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    assert c2["night_index"] == 1
+    assert [
+        r["night"]
+        for r in spark.read.parquet(f"{root}/night_log").orderBy("idx").collect()
+    ] == ["n1", "n2"]

@@ -49,6 +49,37 @@ def test_pointer_log_resolve_flip_and_refusal(spark, tmp_path):
     assert [i for i, _, _ in pointer_history(spark, root)] == [0, 1, 1, 2]
 
 
+def test_flip_claim_blocks_second_writer(spark, tmp_path):
+    """r10 verdict #2: two concurrent maintenance runs minting the
+    same flip idx must fail fast instead of silently dynamic-
+    overwriting each other's pointer partition — while a re-run of a
+    flip that crashed between its claim and its append (same moves)
+    recognizes its own claim and completes."""
+    from radares_spark.io import fs as iofs
+    from radares_spark.pipeline.stores import _to_logged
+
+    root = str(tmp_path / "root")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame([(1,)], ["x"]).write.parquet(a)
+    spark.createDataFrame([(2,)], ["x"]).write.parquet(b)
+    assert flip_stores(spark, root, {"ivf_store": a}) == 0
+
+    # a concurrent writer claimed idx 1 first, for a DIFFERENT swap
+    planted = repr(sorted({"shards": _to_logged(root, b)}.items()))
+    assert iofs.claim_marker(
+        spark, f"{root}/store_pointers/_claim_idx_1", planted
+    )
+    with pytest.raises(ValueError, match="DIFFERENT swap"):
+        flip_stores(spark, root, {"ivf_store": b})
+    # serving pointer untouched by the refused flip
+    assert resolve_store(spark, root, "ivf_store") == a
+
+    # the claim's own writer (crash-between-claim-and-append replay)
+    # completes against its existing claim
+    assert flip_stores(spark, root, {"shards": b}) == 1
+    assert resolve_store(spark, root, "shards") == b
+
+
 def test_pointer_log_survives_root_relocation(spark, tmp_path):
     """r10 ADVICE: entries for stores UNDER the root are recorded
     root-relative, so moving/renaming the root keeps every flipped

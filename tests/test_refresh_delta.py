@@ -25,6 +25,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from radares_spark.pipeline.refresh import (
+    _state_read,
     apply_refresh_to_ivf_store,
     apply_refresh_to_postings_store,
     apply_refresh_to_store,
@@ -37,6 +38,7 @@ from radares_spark.pipeline.refresh import (
     refresh,
     refresh_night,
 )
+from radares_spark.pipeline.state_ledger import LedgerState
 from tests.test_refresh import _df, mk_text, near_variant
 
 
@@ -44,23 +46,24 @@ def _rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
-def _state_rows(spark, state_dir):
+def _state_rows(spark, state):
     return {
         "features": _rows(
-            spark.read.parquet(f"{state_dir}/features"),
+            _state_read(spark, state, "features"),
             ["doc_id", "text_hash", "raw_hash", "quality_pass", "pred_lang", "exact_keep"],
         ),
         "bands": _rows(
-            spark.read.parquet(f"{state_dir}/bands"), ["doc_id", "band", "band_hash"]
+            _state_read(spark, state, "bands"), ["doc_id", "band", "band_hash"]
         ),
-        "audit": _rows(spark.read.parquet(f"{state_dir}/audit"), ["doc_id", "outcome"]),
+        "audit": _rows(_state_read(spark, state, "audit"), ["doc_id", "outcome"]),
     }
 
 
-def _bootstrap(spark, root, docs):
+def _bootstrap(spark, root, docs, ledger=False):
     """Night zero: state + all three serving stores (the nightly
-    bootstrap composition)."""
-    s0 = f"{root}/state/n0"
+    bootstrap composition) — against per-night dirs or the delta
+    state ledger."""
+    s0 = LedgerState(f"{root}/state_ledger", 0) if ledger else f"{root}/state/n0"
     store = f"{root}/kept_store"
     postings = f"{root}/postings_store"
     ivf = f"{root}/ivf_store"
@@ -115,11 +118,17 @@ def test_refresh_night_matches_generic_snapshot_path(spark, tmp_path):
     tonight = _tonight_rows()
 
     results = {}
-    for mode in ("generic", "delta"):
+    for mode in ("generic", "delta", "ledger"):
         root = str(tmp_path / mode)
         docs0 = _df(spark, base)
-        s0, store, postings, ivf = _bootstrap(spark, root, docs0)
-        s1 = f"{root}/state/n1"
+        s0, store, postings, ivf = _bootstrap(
+            spark, root, docs0, ledger=mode == "ledger"
+        )
+        s1 = (
+            LedgerState(f"{root}/state_ledger", 1)
+            if mode == "ledger"
+            else f"{root}/state/n1"
+        )
         tonight_df = _df(spark, tonight)
 
         if mode == "generic":
@@ -171,13 +180,15 @@ def test_refresh_night_matches_generic_snapshot_path(spark, tmp_path):
             },
         }
 
-    g, d = results["generic"], results["delta"]
-    assert d["state"] == g["state"]
-    assert d["audit"] == g["audit"]
-    assert d["store"] == g["store"]
-    assert d["postings"] == g["postings"]
-    assert d["ivf"] == g["ivf"]
-    assert d["stats"] == g["stats"]
+    g = results["generic"]
+    for mode in ("delta", "ledger"):
+        d = results[mode]
+        assert d["state"] == g["state"], mode
+        assert d["audit"] == g["audit"], mode
+        assert d["store"] == g["store"], mode
+        assert d["postings"] == g["postings"], mode
+        assert d["ivf"] == g["ivf"], mode
+        assert d["stats"] == g["stats"], mode
 
 
 def test_refresh_night_io_counters_are_corpus_independent(spark, tmp_path):
@@ -292,3 +303,46 @@ def test_pruned_store_read_partition_filters_in_plan(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[part_bucket#\d+ IN \((\d+(?:,\d+)*)\)\]", plan)
     assert m, plan
     assert set(m.group(1).split(",")) == {str(101 % 64), str(105 % 64)}
+
+
+def test_state_ledger_bytes_are_delta_proportional(spark, tmp_path):
+    """r10 verdict #1's Done bar: the per-night STATE write joins the
+    text I/O under the scale law — 4x the residents with the SAME
+    tonight delta writes the same state-ledger bytes (night zero's
+    base epoch is excluded: a deployment initializes once), because a
+    night appends only its changed rows + tombstones, never the
+    corpus-wide ledger."""
+    import glob
+    import os
+
+    from radares_spark.pipeline.refresh import init_state
+
+    written_bytes = {}
+    for scale, tag in ((1, "a"), (4, "b")):
+        root = str(tmp_path / tag)
+        led = f"{root}/state_ledger"
+        store = f"{root}/kept_store"
+        docs0 = _df(spark, _base_corpus(n=24 * scale))
+        L0, L1 = LedgerState(led, 0), LedgerState(led, 1)
+        init_state(spark, docs0, L0)
+        init_store(spark, docs0, L0, store)
+
+        def _files():
+            return {
+                f: os.stat(f).st_size
+                for f in glob.glob(f"{led}/**/*.parquet", recursive=True)
+            }
+
+        before = _files()
+        refresh_night(spark, _df(spark, _tonight_rows()), L0, L1, store)
+        after = _files()
+        # prior epochs are never touched...
+        assert all(after.get(f) == sz for f, sz in before.items()), tag
+        # ...and the new bytes are the night's delta
+        written_bytes[tag] = sum(
+            sz for f, sz in after.items() if f not in before
+        )
+    assert written_bytes["a"] > 0
+    assert (
+        written_bytes["b"] <= 1.8 * written_bytes["a"] + 4096
+    ), written_bytes

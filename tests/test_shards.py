@@ -841,3 +841,45 @@ def test_budgeted_export_is_training_order_prefix(spark, tmp_path, tokenizer):
         spark, store, str(tmp_path / "none"), seed=9, n_shards=4, max_tokens=0
     )
     assert s3 == {"n_sequences": 0, "n_shards_written": 0}
+
+
+def test_compact_shards_files_hold_contiguous_seq_spans(
+    spark, tmp_path, tokenizer, monkeypatch
+):
+    """r10 advice: compaction range-partitions on seq_id, so each
+    compacted file holds a CONTIGUOUS, non-overlapping span of the
+    training order (a sequential trainer reads files in order instead
+    of hopping) — content identity is pinned by the maintain e2e; this
+    pins the file layout with the per-file budget forced tiny."""
+    import glob
+    import os
+
+    from radares_spark.pipeline import shards as shards_mod
+    from radares_spark.pipeline.shards import compact_shards
+
+    store, _ = _run_nights(spark, tmp_path, tokenizer)
+    want = sorted(
+        (r["seq_id"], tuple(r["input_ids"]))
+        for r in read_shards(spark, store).collect()
+    )
+    monkeypatch.setattr(shards_mod, "_COMPACT_TOKENS_PER_FILE", 2 * CTX)
+    out = str(tmp_path / "compacted")
+    stats = compact_shards(spark, store, out)
+    assert stats["n_files"] >= 3
+    spans = []
+    for f in glob.glob(f"{out}/epoch=-1/*.parquet"):
+        ids = [r["seq_id"] for r in spark.read.parquet(f"file:{os.path.abspath(f)}").collect()]
+        if ids:
+            spans.append((min(ids), max(ids), len(ids)))
+    spans.sort()
+    # non-overlapping AND gap-free: consecutive files' spans tile the
+    # whole 0..n-1 training order
+    assert spans[0][0] == 0
+    for (lo_a, hi_a, n_a), (lo_b, _hi_b, _n_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, spans
+        assert hi_a - lo_a + 1 == n_a, spans  # contiguous inside a file
+        assert lo_b == hi_a + 1, spans
+    assert sorted(
+        (r["seq_id"], tuple(r["input_ids"]))
+        for r in read_shards(spark, out).collect()
+    ) == want
