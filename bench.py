@@ -105,6 +105,8 @@ EXTRA = [
     "shards_manifest_audit",  # r9: driver-registered manifest audit
     "corpus_kn_bigram_logprob",  # r9: interpolated Kneser-Ney LM score
     "corpus_kn_trigram_logprob",  # r9: recursive KN trigram chain
+    "text_chunk_windows",  # r11: overlapping context-window chunking
+    "events_drift_psi",  # r11: per-bucket PSI drift monitor
 ]
 
 

@@ -1,0 +1,165 @@
+"""Distribution-drift monitoring — the nightly data-quality telemetry
+a production crawl pipeline runs over every ingest cohort (PSI, the
+population stability index of Siddiqi 2006 credit-scorecard practice,
+the standard drift score in ML data-quality monitors): compare the
+distribution of a categorical or binned-numeric feature between two
+cohorts (last night's crawl vs tonight's, reference corpus vs new
+source) and flag buckets whose share moved.
+
+Reference anchor: the reference engine declares downstream analysis
+only (/root/reference/README.md:3); this extends the BASELINE.json
+text-analysis/monitoring surface the same way the Gopher/C4 quality
+blocks do. Library-tier (the driver's 50-entry window is full), pinned
+by the SAME strict DuckDB comparison the driver runs via the
+plans/library.py sweep.
+
+Scale shape: one linear scan computing the cohort flag, ONE map-side-
+combined aggregate per dimension (shuffle keys = the low-cardinality
+bucket values), totals via a one-row broadcast cross join (the
+sanctioned grand-total idiom — kilobytes). Nothing is quadratic,
+nothing collects; at 100 TB the cost is the scan.
+
+PSI convention: ``psi_term = (share_a - share_b) * ln(share_a /
+share_b)`` per bucket with shares clamped to ``PSI_MIN_SHARE`` so a
+bucket present in only one cohort contributes a large-but-finite term
+(the standard zero-protection); consumers sum terms per dim and alert
+on the usual 0.1 / 0.25 thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radares_spark.io.tables import load_table
+from radares_spark.registry import QuerySpec
+
+# Deterministic cohort split for the testdata's one-month event range
+# (2024-01): first half of the month vs the rest. A deployment passes
+# its own predicate (last night vs tonight).
+DRIFT_SPLIT_TS = "2024-01-16 00:00:00"
+PSI_VALUE_BIN_W = 50.0  # fixed-width bins over events.value (0..490)
+PSI_MIN_SHARE = 1e-6
+
+
+def distribution_drift_psi(
+    events: DataFrame,
+    cohort_a,
+    dims: dict[str, "F.Column"],
+) -> DataFrame:
+    """Per-bucket PSI between the ``cohort_a`` rows and the rest, for
+    each named dimension expression in ``dims`` (bucket expressions
+    must be strings — pre-bin numerics). Returns
+    ``(dim, bucket, n_a, n_b, share_a, share_b, psi_term)``."""
+    flagged = events.select(
+        cohort_a.alias("__a"),
+        *[expr.alias(f"__dim_{name}") for name, expr in dims.items()],
+    )
+    # totals are dimension-independent: every row lands in exactly one
+    # bucket per dim, so each dim's shares divide by the same pair of
+    # cohort row counts — computed once, broadcast as one row
+    tot = flagged.agg(
+        F.greatest(F.count(F.when(F.col("__a"), 1)), F.lit(1)).alias("__ta"),
+        F.greatest(F.count(F.when(~F.col("__a"), 1)), F.lit(1)).alias("__tb"),
+    )
+
+    def one(dim_name: str) -> DataFrame:
+        agg = (
+            flagged.groupBy(F.col(f"__dim_{dim_name}").alias("bucket"))
+            .agg(
+                F.count(F.when(F.col("__a"), 1)).alias("n_a"),
+                F.count(F.when(~F.col("__a"), 1)).alias("n_b"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+        share_a = F.col("n_a") / F.col("__ta")
+        share_b = F.col("n_b") / F.col("__tb")
+        ca = F.greatest(share_a, F.lit(PSI_MIN_SHARE))
+        cb = F.greatest(share_b, F.lit(PSI_MIN_SHARE))
+        return agg.select(
+            F.lit(dim_name).alias("dim"),
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round(share_a, 6).alias("share_a"),
+            F.round(share_b, 6).alias("share_b"),
+            F.round((ca - cb) * F.log(ca / cb), 6).alias("psi_term"),
+        )
+
+    out = None
+    for name in dims:
+        part = one(name)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return distribution_drift_psi(
+        events,
+        cohort_a=F.col("ts") < F.lit(DRIFT_SPLIT_TS).cast("timestamp"),
+        dims={
+            "event_type": F.col("event_type"),
+            "value_bin": F.concat(
+                F.lit("bin_"),
+                F.floor(F.col("value") / F.lit(PSI_VALUE_BIN_W))
+                .cast("int")
+                .cast("string"),
+            ),
+        },
+    )
+
+
+_PSI_BUCKETS = f"""
+    e AS (
+        SELECT (ts < TIMESTAMP '{DRIFT_SPLIT_TS}') AS a,
+               event_type,
+               'bin_' || (floor(value / {PSI_VALUE_BIN_W})::INT)::VARCHAR
+                   AS value_bin
+        FROM events
+    ),
+    tot AS (
+        SELECT greatest(count(*) FILTER (WHERE a), 1) AS ta,
+               greatest(count(*) FILTER (WHERE NOT a), 1) AS tb
+        FROM e
+    ),
+    buckets AS (
+        SELECT 'event_type' AS dim, event_type AS bucket,
+               count(*) FILTER (WHERE a) AS n_a,
+               count(*) FILTER (WHERE NOT a) AS n_b
+        FROM e GROUP BY 2
+        UNION ALL
+        SELECT 'value_bin' AS dim, value_bin AS bucket,
+               count(*) FILTER (WHERE a) AS n_a,
+               count(*) FILTER (WHERE NOT a) AS n_b
+        FROM e GROUP BY 2
+    )
+"""
+
+PSI_SQL = f"""
+    WITH {_PSI_BUCKETS}
+    SELECT dim, bucket, n_a, n_b,
+           round(n_a / ta, 6) AS share_a,
+           round(n_b / tb, 6) AS share_b,
+           round((greatest(n_a / ta, {PSI_MIN_SHARE})
+                  - greatest(n_b / tb, {PSI_MIN_SHARE}))
+                 * ln(greatest(n_a / ta, {PSI_MIN_SHARE})
+                      / greatest(n_b / tb, {PSI_MIN_SHARE})), 6) AS psi_term
+    FROM buckets, tot
+"""
+
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {
+    "events_drift_psi": QuerySpec(
+        name="events_drift_psi",
+        fn=events_drift_psi,
+        oracle=PSI_SQL,
+        survey="LLM-pipeline (nightly distribution-drift monitor: "
+        "per-bucket PSI between ingest cohorts)",
+        doc="Population stability index per event_type bucket and "
+        f"fixed-width value bin (width {PSI_VALUE_BIN_W}) between the "
+        "two halves of the event month; one map-side-combined "
+        "aggregate per dim + a one-row broadcast total, zero "
+        "collects.",
+    ),
+}

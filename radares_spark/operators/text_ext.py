@@ -1236,3 +1236,127 @@ LIBRARY_SPECS["text_blocklist_stats"] = QuerySpec(
     "regexp_count projection, zero shuffles; broadcast-semi-join "
     "variant documented for 100k-entry lists.",
 )
+
+
+# --- Token-window chunking — the context-window prep stage -------------------
+
+CHUNK_LEN = 64  # words per chunk
+CHUNK_STRIDE = 48  # words between chunk starts (overlap = 16)
+
+
+def chunk_windows(
+    docs: DataFrame,
+    chunk_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    with_text: bool = False,
+) -> DataFrame:
+    """Overlapping fixed-length word-window chunks per document — the
+    retrieval/embedding prep stage every RAG-style corpus consumer
+    runs before embedding (context windows with stride overlap so no
+    passage straddles a boundary uncaught; the sliding-window encoding
+    convention of Devlin et al. 2019 appendix, applied corpus-side).
+
+    Chunk starts are ``1, 1+stride, ...`` up to
+    ``1 + stride * ceil(max(n - chunk_len, 0) / stride)`` — the last
+    start is the unique one that makes the final chunk REACH THE END
+    of the doc (coverage guarantee, pinned in tests), and
+    ``stride <= chunk_len`` is enforced so consecutive chunks can
+    never leave an uncovered gap. A doc shorter than ``chunk_len``
+    yields exactly one (short) chunk; an empty/normalized-empty doc
+    yields none (consumers keeping a doc spine left-join).
+
+    Returns ``(doc_id, chunk_id, start_pos, n_chunk_words,
+    chunk_hash[, chunk_text])``: ``chunk_id = (start_pos-1)/stride``
+    is derived arithmetically, NOT via a per-doc window function — the
+    whole operator is one codegen'd projection + explode with ZERO
+    shuffles, linear in corpus tokens times the overlap factor
+    ``chunk_len/stride``; at 100 TB it pipelines with the scan.
+    """
+    if chunk_len <= 0 or stride <= 0:
+        raise ValueError("chunk_len and stride must be positive")
+    if stride > chunk_len:
+        raise ValueError(
+            f"stride={stride} > chunk_len={chunk_len} would leave "
+            "uncovered word gaps between consecutive chunks"
+        )
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    staged = docs.select("doc_id", norm.alias("__t")).filter(F.col("__t") != "")
+    words = F.split(F.col("__t"), " ")
+    last_start = (
+        F.lit(1)
+        + F.lit(stride)
+        * F.ceil(
+            F.greatest(F.size(words) - F.lit(chunk_len), F.lit(0))
+            / F.lit(stride)
+        )
+    ).cast("long")
+    rows = staged.select(
+        "doc_id",
+        words.alias("__w"),
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("long"), last_start, F.lit(stride).cast("long")
+            )
+        ).alias("start_pos"),
+    )
+    piece = F.slice(F.col("__w"), F.col("start_pos"), chunk_len)
+    out = [
+        F.col("doc_id"),
+        ((F.col("start_pos") - 1) / stride).cast("int").alias("chunk_id"),
+        F.col("start_pos"),
+        F.size(piece).alias("n_chunk_words"),
+        F.md5(F.encode(F.array_join(piece, " "), "UTF-8")).alias("chunk_hash"),
+    ]
+    if with_text:
+        out.append(F.array_join(piece, " ").alias("chunk_text"))
+    return rows.select(*out)
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_windows(docs)
+
+
+CHUNK_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, {NORM_SQL.format(c="coalesce(text, '')")} AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, string_split(t, ' ') AS w,
+               len(string_split(t, ' ')) AS n
+        FROM norm WHERE t <> ''
+    ),
+    starts AS (
+        SELECT doc_id, w,
+               unnest(generate_series(
+                   1,
+                   1 + {CHUNK_STRIDE} * cast(ceil(
+                       greatest(n - {CHUNK_LEN}, 0) / {CHUNK_STRIDE}.0
+                   ) AS BIGINT),
+                   {CHUNK_STRIDE}
+               )) AS start_pos
+        FROM base
+    )
+    SELECT doc_id,
+           ((start_pos - 1) // {CHUNK_STRIDE})::INT AS chunk_id,
+           start_pos,
+           len(w[start_pos:start_pos + {CHUNK_LEN} - 1]) AS n_chunk_words,
+           md5(array_to_string(w[start_pos:start_pos + {CHUNK_LEN} - 1], ' '))
+               AS chunk_hash
+    FROM starts
+"""
+
+
+LIBRARY_SPECS["text_chunk_windows"] = QuerySpec(
+    name="text_chunk_windows",
+    fn=text_chunk_windows,
+    oracle=CHUNK_SQL,
+    survey="LLM-pipeline (overlapping context-window chunking — the "
+    "RAG/embedding corpus prep stage)",
+    doc=f"Fixed {CHUNK_LEN}-word chunks at stride {CHUNK_STRIDE} "
+    "(tail chunk pinned to the doc end, coverage gap-free by "
+    "construction); chunk_id derived arithmetically so the operator "
+    "is one codegen'd explode projection with zero shuffles.",
+)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from radares_spark.operators import (
     asof,
     dedup,
+    drift,
     dsir,
     embed,
     incremental,
@@ -35,7 +36,7 @@ from radares_spark.plans import radar, relational, tpch_extra, tpch_full, tpch_m
 from radares_spark.registry import QuerySpec
 
 ALL_LIBRARY_SPECS: dict[str, QuerySpec] = {}
-for _mod in (asof, dedup, dsir, embed, incremental, quantize, retrieval, semdedup, skew, text_ext, urls, radar, corpus, crawl, snapshot, relational, tpch_more, tpch_extra):
+for _mod in (asof, dedup, drift, dsir, embed, incremental, quantize, retrieval, semdedup, skew, text_ext, urls, radar, corpus, crawl, snapshot, relational, tpch_more, tpch_extra):
     for _name, _spec in _mod.LIBRARY_SPECS.items():
         assert _name not in ALL_LIBRARY_SPECS, f"duplicate library spec {_name}"
         ALL_LIBRARY_SPECS[_name] = _spec

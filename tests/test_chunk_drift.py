@@ -1,0 +1,165 @@
+"""Chunking (text_ext.chunk_windows) and drift-PSI (operators/drift.py)
+edge semantics. Oracle parity for both runs in the library sweep
+(tests/test_oracle_parity.py); here we pin the contracts parity can't
+see: the chunk coverage guarantee, boundary/degenerate docs, the
+stride validation, and a hand-computed PSI."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from radares_spark.operators.drift import (
+    PSI_MIN_SHARE,
+    distribution_drift_psi,
+)
+from radares_spark.operators.text_ext import chunk_windows
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    # 5 words < chunk_len: exactly one chunk holding the whole doc
+    out = chunk_windows(
+        _docs(spark, [(1, "a b c d e")]), chunk_len=8, stride=4,
+        with_text=True,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chunk_id"], r["start_pos"], r["n_chunk_words"]) == (0, 1, 5)
+    assert r["chunk_text"] == "a b c d e"
+
+
+def test_chunk_empty_and_null_docs_yield_nothing(spark):
+    out = chunk_windows(
+        _docs(spark, [(1, ""), (2, None), (3, "!!!")])  # 3 normalizes empty
+    ).collect()
+    assert out == []
+
+
+def test_chunk_coverage_and_overlap(spark):
+    # 10 words, chunk_len=4, stride=3: starts 1,4,7 — last chunk must
+    # REACH the end (start 7 covers words 7..10)
+    words = " ".join(f"w{i}" for i in range(1, 11))
+    rows = sorted(
+        (r["chunk_id"], r["start_pos"], r["n_chunk_words"], r["chunk_text"])
+        for r in chunk_windows(
+            _docs(spark, [(1, words)]), chunk_len=4, stride=3, with_text=True
+        ).collect()
+    )
+    assert [(c, s, n) for c, s, n, _ in rows] == [
+        (0, 1, 4), (1, 4, 4), (2, 7, 4),
+    ]
+    # every word index is covered by at least one chunk
+    covered = set()
+    for _, s, n, _ in rows:
+        covered.update(range(s, s + n))
+    assert covered == set(range(1, 11))
+    # interior overlap = chunk_len - stride
+    assert rows[0][3].split(" ")[3] == rows[1][3].split(" ")[0] == "w4"
+
+
+def test_chunk_exact_multiple_no_phantom_tail(spark):
+    # n == chunk_len: one chunk, not a zero-length trailing start
+    words = " ".join(f"w{i}" for i in range(4))
+    out = chunk_windows(
+        _docs(spark, [(1, words)]), chunk_len=4, stride=2
+    ).collect()
+    assert [(r["start_pos"], r["n_chunk_words"]) for r in out] == [(1, 4)]
+    # n = chunk_len + 1: tail start pinned so the final chunk reaches
+    # the end (starts 1 and 1+stride*ceil(1/2)=3)
+    words5 = " ".join(f"w{i}" for i in range(5))
+    out5 = sorted(
+        (r["start_pos"], r["n_chunk_words"])
+        for r in chunk_windows(
+            _docs(spark, [(1, words5)]), chunk_len=4, stride=2
+        ).collect()
+    )
+    assert out5 == [(1, 4), (3, 3)]
+
+
+def test_chunk_stride_validation(spark):
+    with pytest.raises(ValueError, match="uncovered"):
+        chunk_windows(_docs(spark, [(1, "a b")]), chunk_len=4, stride=5)
+    with pytest.raises(ValueError, match="positive"):
+        chunk_windows(_docs(spark, [(1, "a b")]), chunk_len=0, stride=1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "grp string, cat string")
+
+
+def test_psi_hand_computed(spark):
+    # cohort A: 3 x, 1 y; cohort B: 1 x, 3 y
+    rows = [("a", "x")] * 3 + [("a", "y")] + [("b", "x")] + [("b", "y")] * 3
+    out = {
+        r["bucket"]: r
+        for r in distribution_drift_psi(
+            _events(spark, rows),
+            cohort_a=F.col("grp") == "a",
+            dims={"cat": F.col("cat")},
+        ).collect()
+    }
+    x = out["x"]
+    assert (x["n_a"], x["n_b"]) == (3, 1)
+    assert x["share_a"] == 0.75 and x["share_b"] == 0.25
+    want = round((0.75 - 0.25) * math.log(0.75 / 0.25), 6)
+    assert x["psi_term"] == want
+    # symmetric bucket mirrors the same PSI term
+    assert out["y"]["psi_term"] == want
+
+
+def test_psi_one_sided_bucket_finite(spark):
+    # bucket present ONLY in cohort B: share_a clamps to PSI_MIN_SHARE,
+    # term is large but finite (never inf/NaN)
+    rows = [("a", "x"), ("b", "x"), ("b", "z")]
+    out = {
+        r["bucket"]: r
+        for r in distribution_drift_psi(
+            _events(spark, rows),
+            cohort_a=F.col("grp") == "a",
+            dims={"cat": F.col("cat")},
+        ).collect()
+    }
+    z = out["z"]
+    assert z["n_a"] == 0 and z["share_a"] == 0.0
+    want = round(
+        (PSI_MIN_SHARE - 0.5) * math.log(PSI_MIN_SHARE / 0.5), 6
+    )
+    assert z["psi_term"] == want
+    assert math.isfinite(z["psi_term"])
+
+
+@pytest.mark.parametrize("chunk_len,stride", [(3, 1), (4, 2), (4, 4), (5, 3), (8, 7)])
+def test_chunk_grid_matches_bruteforce(spark, chunk_len, stride):
+    """The start-generation formula against a brute-force reference
+    for every doc length 1..17 (one Spark call per param pair): starts
+    are 1, 1+s, ...; the LAST start is the unique stride multiple that
+    makes the final chunk reach the doc end; every position covered."""
+    docs = _docs(
+        spark,
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 18)],
+    )
+    got: dict[int, list] = {}
+    for r in chunk_windows(docs, chunk_len=chunk_len, stride=stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_pos"], r["n_chunk_words"])
+        )
+    for n in range(1, 18):
+        last = 1 + stride * math.ceil(max(n - chunk_len, 0) / stride)
+        want = [
+            (k, st, min(chunk_len, n - st + 1))
+            for k, st in enumerate(range(1, last + 1, stride))
+        ]
+        assert sorted(got[n]) == want, (n, chunk_len, stride)
+        # final chunk reaches the end; all positions covered
+        assert want[-1][1] + want[-1][2] - 1 == n
+        covered = set()
+        for _, st, ln in want:
+            covered.update(range(st, st + ln))
+        assert covered == set(range(1, n + 1))
