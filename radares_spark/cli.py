@@ -703,6 +703,27 @@ def cmd_corpus_nightly(
     if night in done:
         return {"already_completed": 1}
     first = not done
+    # Single-writer fail-fast (r10 verdict #2), claimed UP FRONT: two
+    # concurrent nights against one root would mint the same night-log
+    # idx; claiming only at the final append (the r11 first cut) let
+    # them interleave store mutations for the WHOLE night and collide
+    # at the very last write — the early atomic claim (content = the
+    # night tag) makes the loser raise before touching any store,
+    # while a replay of a crashed night recognizes its OWN tag and
+    # proceeds. The claim is an _-prefixed file inside the log dir
+    # (invisible to Spark reads) and stays in place forever — one
+    # claim per idx, the append-only log discipline.
+    claim = f"{log}/_claim_idx_{len(done)}"
+    if not iofs.claim_marker(spark, claim, night) and (
+        iofs.read_marker(spark, claim) != night
+    ):
+        raise ValueError(
+            f"night-log idx {len(done)} is already claimed ({claim!r}) "
+            "by a DIFFERENT night: another corpus-nightly run is (or "
+            "was) working against this root — never run two nights "
+            "concurrently; if that run is dead, delete the claim file "
+            "and re-run"
+        )
     # refresh state: NEW roots use the delta state ledger (one epoch
     # appended per night, r10 verdict #1); roots that already rotate
     # state/<night>/ dirs keep doing so — the two layouts share every
@@ -793,27 +814,11 @@ def cmd_corpus_nightly(
     # partitions are never rewritten, so no crash window can destroy
     # the log and silently reset the pipeline to night zero (a
     # read-modify-overwrite deletes the dir before rewriting it).
-    # Single-writer fail-fast (r10 verdict #2): two concurrent nights
-    # against one root would mint the same idx and the later write
-    # would silently bury the earlier night — an atomic idx claim
-    # (content = the night tag) catches the race up front: the claim
-    # loser sees a DIFFERENT night's claim and raises before touching
-    # the log, while a replay of a night that crashed between claim
-    # and append recognizes its OWN tag and completes. The read-back
-    # below catches the weak-atomicity remainder (object stores
-    # without atomic create): a buried writer sees the other night's
-    # row and raises instead of reporting success for a night the log
-    # never recorded.
-    claim = f"{log}/_claim_idx_{len(done)}"
-    if not iofs.claim_marker(spark, claim, night):
-        if iofs.read_marker(spark, claim) != night:
-            raise ValueError(
-                f"night-log idx {len(done)} is already claimed "
-                f"({claim!r}) by a DIFFERENT night: another corpus-"
-                "nightly run is (or was) completing against this root — "
-                "never run two nights concurrently; if that run is "
-                "dead, delete the claim file and re-run"
-            )
+    # The idx was claimed at the top of the night; the read-back below
+    # catches the weak-atomicity remainder (object stores without
+    # atomic create, where two simultaneous claims can both "win"): a
+    # buried writer sees the other night's row and raises instead of
+    # reporting success for a night the log never recorded.
     (
         spark.createDataFrame([(len(done), night)], "idx int, night string")
         .repartition(1)

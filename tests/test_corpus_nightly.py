@@ -282,7 +282,11 @@ def test_night_log_claim_blocks_concurrent_night(spark, tmp_path):
     assert iofs.claim_marker(spark, claim, "other-night")
     with pytest.raises(ValueError, match="DIFFERENT night"):
         cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
-    # the log never recorded n2 — exactly the replayable crash state
+    # the loser failed BEFORE touching anything (the claim is taken at
+    # the top of the night, not at the final append): no n2 outputs,
+    # no new URL-ledger epoch, and the log never recorded n2
+    assert not os.path.exists(f"{root}/nights/n2")
+    assert iofs.epoch_partitions(spark, f"{root}/url_ledger") == [0]
     assert [
         r["night"]
         for r in spark.read.parquet(f"{root}/night_log").orderBy("idx").collect()
