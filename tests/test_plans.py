@@ -36,10 +36,12 @@ SANCTIONED_NESTED_LOOP = {
     "q15_top_supplier",
     "text_bm25_topk",
     "text_hybrid_rrf_topk",
-    # r10 rotation: the KN recursion joins the ONE-ROW grand total
-    # (sum of unigram buckets) to the model — a broadcast of exactly
-    # one row, the q11/q15 scalar-total pattern
+    # r10/r11 rotations: the KN recursion joins the ONE-ROW grand
+    # total (count of bigram/trigram types) to the model — a broadcast
+    # of exactly one row, the q11/q15 scalar-total pattern
+    # (operators/dsir.py:567,654)
     "corpus_kn_trigram_logprob",
+    "corpus_kn_bigram_logprob",
 }
 
 
