@@ -268,3 +268,28 @@ def test_maintain_swap_story_end_to_end(spark, tmp_path):
     meta5 = spark.read.parquet(f"{compacted}/_meta").head()
     assert "n5" in list(meta5["nights"])
     assert meta5["next_epoch"] == want_meta2["next_epoch"] + 1
+
+    # --- state-ledger compaction: completed per-night epochs fold
+    # into the epoch=-1 base (gated on the night log), the audit stays
+    # green, and the NEXT night runs delta-direct against the
+    # compacted ledger, appending exactly its own epoch above the base
+    assert _eps("state_ledger/features")  # per-night epochs exist
+    counts = cmd_corpus_maintain(spark, root, ivf="skip", compact_states=True)
+    assert counts["state_compacted_thru"] == 4  # n1..n5 = epochs 0..4
+    assert counts["state_epochs_folded"] >= 1
+    assert _eps("state_ledger/features") == [-1]
+    assert _eps("state_ledger/audit") == [-1]
+    assert cmd_nightly_verify(spark, root)["ok"]
+    G = (
+        "harbor ledgers tally the evening catch while lantern keepers "
+        "note the tide tables in a worn canvas journal every night " * 5
+    ) + "closing line six"
+    c6 = _run_night(spark, tmp_path, root, "n6",
+                    [(60, "https://g.example.com/60", G)])
+    assert c6["kept"] == 1 and c6["night_index"] == 5
+    assert _eps("state_ledger/audit") == [-1, 5]
+    assert 60 in {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/kept_store").collect()
+    }
+    assert cmd_nightly_verify(spark, root)["ok"]
