@@ -83,15 +83,25 @@ def read_state(spark: SparkSession, state: LedgerState, table: str) -> DataFrame
     """The state table as of ``state.epoch``: latest-per-doc over
     ``epoch <= e`` (partition-pruned), tombstoned docs dropped, payload
     columns only — row-equal to what the legacy full-rewrite layout
-    stored in ``state/<night>/<table>``."""
+    stored in ``state/<night>/<table>``.
+
+    Latest-per-doc is a max-over-window + filter (ONE doc_id shuffle;
+    every row of a doc's newest epoch survives, which the bands table
+    needs — several rows per doc per epoch). The groupBy-max +
+    self-join formulation costs a second shuffle for the join; a
+    row_number window would drop the bands' sibling rows. Per-doc row
+    counts are tiny (epochs a doc appears in), so the unordered window
+    buffers nothing meaningful."""
+    from pyspark.sql import Window
+
     raw = spark.read.parquet(state.table_dir(table)).filter(
         F.col("epoch") <= F.lit(state.epoch)
     )
-    latest = raw.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    latest = F.max("epoch").over(Window.partitionBy("doc_id"))
     return (
-        raw.join(latest, ["doc_id", "epoch"])
-        .filter(~F.col("_deleted"))
-        .drop("epoch", "_deleted")
+        raw.withColumn("__latest", latest)
+        .filter((F.col("epoch") == F.col("__latest")) & ~F.col("_deleted"))
+        .drop("epoch", "_deleted", "__latest")
     )
 
 
