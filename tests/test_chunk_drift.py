@@ -163,3 +163,38 @@ def test_chunk_grid_matches_bruteforce(spark, chunk_len, stride):
         for _, st, ln in want:
             covered.update(range(st, st + ln))
         assert covered == set(range(1, n + 1))
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=20))
+def test_chunk_windows_duckdb_conformance_fuzz(spark, texts):
+    """Cross-engine conformance on RANDOM UNICODE text (the
+    normalize_text boundary the repo's fuzz has caught divergence on
+    before): chunk_windows vs the CHUNK_SQL oracle, one Spark job +
+    one DuckDB query per example. A trailing None row rides along so
+    null text stays covered."""
+    import duckdb
+    import pandas as pd
+
+    from radares_spark.operators.text_ext import CHUNK_SQL
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_pos"], r["n_chunk_words"],
+         r["chunk_hash"])
+        for r in chunk_windows(df).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents",
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+        )
+        want = sorted(tuple(r) for r in con.execute(CHUNK_SQL).fetchall())
+    finally:
+        con.close()
+    assert got == want
