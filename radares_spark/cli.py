@@ -961,6 +961,7 @@ def cmd_corpus_maintain(
     compact_ledgers: bool = False,
     compact_shards: bool = False,
     compact_states: bool = False,
+    prune_nights: int | None = None,
 ) -> dict:
     """Periodic artifact maintenance for a corpus-nightly root — the
     composition that CONSUMES the maintenance telemetry and finishes
@@ -1000,6 +1001,15 @@ def cmd_corpus_maintain(
       alone would desynchronize them. Epoch numbering restarts at 0
       afterwards (``max(-1)+1``), so the night-number crash contract
       and nightly-verify's contiguity check carry over unchanged.
+    - ``--prune-nights K`` deletes the per-night OUTPUT dirs
+      (``nights/<night>/`` — kept/audit/url_audit) of all but the
+      last ``K`` COMPLETED nights. Completed nights are never
+      replayed (``already_completed``) and every durable fact lives
+      in the stores/ledgers (kept docs in the kept store, admission
+      history in the ledgers, state in the state ledger), so the
+      dirs are pure audit archive; un-logged dirs (a crashed night
+      awaiting replay, foreign names) are never touched. This bounds
+      the last unbounded-growth term a root carries.
 
     Crash contract: each rebuild writes a fresh ``.m<k>`` directory
     and the pointer log appends LAST, so a crash mid-maintenance
@@ -1133,6 +1143,32 @@ def cmd_corpus_maintain(
         folded = compact_state_ledger(spark, led, n_done - 1)
         counts["state_epochs_folded"] = sum(folded.values())
         counts["state_compacted_thru"] = n_done - 1
+
+    if prune_nights is not None:
+        if prune_nights < 1:
+            raise ValueError(
+                "--prune-nights must keep at least the most recent "
+                "completed night"
+            )
+        log = os.path.join(root_dir, "night_log")
+        done = (
+            [
+                r["night"]
+                for r in spark.read.parquet(log).orderBy("idx").collect()
+            ]
+            if iofs.has_parquet(spark, log)
+            else []
+        )
+        # only LOGGED nights are prunable (a crashed night's dir is
+        # its replay's preserved output — never touched), oldest first
+        prunable = done[:-prune_nights] if prune_nights < len(done) else []
+        n_pruned = 0
+        for tag in prunable:
+            d = os.path.join(root_dir, "nights", tag)
+            if iofs.exists(spark, d):
+                iofs.delete(spark, d)
+                n_pruned += 1
+        counts["nights_pruned"] = n_pruned
     return counts
 
 
@@ -1414,6 +1450,7 @@ def main(argv: list[str] | None = None) -> int:
     cm.add_argument("--compact-ledgers", action="store_true", help="fold the url/content admission ledgers' per-night epoch partitions into one deduplicated epoch=-1 partition each (the small-files remedy; both ledgers fold together)")
     cm.add_argument("--compact-shards", action="store_true", help="fold the shard store's per-night epoch partitions into one epoch=-1 partition in a NEW store (~128MiB files), then flip the pointer — content-identical: meta/frontier/tags carried, verify and exports unchanged")
     cm.add_argument("--compact-states", action="store_true", help="fold the delta state ledger's completed per-night epochs into its epoch=-1 base (night-log gated: a crashed night's epoch never folds); bounds state retention to one base + the epochs since the last fold")
+    cm.add_argument("--prune-nights", type=int, default=None, metavar="K", help="delete the nights/<night>/ output dirs of all but the last K COMPLETED nights (pure audit archive once logged; un-logged dirs are never touched)")
     ri = sub.add_parser("corpus-reinit")
     ri.add_argument("--root", required=True, help="corpus-nightly pipeline root")
     _add_refresh_knobs(ri)
@@ -1505,6 +1542,7 @@ def main(argv: list[str] | None = None) -> int:
             night=args.night, compact_ledgers=args.compact_ledgers,
             compact_shards=args.compact_shards,
             compact_states=args.compact_states,
+            prune_nights=args.prune_nights,
         )
         _print_sorted(counts)
         return 0

@@ -293,3 +293,23 @@ def test_maintain_swap_story_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/kept_store").collect()
     }
     assert cmd_nightly_verify(spark, root)["ok"]
+
+    # --- night-output pruning: all but the last K completed nights'
+    # nights/<tag>/ dirs go; an UN-logged dir (crashed night awaiting
+    # replay) is never touched; the audit stays green and the next
+    # night still runs
+    os.makedirs(os.path.join(root, "nights", "crashed-n7", "kept"))
+    counts = cmd_corpus_maintain(spark, root, ivf="skip", prune_nights=2)
+    assert counts["nights_pruned"] == 4  # n1..n4 of the 6 completed
+    left = sorted(os.listdir(os.path.join(root, "nights")))
+    assert left == ["crashed-n7", "n5", "n6"]
+    assert cmd_nightly_verify(spark, root)["ok"]
+    with pytest.raises(ValueError, match="at least the most recent"):
+        cmd_corpus_maintain(spark, root, ivf="skip", prune_nights=0)
+    H = (
+        "quarry engineers chart the seams of granite and record blast "
+        "timings in triplicate for the county inspector every week " * 5
+    ) + "line seven ends"
+    c7 = _run_night(spark, tmp_path, root, "n7",
+                    [(70, "https://h.example.com/70", H)])
+    assert c7["kept"] == 1 and c7["night_index"] == 6
