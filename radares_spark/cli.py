@@ -762,6 +762,37 @@ def cmd_corpus_nightly(
     )
 
     kept_dir = os.path.join(out_dir, "kept")
+    # nightly drift telemetry (operators/drift.py): profile tonight's
+    # kept docs (one delta-sized map-side-combined aggregate -> a
+    # kilobyte sidecar under the night dir) and PSI it against the
+    # PREVIOUS completed night's profile — crawl-vs-crawl distribution
+    # drift, the data-quality alarm a production ingest watches.
+    # Deterministic on replay (crawl preserves kept/, the profile
+    # rewrite converges); pre-upgrade nights have no profile and
+    # simply report no psi. --prune-nights keeps >= 1 completed night,
+    # so the profile the NEXT night compares against always survives.
+    from radares_spark.operators.drift import crawl_profile, profile_psi
+
+    profile_dir = os.path.join(out_dir, "drift_profile")
+    crawl_profile(spark.read.parquet(kept_dir)).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(profile_dir)
+    if done:
+        prev_profile = os.path.join(
+            root_dir, "nights", done[-1], "drift_profile"
+        )
+        if iofs.has_parquet(spark, prev_profile):
+            total = (
+                profile_psi(
+                    spark.read.parquet(prev_profile),
+                    spark.read.parquet(profile_dir),
+                )
+                .agg(F.sum("psi_term").alias("t"))
+                .head()["t"]
+            )
+            # ppm so the counts dict stays integer-typed
+            counts["drift_psi_x1e6"] = int(round((total or 0.0) * 1e6))
+
     # NO snapshot materialization (r9 verdict #1): the refresh runs
     # delta-direct against the virtual snapshot kept_store ∖ tonight
     # ∪ tonight — tonight's docs are the only text hashed, and stable

@@ -163,3 +163,78 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "collects.",
     ),
 }
+
+
+# --- nightly crawl-profile drift (the corpus-nightly composition) -----------
+
+PROFILE_TOK_BIN_W = 64  # token-count histogram bin width
+
+
+def crawl_profile(docs: DataFrame) -> DataFrame:
+    """``(dim, bucket, n)`` bucket counts of one night's kept docs —
+    the tiny persisted sidecar (``nights/<night>/drift_profile``)
+    nightly drift monitoring compares across nights. Dims: token-count
+    bin (width ``PROFILE_TOK_BIN_W``) and the url host when a ``url``
+    column is present. One map-side-combined aggregate over tonight's
+    kept docs — delta-sized, never the corpus; the profile itself is
+    kilobytes (a few dozen buckets)."""
+    from radares_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    dims = [
+        F.concat(
+            F.lit("tok_"),
+            F.floor(toks / F.lit(PROFILE_TOK_BIN_W)).cast("int").cast("string"),
+        ).alias("__dim_tok_bin")
+    ]
+    names = ["tok_bin"]
+    if "url" in docs.columns:
+        dims.append(
+            F.lower(
+                F.regexp_extract(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+            ).alias("__dim_host")
+        )
+        names.append("host")
+    staged = docs.select(*dims)
+    out = None
+    for name in names:
+        part = (
+            staged.groupBy(F.col(f"__dim_{name}").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("dim"), "bucket", "n")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def profile_psi(prior: DataFrame, tonight: DataFrame) -> DataFrame:
+    """Per-bucket PSI between two stored crawl profiles (already
+    aggregated — kilobyte frames): full-outer join on (dim, bucket)
+    with zero-fill, shares within each dim's own cohort total, the
+    ``distribution_drift_psi`` clamp convention. Returns
+    ``(dim, bucket, n_a, n_b, share_a, share_b, psi_term)``."""
+    a = prior.select("dim", "bucket", F.col("n").alias("n_a"))
+    b = tonight.select("dim", "bucket", F.col("n").alias("n_b"))
+    j = (
+        a.join(b, ["dim", "bucket"], "full_outer")
+        .fillna(0, subset=["n_a", "n_b"])
+    )
+    tot = j.groupBy("dim").agg(
+        F.greatest(F.sum("n_a"), F.lit(1)).alias("__ta"),
+        F.greatest(F.sum("n_b"), F.lit(1)).alias("__tb"),
+    )
+    j = j.join(F.broadcast(tot), "dim")
+    share_a = F.col("n_a") / F.col("__ta")
+    share_b = F.col("n_b") / F.col("__tb")
+    ca = F.greatest(share_a, F.lit(PSI_MIN_SHARE))
+    cb = F.greatest(share_b, F.lit(PSI_MIN_SHARE))
+    return j.select(
+        "dim",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round((ca - cb) * F.log(ca / cb), 6).alias("psi_term"),
+    )

@@ -198,3 +198,51 @@ def test_chunk_windows_duckdb_conformance_fuzz(spark, texts):
     finally:
         con.close()
     assert got == want
+
+
+def test_crawl_profile_buckets(spark):
+    from radares_spark.operators.drift import crawl_profile
+
+    long_doc = " ".join(f"w{i}" for i in range(70))  # tok bin 1
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/x", "short doc here"),
+            (2, "https://a.example.com/y", "another short one"),
+            (3, "http://b.example.com:8080/z?q=1", long_doc),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {
+        (r["dim"], r["bucket"]): r["n"]
+        for r in crawl_profile(docs).collect()
+    }
+    assert got == {
+        ("tok_bin", "tok_0"): 2,
+        ("tok_bin", "tok_1"): 1,
+        ("host", "a.example.com"): 2,
+        ("host", "b.example.com"): 1,  # port/path/query stripped
+    }
+
+
+def test_profile_psi_identical_zero_and_shift(spark):
+    from radares_spark.operators.drift import crawl_profile, profile_psi
+
+    p = spark.createDataFrame(
+        [("tok_bin", "tok_0", 3), ("tok_bin", "tok_1", 1),
+         ("host", "a", 4)],
+        "dim string, bucket string, n long",
+    )
+    # identical profiles: every psi_term is exactly 0
+    same = profile_psi(p, p).collect()
+    assert same and all(r["psi_term"] == 0.0 for r in same)
+    # a bucket vanishing tonight: full-outer keeps it with n_b=0 and a
+    # finite term; shares stay within each dim's own total
+    q = spark.createDataFrame(
+        [("tok_bin", "tok_0", 4), ("host", "a", 4)],
+        "dim string, bucket string, n long",
+    )
+    out = {(r["dim"], r["bucket"]): r for r in profile_psi(p, q).collect()}
+    gone = out[("tok_bin", "tok_1")]
+    assert gone["n_b"] == 0 and gone["share_a"] == 0.25
+    assert math.isfinite(gone["psi_term"]) and gone["psi_term"] > 0
+    assert out[("host", "a")]["psi_term"] == 0.0  # its own dim is unmoved

@@ -53,6 +53,11 @@ def test_corpus_nightly_three_nights(spark, tmp_path, capsys):
     c2 = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
     assert c2["semantic_dup"] == 1 and c2["kept"] == 1
     assert c2["shards_epoch"] == 1 and c2["night_index"] == 1
+    # nightly drift telemetry: both nights profiled, night 2 PSI'd
+    # against night 1's profile (integer ppm in the counts)
+    assert os.path.isdir(f"{root}/nights/n1/drift_profile")
+    assert os.path.isdir(f"{root}/nights/n2/drift_profile")
+    assert isinstance(c2.get("drift_psi_x1e6"), int)
     kept_ids = {
         r["doc_id"]
         for r in spark.read.parquet(f"{root}/kept_store").select("doc_id").collect()
@@ -99,6 +104,7 @@ def test_corpus_nightly_three_nights(spark, tmp_path, capsys):
     # the crawl admits nothing (URL ledger already has the night) and
     # PRESERVES its outputs; every store replay converges
     assert c3b["kept"] == 1 and c3b.get("outputs_preserved") == 1
+    assert c3b["drift_psi_x1e6"] == c3["drift_psi_x1e6"]  # deterministic replay
     assert c3b["shards_already_appended"] == 1
     assert c3b["refresh_postings_already_applied"] == 1
     assert _rows(spark, f"{root}/kept_store", ["doc_id", "text"]) == want_kept
