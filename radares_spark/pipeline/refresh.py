@@ -830,16 +830,21 @@ def _kept_churn_ledger_delta(
     whole computation is O(tonight's delta), not O(corpus)."""
 
     def _delta_and_prior(table: str, cols: list[str]):
+        from pyspark.sql import Window
+
         raw = spark.read.parquet(state_out.table_dir(table))
         tonight = raw.filter(F.col("epoch") == F.lit(state_out.epoch))
         ids = tonight.select("doc_id").distinct()
         prior_rows = raw.filter(F.col("epoch") <= F.lit(state_in.epoch)).join(
             ids, "doc_id", "left_semi"
         )
-        latest = prior_rows.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+        # latest-per-doc via max-over-window: one doc_id shuffle
+        # instead of the groupBy-max + self-join pair (the read_state
+        # formulation — same rationale)
+        latest = F.max("epoch").over(Window.partitionBy("doc_id"))
         prior = (
-            prior_rows.join(latest, ["doc_id", "epoch"])
-            .filter(~F.col("_deleted"))
+            prior_rows.withColumn("__latest", latest)
+            .filter((F.col("epoch") == F.col("__latest")) & ~F.col("_deleted"))
             .select("doc_id", *cols)
         )
         return tonight, prior
