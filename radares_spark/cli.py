@@ -782,16 +782,27 @@ def cmd_corpus_nightly(
             root_dir, "nights", done[-1], "drift_profile"
         )
         if iofs.has_parquet(spark, prev_profile):
-            total = (
+            # per-dim PSI alongside the total (r11 advice): host churn
+            # produces structurally noisier terms than the token-bin
+            # histogram, so one summed score would drown a real
+            # tok_bin shift — an operator alerts per dimension
+            per_dim = (
                 profile_psi(
                     spark.read.parquet(prev_profile),
                     spark.read.parquet(profile_dir),
                 )
+                .groupBy("dim")
                 .agg(F.sum("psi_term").alias("t"))
-                .head()["t"]
+                .collect()
             )
-            # ppm so the counts dict stays integer-typed
-            counts["drift_psi_x1e6"] = int(round((total or 0.0) * 1e6))
+            total = 0.0
+            for r in per_dim:
+                # ppm so the counts dict stays integer-typed
+                counts[f"drift_psi_{r['dim']}_x1e6"] = int(
+                    round((r["t"] or 0.0) * 1e6)
+                )
+                total += r["t"] or 0.0
+            counts["drift_psi_x1e6"] = int(round(total * 1e6))
 
     # NO snapshot materialization (r9 verdict #1): the refresh runs
     # delta-direct against the virtual snapshot kept_store ∖ tonight

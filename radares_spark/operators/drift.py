@@ -51,6 +51,8 @@ def distribution_drift_psi(
     each named dimension expression in ``dims`` (bucket expressions
     must be strings — pre-bin numerics). Returns
     ``(dim, bucket, n_a, n_b, share_a, share_b, psi_term)``."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
     flagged = events.select(
         cohort_a.alias("__a"),
         *[expr.alias(f"__dim_{name}") for name, expr in dims.items()],
@@ -168,6 +170,7 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
 # --- nightly crawl-profile drift (the corpus-nightly composition) -----------
 
 PROFILE_TOK_BIN_W = 64  # token-count histogram bin width
+PROFILE_HOST_TOPN = 32  # hosts kept by name; the long tail lumps to __other
 
 
 def crawl_profile(docs: DataFrame) -> DataFrame:
@@ -177,7 +180,17 @@ def crawl_profile(docs: DataFrame) -> DataFrame:
     bin (width ``PROFILE_TOK_BIN_W``) and the url host when a ``url``
     column is present. One map-side-combined aggregate over tonight's
     kept docs — delta-sized, never the corpus; the profile itself is
-    kilobytes (a few dozen buckets)."""
+    kilobytes.
+
+    The host dimension is naturally unbounded-cardinality, and natural
+    host churn between crawls would leave most buckets one-sided —
+    each contributing a large clamp term, so the PSI stays permanently
+    elevated as noise (r11 advice). The profile therefore keeps only
+    the night's ``PROFILE_HOST_TOPN`` hosts by count (ties broken by
+    name, so the set is deterministic) and folds the tail into one
+    ``__other`` bucket: the cross-night comparison sees at most
+    ``2*N + 2`` host buckets and only a top-host composition shift —
+    a real distribution change — moves the score."""
     from radares_spark.operators.dedup import normalize_text
 
     norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
@@ -199,11 +212,30 @@ def crawl_profile(docs: DataFrame) -> DataFrame:
     staged = docs.select(*dims)
     out = None
     for name in names:
-        part = (
-            staged.groupBy(F.col(f"__dim_{name}").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(name).alias("dim"), "bucket", "n")
-        )
+        part = staged.groupBy(
+            F.col(f"__dim_{name}").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        if name == "host":
+            # distributed top-N over the aggregated per-host counts
+            # (TakeOrderedAndProject — never a single-partition sort),
+            # then one broadcast membership join relabels the tail
+            top = (
+                part.orderBy(F.desc("n"), F.asc("bucket"))
+                .limit(PROFILE_HOST_TOPN)
+                .select("bucket", F.lit(True).alias("__top"))
+            )
+            part = (
+                part.join(F.broadcast(top), "bucket", "left")
+                .withColumn(
+                    "bucket",
+                    F.when(F.col("__top"), F.col("bucket")).otherwise(
+                        F.lit("__other")
+                    ),
+                )
+                .groupBy("bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        part = part.select(F.lit(name).alias("dim"), "bucket", "n")
         out = part if out is None else out.unionByName(part)
     return out
 

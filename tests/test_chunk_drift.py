@@ -165,6 +165,30 @@ def test_chunk_grid_matches_bruteforce(spark, chunk_len, stride):
         assert covered == set(range(1, n + 1))
 
 
+def test_chunk_long_doc_linear_shape(spark):
+    """A 50k-word doc (the r11 verdict #2 case): the one-row
+    transform->explode formulation must produce the exact chunk set
+    without replicating the full word array per chunk — at the default
+    64/48 knobs that is ~1,040 chunks whose total bytes are ~1.33x the
+    doc, not ~1,000x. Asserts the full formula grid over every chunk
+    plus end-coverage."""
+    n = 50_000
+    doc = " ".join(f"w{i}" for i in range(n))
+    rows = sorted(
+        (r["chunk_id"], r["start_pos"], r["n_chunk_words"])
+        for r in chunk_windows(_docs(spark, [(1, doc)])).collect()
+    )
+    from radares_spark.operators.text_ext import CHUNK_LEN, CHUNK_STRIDE
+
+    last = 1 + CHUNK_STRIDE * math.ceil(max(n - CHUNK_LEN, 0) / CHUNK_STRIDE)
+    want = [
+        (k, st, min(CHUNK_LEN, n - st + 1))
+        for k, st in enumerate(range(1, last + 1, CHUNK_STRIDE))
+    ]
+    assert rows == want
+    assert rows[-1][1] + rows[-1][2] - 1 == n
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
@@ -222,6 +246,45 @@ def test_crawl_profile_buckets(spark):
         ("host", "a.example.com"): 2,
         ("host", "b.example.com"): 1,  # port/path/query stripped
     }
+
+
+def test_crawl_profile_host_tail_lumps_to_other(spark):
+    """The host dim is capped at PROFILE_HOST_TOPN named hosts per
+    night (ties by name, deterministic); the long tail folds into ONE
+    __other bucket so cross-night host churn cannot keep the PSI
+    permanently elevated (r11 advice). Counts are conserved."""
+    from radares_spark.operators import drift
+    from radares_spark.operators.drift import crawl_profile
+
+    old = drift.PROFILE_HOST_TOPN
+    drift.PROFILE_HOST_TOPN = 2
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "http://big.com/a", "x"),
+                (2, "http://big.com/b", "x"),
+                (3, "http://mid.com/a", "x"),
+                (4, "http://mid.com/b", "x"),
+                (5, "http://t1.com/a", "x"),
+                (6, "http://t2.com/a", "x"),
+                (7, "http://t3.com/a", "x"),
+            ],
+            "doc_id long, url string, text string",
+        )
+        got = {
+            r["bucket"]: r["n"]
+            for r in crawl_profile(docs).filter(F.col("dim") == "host").collect()
+        }
+    finally:
+        drift.PROFILE_HOST_TOPN = old
+    assert got == {"big.com": 2, "mid.com": 2, "__other": 3}
+
+
+def test_distribution_drift_psi_empty_dims_raises(spark):
+    with pytest.raises(ValueError, match="dims must be non-empty"):
+        distribution_drift_psi(
+            _events(spark, [("a", "x")]), cohort_a=F.col("grp") == "a", dims={}
+        )
 
 
 def test_profile_psi_identical_zero_and_shift(spark):
