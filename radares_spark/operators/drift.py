@@ -9,9 +9,8 @@ source) and flag buckets whose share moved.
 Reference anchor: the reference engine declares downstream analysis
 only (/root/reference/README.md:3); this extends the BASELINE.json
 text-analysis/monitoring surface the same way the Gopher/C4 quality
-blocks do. Library-tier (the driver's 50-entry window is full), pinned
-by the SAME strict DuckDB comparison the driver runs via the
-plans/library.py sweep.
+blocks do. Driver-tier since the r12 window rotation (strict DuckDB
+oracle, ``PSI_SQL`` below).
 
 Scale shape: one linear scan computing the cohort flag, ONE map-side-
 combined aggregate per dimension (shuffle keys = the low-cardinality
@@ -151,7 +150,10 @@ PSI_SQL = f"""
 """
 
 
-LIBRARY_SPECS: dict[str, QuerySpec] = {
+# r12 window rotation: promoted into the driver's 50-entry window
+# (plans/__init__.py appends DRIVER_SPECS) — q7_nation_volume moved to
+# the library tier in plans/tpch_more.py to make room.
+DRIVER_SPECS: dict[str, QuerySpec] = {
     "events_drift_psi": QuerySpec(
         name="events_drift_psi",
         fn=events_drift_psi,
@@ -165,6 +167,8 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "collects.",
     ),
 }
+
+LIBRARY_SPECS: dict[str, QuerySpec] = {}
 
 
 # --- nightly crawl-profile drift (the corpus-nightly composition) -----------

@@ -44,6 +44,11 @@ from radares_spark.plans import tpch_extra  # noqa: E402,F401
 # now under the driver oracle); cube_orders moves to the library tier
 # in relational (A3's grouping lattice stays driver-covered via
 # grouping_analytics_lineitem + q1 + radar_stats_suite).
+# r12 rotation: events_drift_psi enters (the nightly PSI drift
+# monitor, strict oracle since r11); q7_nation_volume moves to the
+# library tier in tpch_more (J4 stays driver-covered via q5/q3, A3
+# via q1/q11).
+from radares_spark.operators import drift as _drift  # noqa: E402
 from radares_spark.operators import dsir as _dsir  # noqa: E402
 from radares_spark.operators import retrieval as _retrieval  # noqa: E402
 from radares_spark.pipeline import shards as _shards  # noqa: E402
@@ -54,6 +59,7 @@ for _spec in (
     *_retrieval.DRIVER_SPECS.values(),
     *_shards.DRIVER_SPECS.values(),
     *_dsir.DRIVER_SPECS.values(),
+    *_drift.DRIVER_SPECS.values(),
 ):
     assert _spec.name not in REGISTRY, _spec.name
     REGISTRY[_spec.name] = _spec

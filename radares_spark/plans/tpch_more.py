@@ -93,7 +93,12 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@_library(
+    # r12 window rotation: demoted to the library tier to put the
+    # nightly PSI drift monitor (operators/drift.events_drift_psi)
+    # under the driver oracle — J4 (broadcast dim join) stays
+    # driver-covered via q5/q3 and A3 via q1/q11; still
+    # strict-hash-swept here.
     "q7_nation_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue

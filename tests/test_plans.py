@@ -42,6 +42,10 @@ SANCTIONED_NESTED_LOOP = {
     # (operators/dsir.py:567,654)
     "corpus_kn_trigram_logprob",
     "corpus_kn_bigram_logprob",
+    # r12 rotation: PSI shares divide every bucket row by the SAME
+    # one-row pair of cohort totals — the sanctioned one-row broadcast
+    # grand-total cross join (operators/drift.py)
+    "events_drift_psi",
 }
 
 
@@ -49,7 +53,13 @@ def _plan(spark, name: str) -> str:
     # executedPlan (initial AQE plan): join strategies chosen AND
     # exchanges inserted (sparkPlan() is pre-EnsureRequirements and
     # shows no shuffles). Nothing is executed — toString only.
-    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    if name in REGISTRY:
+        fn = REGISTRY[name].fn
+    else:  # rotated to the library tier; plan contract still pinned
+        from radares_spark.plans.library import ALL_LIBRARY_SPECS
+
+        fn = ALL_LIBRARY_SPECS[name].fn
+    df = fn(spark, SF_SMOKE)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
