@@ -32,6 +32,21 @@ any round-over-round comparison can be normalized:
 ``value_per_calibration`` ships that ratio precomputed; it is the
 machine-drift-free number. If calibration_s itself moved between
 rounds, the environment moved, not the engine.
+
+Per-query anchor normalization (r11 verdict #4): the two anchors can
+drift APART under co-tenancy (the r11 driver session's CPU anchor sat
+at 2.6x its prior value while the scan anchor moved 3%, inflating
+every hash/LM-heavy query 3-6x in the raw walls), so a single shared
+divisor over- or under-corrects per query. Each timed query is
+therefore assigned the anchor matching its dominant cost
+(``query_anchor``): hash/string/vector/LM kernels (the dedup_ /
+text_ / corpus_ / similarity_ / shards_ / crawl_ / url_ /
+incremental_ / multimodal_ families) normalize by the CPU anchor;
+scan-shuffle-join plans (TPC-H q*, window/calendar/events/radar/asof/
+range/json/scalar relational families) by the scan anchor.
+``queries_per_anchor`` ships wall / own-anchor per query and
+``value_per_anchor`` the headline total of those ratios — the numbers
+a noisy session can be read by WITHOUT a judge re-run.
 """
 
 from __future__ import annotations
@@ -154,6 +169,26 @@ def _shards_pack(spark, sf_dir: str):
         word_counts(docs), n_merges=64, batch_size=16
     )
     return pack_ids(encode_ids(docs, word_syms, merges))
+
+
+# families whose warm cost is dominated by JVM hash/string/vector/LM
+# kernels rather than the parquet scan+shuffle — normalized by the CPU
+# anchor; everything else by the scan anchor (see module docstring)
+CPU_ANCHORED_PREFIXES = (
+    "dedup_",
+    "similarity_",
+    "text_",
+    "corpus_",
+    "shards_",
+    "crawl_",
+    "url_",
+    "incremental_",
+    "multimodal_",
+)
+
+
+def _anchor_for(name: str) -> str:
+    return "cpu" if name.startswith(CPU_ANCHORED_PREFIXES) else "scan"
 
 
 LIBRARY_PLANS = {
@@ -629,6 +664,25 @@ def main() -> None:
                 }
                 if calibration_s
                 else None,
+                # r11 verdict #4: each query normalized by the anchor
+                # matching its cost profile (the anchors drift APART
+                # under co-tenancy; one shared divisor over- or
+                # under-corrects) — read THESE across sessions
+                "query_anchor": {n: _anchor_for(n) for n in warm},
+                "queries_per_anchor": {
+                    n: round(
+                        t
+                        / (
+                            calibration_cpu_s
+                            if _anchor_for(n) == "cpu"
+                            else calibration_s
+                        ),
+                        2,
+                    )
+                    for n, t in warm.items()
+                }
+                if calibration_s and calibration_cpu_s
+                else None,
                 "cold_s": cold,
                 "streaming": streaming,
                 # batch ops timings (not streams): the delta-direct
@@ -667,6 +721,24 @@ def main() -> None:
                 # truth for a given query sits between the two ratios
                 "value_per_cpu_calibration": round(total / calibration_cpu_s, 2)
                 if calibration_cpu_s
+                else None,
+                # headline total of per-own-anchor ratios — the single
+                # machine-drift-free scalar (each query divided by the
+                # anchor that tracks ITS bottleneck)
+                "value_per_anchor": round(
+                    sum(
+                        warm[n]
+                        / (
+                            calibration_cpu_s
+                            if _anchor_for(n) == "cpu"
+                            else calibration_s
+                        )
+                        for n in HEADLINE
+                        if n in warm
+                    ),
+                    2,
+                )
+                if calibration_s and calibration_cpu_s
                 else None,
                 "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
                 "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),

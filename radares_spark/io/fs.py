@@ -75,6 +75,22 @@ def delete(spark: SparkSession, path_str: str) -> None:
         fs.delete(path, True)
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory move via ``FileSystem.rename`` — the archive step of
+    offline migrations (atomic on HDFS/local; an O(n) server-side copy
+    on object stores, acceptable for a once-per-root operation).
+    Refuses a missing source or an existing destination: both mean the
+    caller's view of the migration state is stale."""
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    if not fs.exists(s):
+        raise ValueError(f"rename source {src!r} does not exist")
+    if fs.exists(d):
+        raise ValueError(f"rename destination {dst!r} already exists")
+    if not fs.rename(s, d):
+        raise OSError(f"rename {src!r} -> {dst!r} failed")
+
+
 def claim_marker(spark: SparkSession, path_str: str, content: str = "") -> bool:
     """Atomically create a claim file carrying ``content``; False when
     one already exists — the single-writer fail-fast primitive (two

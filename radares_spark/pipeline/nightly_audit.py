@@ -12,6 +12,11 @@ cross-checks them all and reports one named flag per invariant,
 
 - ``log_contiguous``: night-log partitions are idx 0..n-1, no gaps or
   duplicate tags;
+- ``log_claims_match`` / ``orphan_claims``: every ``_claim_idx_<n>``
+  writer claim (night log and pointer log) agrees with its logged
+  partition; a claim with NO partition — a crashed/killed writer
+  awaiting replay — is listed informationally, a claim contradicting
+  its logged night fails the audit;
 - ``url_epochs_match`` / ``content_epochs_match``: url-ledger epochs
   are contiguous from zero with at most one per completed night
   (a zero-admission night appends none), and content-ledger epoch
@@ -51,7 +56,7 @@ from pyspark.sql import functions as F
 
 from radares_spark.io import fs as iofs
 from radares_spark.pipeline.corpus import KEPT
-from radares_spark.pipeline.stores import resolve_store
+from radares_spark.pipeline.stores import pointer_history, resolve_store
 
 
 def _sets_equal(a, a_col, b, b_col) -> bool:
@@ -73,7 +78,10 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
     the exact destroyed-log hazard the orchestrator refuses to
     bootstrap over."""
     log = os.path.join(root_dir, "night_log")
-    kept_store = os.path.join(root_dir, "kept_store")
+    # serving stores resolve through the pointer log (a corpus-reinit
+    # repoints all four; auditing the abandoned canonical dirs would
+    # false-alarm every migrated root)
+    kept_store = resolve_store(spark, root_dir, "kept_store")
     checks: dict = {}
 
     if not iofs.has_parquet(spark, log):
@@ -104,6 +112,50 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
     checks["log_contiguous"] = idxs == list(range(len(idxs))) and len(
         set(nights)
     ) == len(nights)
+
+    # --- writer claims vs the logs (r11 verdict #3) --------------------
+    # every completed night/flip leaves its _claim_idx_<n> in place
+    # (append-only discipline); a claim with NO matching log partition
+    # is exactly the signature of a crashed/killed writer awaiting
+    # replay — surfaced as ``orphan_claims`` (informational, like
+    # state_ahead_of_log: legitimate crash state the operator must see
+    # before replaying). A claim whose content CONTRADICTS its logged
+    # partition means a buried writer and fails the audit outright.
+    orphans: list[str] = []
+    claims_ok = True
+    for name in iofs.list_names(spark, log):
+        if not name.startswith("_claim_idx_"):
+            continue
+        try:
+            i = int(name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if i < len(nights):
+            if iofs.read_marker(spark, f"{log}/{name}") != nights[i]:
+                claims_ok = False
+        else:
+            orphans.append(f"night_log/{name}")
+    checks["log_claims_match"] = claims_ok
+    plog = os.path.join(root_dir, "store_pointers")
+    if iofs.exists(spark, plog):
+        recorded = {idx for idx, _, _ in pointer_history(spark, root_dir)}
+        for name in iofs.list_names(spark, plog):
+            if not name.startswith("_claim_idx_"):
+                continue
+            try:
+                i = int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if i not in recorded:
+                orphans.append(f"store_pointers/{name}")
+    if orphans:
+        checks["orphan_claims"] = sorted(orphans)
+    # a held root writer lease during an (offline) audit means a
+    # writer is in flight — or was killed and awaits its replay;
+    # informational, the operator decides which
+    lease = iofs.read_marker(spark, os.path.join(root_dir, "_writer_lease"))
+    if lease is not None:
+        checks["writer_lease_held"] = lease
 
     # --- admission ledgers ---------------------------------------------
     # A night that admits nothing appends NO url epoch (an empty
@@ -215,7 +267,7 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         checks["ivf_matches_kept"] = _sets_equal(
             spark.read.parquet(f"{ivf}/_assignment"), "vec_id", kept, "doc_id"
         )
-    postings = os.path.join(root_dir, "postings_store")
+    postings = resolve_store(spark, root_dir, "postings_store")
     if kept is not None and iofs.has_parquet(spark, f"{postings}/meta"):
         pmeta = spark.read.parquet(f"{postings}/meta").head().asDict()
         checks["postings_count_matches"] = int(pmeta["n_docs"]) == n_kept

@@ -265,6 +265,99 @@ def test_legacy_state_dir_root_keeps_working(spark, tmp_path):
     checks = cmd_nightly_verify(spark, root)
     assert checks["ok"] and checks["states_present"], checks
 
+    # ---- corpus-maintain --migrate-state: same-knobs move onto the
+    # delta ledger (r11 verdict #1) — the last night's state lands as
+    # the base epoch, the pointer flips, the rotated dirs archive
+    import pytest
+
+    from radares_spark.cli import cmd_corpus_maintain
+    from radares_spark.io import fs as iofs
+    from radares_spark.pipeline.stores import resolve_store
+
+    m = cmd_corpus_maintain(spark, root, ivf="skip", migrate_state=True)
+    assert m["state_migrated"] == 1 and m["state_base_epoch"] == 1
+    assert not os.path.exists(f"{root}/state")
+    assert os.path.isdir(f"{root}/state_archived_pre_ledger/n2")
+    new_led = resolve_store(spark, root, "state_ledger")
+    assert new_led.endswith(f".m{m['state_flip_idx']}")
+    assert iofs.epoch_partitions(spark, f"{new_led}/features") == [1]
+
+    # migrated continuation: night 3 runs DELTA-DIRECT against the
+    # ledger and appends only its delta epoch — the state-bytes scale
+    # shape the ledger exists for (base carries the corpus; the night
+    # writes only tonight's changed docs)
+    src3 = tmp_path / "p3"
+    _write_pages(spark, src3, [(20, "https://d.example.com/20", _body("delta"))])
+    c3 = cmd_corpus_nightly(spark, str(src3), root, "n3", n_merges=8)
+    assert c3["kept"] == 1 and c3["night_index"] == 2
+    assert sorted(
+        iofs.epoch_partitions(spark, f"{new_led}/features")
+    ) == [1, 2]
+    base_rows = (
+        spark.read.parquet(f"{new_led}/features")
+        .filter(F.col("epoch") == 1).count()
+    )
+    delta_rows = (
+        spark.read.parquet(f"{new_led}/features")
+        .filter(F.col("epoch") == 2).count()
+    )
+    assert base_rows == 3 and delta_rows == 1  # delta-sized, not corpus
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["ok"] and checks["states_present"], checks
+
+    # a completed migration re-run fails fast, mutating nothing
+    with pytest.raises(ValueError, match="nothing to migrate"):
+        cmd_corpus_maintain(spark, root, ivf="skip", migrate_state=True)
+
+
+def test_root_writer_lease_cross_command_exclusion(spark, tmp_path):
+    """r11 "what's missing" #2: the per-idx claims serialize two
+    nights or two flips, but corpus-nightly / corpus-maintain /
+    corpus-reinit could still interleave against one root. The root
+    writer lease makes the loser fail fast BEFORE any store mutation,
+    a replay of the same work re-enters its own lease, and clean
+    completion (or a clean error) releases it."""
+    import pytest
+
+    from radares_spark.cli import cmd_corpus_maintain, cmd_corpus_reinit
+    from radares_spark.io import fs as iofs
+
+    A, B = _body("alpha"), _body("beta")
+    root = str(tmp_path / "root")
+    src1, src2 = tmp_path / "p1", tmp_path / "p2"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A)])
+    _write_pages(spark, src2, [(2, "https://b.example.com/2", B)])
+    cmd_corpus_nightly(spark, str(src1), root, "n1", n_merges=8, ctx_len=16)
+    lease = f"{root}/_writer_lease"
+    assert not os.path.exists(lease)  # released on completion
+
+    # plant an in-flight night's lease: maintenance and reinit both
+    # fail fast, mutating nothing
+    assert iofs.claim_marker(spark, lease, "corpus-nightly:n2")
+    with pytest.raises(ValueError, match="leased by another writer"):
+        cmd_corpus_reinit(spark, root, jaccard_threshold=0.7)
+    assert not os.path.exists(f"{root}/reinit_snapshot")
+    assert not os.path.exists(f"{root}/state_ledger.m0")
+    with pytest.raises(ValueError, match="leased by another writer"):
+        cmd_corpus_maintain(spark, root, ivf="skip", prune_nights=1)
+    assert os.path.isdir(f"{root}/nights/n1")
+
+    # the replay of the SAME night re-enters its own (killed-run)
+    # lease, completes, and releases it; other writers then proceed
+    c2 = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    assert c2["night_index"] == 1
+    assert not os.path.exists(lease)
+    counts = cmd_corpus_maintain(spark, root, ivf="skip", prune_nights=1)
+    assert counts["nights_pruned"] == 1
+
+    # a clean FAILURE releases the lease too (no wedged root): a
+    # typo'd pages path raises before the idx claim and before any
+    # store mutation (r11 advice)
+    with pytest.raises(ValueError, match="does not exist"):
+        cmd_corpus_nightly(spark, str(tmp_path / "nope"), root, "n3")
+    assert not os.path.exists(lease)
+    assert not os.path.exists(f"{root}/night_log/_claim_idx_2")
+
 
 def test_night_log_claim_blocks_concurrent_night(spark, tmp_path):
     """r10 verdict #2: two corpus-nightly runs against one root would

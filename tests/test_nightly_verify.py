@@ -116,6 +116,59 @@ def test_nightly_verify_flags(spark, tmp_path, capsys):
     assert main(["nightly-verify", "--root", root]) == 1
 
 
+def test_orphan_and_contradicting_claims_surface(spark, tmp_path):
+    """r11 verdict #3: a _claim_idx_<n> with no matching log partition
+    is the signature of a crashed/killed writer — nightly-verify now
+    lists it under ``orphan_claims`` (informational crash state, the
+    state_ahead_of_log convention) instead of the operator first
+    learning from the next writer's claim error; a claim whose content
+    CONTRADICTS its logged night means a buried writer and fails the
+    audit. Healthy claims stay silent."""
+    from radares_spark.cli import cmd_nightly_verify
+    from radares_spark.io import fs as iofs
+
+    root = str(tmp_path / "root")
+    src = tmp_path / "p1"
+    _write_pages(spark, src, [(1, "https://a.example.com/1", _body("alpha"))])
+    assert main(["corpus-nightly", "--pages", str(src), "--root", root,
+                 "--night", "n1", "--n-merges", "8", "--ctx-len", "16"]) == 0
+
+    # healthy: the completed night's own claim raises no flag
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["ok"] and checks["log_claims_match"]
+    assert "orphan_claims" not in checks
+
+    # a crashed writer claimed the next idx but never appended its
+    # partition: surfaced, but still legitimate replayable crash state
+    log = f"{root}/night_log"
+    assert iofs.claim_marker(spark, f"{log}/_claim_idx_1", "n2")
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["orphan_claims"] == ["night_log/_claim_idx_1"]
+    assert checks["log_claims_match"] and checks["ok"]
+    iofs.delete(spark, f"{log}/_claim_idx_1")
+
+    # a pointer-log claim with no recorded flip surfaces the same way
+    assert iofs.claim_marker(
+        spark, f"{root}/store_pointers/_claim_idx_0", "[('ivf_store', 'x')]"
+    )
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["orphan_claims"] == ["store_pointers/_claim_idx_0"]
+    iofs.delete(spark, f"{root}/store_pointers")
+
+    # a held root writer lease surfaces informationally (in-flight or
+    # killed writer — the operator decides which)
+    assert iofs.claim_marker(spark, f"{root}/_writer_lease", "corpus-nightly:n2")
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["writer_lease_held"] == "corpus-nightly:n2" and checks["ok"]
+    iofs.delete(spark, f"{root}/_writer_lease")
+
+    # a claim CONTRADICTING its logged partition = a buried writer
+    iofs.delete(spark, f"{log}/_claim_idx_0")
+    assert iofs.claim_marker(spark, f"{log}/_claim_idx_0", "not-n1")
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["log_claims_match"] is False and not checks["ok"]
+
+
 def test_logless_root_with_only_ledgers_reads_unhealthy(spark, tmp_path):
     """r10 ADVICE: a destroyed log over a root holding ANY completed-
     night evidence (here: a url ledger, no kept store) must read
