@@ -12,14 +12,11 @@ text-analysis/monitoring surface the same way the Gopher/C4 quality
 blocks do. Driver-tier since the r12 window rotation (strict DuckDB
 oracle, ``PSI_SQL`` below).
 
-Scale shape: ONE linear scan total — each event row explodes into one
-(dim, bucket) struct per dimension and a single map-side-combined
-aggregate (shuffle keys = the low-cardinality (dim, bucket) values)
-covers every dimension at once; cohort totals are derived FROM the
-kilobyte aggregate (summing any one dim's buckets reproduces the
-cohort row counts) via a single-partition window over the bounded
-bucket rows, never a second pass over the events. Nothing is
-quadratic, nothing collects; at 100 TB the cost is the scan — once.
+Scale shape: one linear scan computing the cohort flag, ONE map-side-
+combined aggregate per dimension (shuffle keys = the low-cardinality
+bucket values), totals via a one-row broadcast cross join (the
+sanctioned grand-total idiom — kilobytes). Nothing is quadratic,
+nothing collects; at 100 TB the cost is the scan.
 
 PSI convention: ``psi_term = (share_a - share_b) * ln(share_a /
 share_b)`` per bucket with shares clamped to ``PSI_MIN_SHARE`` so a
@@ -55,58 +52,46 @@ def distribution_drift_psi(
     ``(dim, bucket, n_a, n_b, share_a, share_b, psi_term)``."""
     if not dims:
         raise ValueError("dims must be non-empty")
-    # ONE scan for every dimension (r12): each event row explodes into
-    # one (dim, bucket) struct per dimension and a single
-    # map-side-combined groupBy aggregates them all — the prior
-    # one-groupBy-per-dim + separate-grand-total form re-scanned the
-    # events table per dim plus once more for the totals (3 scans for
-    # the 2-dim monitor; at 100 TB the scan IS the cost)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("dim"), expr.cast("string").alias("bucket")
-            )
-            for name, expr in dims.items()
-        ]
+    flagged = events.select(
+        cohort_a.alias("__a"),
+        *[expr.alias(f"__dim_{name}") for name, expr in dims.items()],
     )
-    flagged = events.select(cohort_a.alias("__a"), F.explode(pairs).alias("__p"))
-    agg = flagged.groupBy(
-        F.col("__p.dim").alias("dim"), F.col("__p.bucket").alias("bucket")
-    ).agg(
-        F.count(F.when(F.col("__a"), 1)).alias("n_a"),
-        F.count(F.when(~F.col("__a"), 1)).alias("n_b"),
+    # totals are dimension-independent: every row lands in exactly one
+    # bucket per dim, so each dim's shares divide by the same pair of
+    # cohort row counts — computed once, broadcast as one row
+    tot = flagged.agg(
+        F.greatest(F.count(F.when(F.col("__a"), 1)), F.lit(1)).alias("__ta"),
+        F.greatest(F.count(F.when(~F.col("__a"), 1)), F.lit(1)).alias("__tb"),
     )
-    # totals are dimension-independent (every row lands in exactly one
-    # bucket per dim), so summing any ONE dim's buckets reproduces the
-    # cohort row counts — derived from the kilobyte aggregate via a
-    # single-partition window (bounded bucket cardinality by contract;
-    # pre-bin numerics), never a second pass over the events
-    from pyspark.sql import Window
 
-    first_dim = next(iter(dims))
-    w = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    only_first = F.col("dim") == first_dim
-    tot_a = F.greatest(
-        F.sum(F.when(only_first, F.col("n_a"))).over(w), F.lit(1)
-    )
-    tot_b = F.greatest(
-        F.sum(F.when(only_first, F.col("n_b"))).over(w), F.lit(1)
-    )
-    share_a = F.col("n_a") / tot_a
-    share_b = F.col("n_b") / tot_b
-    ca = F.greatest(share_a, F.lit(PSI_MIN_SHARE))
-    cb = F.greatest(share_b, F.lit(PSI_MIN_SHARE))
-    return agg.select(
-        "dim",
-        "bucket",
-        "n_a",
-        "n_b",
-        F.round(share_a, 6).alias("share_a"),
-        F.round(share_b, 6).alias("share_b"),
-        F.round((ca - cb) * F.log(ca / cb), 6).alias("psi_term"),
-    )
+    def one(dim_name: str) -> DataFrame:
+        agg = (
+            flagged.groupBy(F.col(f"__dim_{dim_name}").alias("bucket"))
+            .agg(
+                F.count(F.when(F.col("__a"), 1)).alias("n_a"),
+                F.count(F.when(~F.col("__a"), 1)).alias("n_b"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+        share_a = F.col("n_a") / F.col("__ta")
+        share_b = F.col("n_b") / F.col("__tb")
+        ca = F.greatest(share_a, F.lit(PSI_MIN_SHARE))
+        cb = F.greatest(share_b, F.lit(PSI_MIN_SHARE))
+        return agg.select(
+            F.lit(dim_name).alias("dim"),
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round(share_a, 6).alias("share_a"),
+            F.round(share_b, 6).alias("share_b"),
+            F.round((ca - cb) * F.log(ca / cb), 6).alias("psi_term"),
+        )
+
+    out = None
+    for name in dims:
+        part = one(name)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,10 +162,9 @@ DRIVER_SPECS: dict[str, QuerySpec] = {
         "per-bucket PSI between ingest cohorts)",
         doc="Population stability index per event_type bucket and "
         f"fixed-width value bin (width {PSI_VALUE_BIN_W}) between the "
-        "two halves of the event month; ONE events scan for all dims "
-        "(explode to (dim,bucket) structs -> one map-side-combined "
-        "aggregate), totals derived from the kilobyte aggregate, "
-        "zero collects.",
+        "two halves of the event month; one map-side-combined "
+        "aggregate per dim + a one-row broadcast total, zero "
+        "collects.",
     ),
 }
 
