@@ -45,13 +45,33 @@ def distribution_drift_psi(
     events: DataFrame,
     cohort_a,
     dims: dict[str, "F.Column"],
+    single_pass: bool = False,
 ) -> DataFrame:
     """Per-bucket PSI between the ``cohort_a`` rows and the rest, for
     each named dimension expression in ``dims`` (bucket expressions
     must be strings — pre-bin numerics). Returns
-    ``(dim, bucket, n_a, n_b, share_a, share_b, psi_term)``."""
+    ``(dim, bucket, n_a, n_b, share_a, share_b, psi_term)``.
+
+    Two physical strategies, row-identical output (pinned in tests):
+
+    - default (``single_pass=False``): one codegen'd groupBy per dim
+      plus a one-row broadcast grand total — k+1 passes over the
+      events. MEASURED faster at bench SF (0.15 s vs 0.36-0.54 s at
+      sf0.1 for every one-pass variant tried: Generate/Expand pay
+      per-row while re-scans hit the page cache), so it stays the
+      default the driver query runs.
+    - ``single_pass=True``: each row explodes into one (dim, bucket)
+      struct per dim and ONE map-side-combined aggregate covers every
+      dim, with cohort totals derived from the kilobyte aggregate
+      (summing any one dim's buckets reproduces the cohort counts)
+      via a single-partition window over the bounded bucket rows.
+      The choice at 100 TB, where events dwarf any cache and k+1
+      cold scans ARE the cost.
+    """
     if not dims:
         raise ValueError("dims must be non-empty")
+    if single_pass:
+        return _psi_single_pass(events, cohort_a, dims)
     flagged = events.select(
         cohort_a.alias("__a"),
         *[expr.alias(f"__dim_{name}") for name, expr in dims.items()],
@@ -92,6 +112,49 @@ def distribution_drift_psi(
         part = one(name)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _psi_single_pass(
+    events: DataFrame, cohort_a, dims: dict[str, "F.Column"]
+) -> DataFrame:
+    """One-events-scan PSI (see :func:`distribution_drift_psi`)."""
+    from pyspark.sql import Window
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("dim"), expr.cast("string").alias("bucket")
+            )
+            for name, expr in dims.items()
+        ]
+    )
+    flagged = events.select(cohort_a.alias("__a"), F.explode(pairs).alias("__p"))
+    agg = flagged.groupBy(
+        F.col("__p.dim").alias("dim"), F.col("__p.bucket").alias("bucket")
+    ).agg(
+        F.count(F.when(F.col("__a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("__a"), 1)).alias("n_b"),
+    )
+    first_dim = next(iter(dims))
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    only_first = F.col("dim") == first_dim
+    tot_a = F.greatest(F.sum(F.when(only_first, F.col("n_a"))).over(w), F.lit(1))
+    tot_b = F.greatest(F.sum(F.when(only_first, F.col("n_b"))).over(w), F.lit(1))
+    share_a = F.col("n_a") / tot_a
+    share_b = F.col("n_b") / tot_b
+    ca = F.greatest(share_a, F.lit(PSI_MIN_SHARE))
+    cb = F.greatest(share_b, F.lit(PSI_MIN_SHARE))
+    return agg.select(
+        "dim",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round((ca - cb) * F.log(ca / cb), 6).alias("psi_term"),
+    )
 
 
 def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -280,6 +280,30 @@ def test_crawl_profile_host_tail_lumps_to_other(spark):
     assert got == {"big.com": 2, "mid.com": 2, "__other": 3}
 
 
+def test_psi_single_pass_row_identical(spark):
+    """single_pass=True (the 100 TB one-events-scan strategy: explode
+    to (dim,bucket) structs, one aggregate, totals derived from the
+    kilobyte aggregate) must be ROW-IDENTICAL to the default multi-
+    scan strategy — and its plan must really read events once."""
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] * 2 + [("a", None)]
+        + [("b", "x")] + [("b", "y")] * 4 + [("b", "z")] * 2
+    )
+    kw = dict(cohort_a=F.col("grp") == "a", dims={"cat": F.col("cat"),
+              "grp2": F.concat(F.lit("g_"), F.col("grp"))})
+    default = sorted(
+        (tuple(r) for r in distribution_drift_psi(_events(spark, rows), **kw).collect()),
+        key=repr,  # None buckets have no natural order vs str
+    )
+    single = distribution_drift_psi(_events(spark, rows), single_pass=True, **kw)
+    assert sorted((tuple(r) for r in single.collect()), key=repr) == default
+    # post-execution the AQE plan prints Final + Initial sections;
+    # count the source scan in the final plan only
+    plan = single._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1  # one pass over the events
+
+
 def test_distribution_drift_psi_empty_dims_raises(spark):
     with pytest.raises(ValueError, match="dims must be non-empty"):
         distribution_drift_psi(
