@@ -305,6 +305,16 @@ def test_legacy_state_dir_root_keeps_working(spark, tmp_path):
     checks = cmd_nightly_verify(spark, root)
     assert checks["ok"] and checks["states_present"], checks
 
+    # crash-between-flip-and-archive replay: the ledger is already
+    # serving but the rotated dirs are still in place — the rerun
+    # completes ONLY the archive step, touching no store
+    shutil.move(f"{root}/state_archived_pre_ledger", f"{root}/state")
+    m2 = cmd_corpus_maintain(spark, root, ivf="skip", migrate_state=True)
+    assert m2["state_migrated"] == 0 and m2["state_archive_completed"] == 1
+    assert not os.path.exists(f"{root}/state")
+    assert os.path.isdir(f"{root}/state_archived_pre_ledger/n2")
+    assert resolve_store(spark, root, "state_ledger") == new_led
+
     # a completed migration re-run fails fast, mutating nothing
     with pytest.raises(ValueError, match="nothing to migrate"):
         cmd_corpus_maintain(spark, root, ivf="skip", migrate_state=True)
