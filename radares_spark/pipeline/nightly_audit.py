@@ -153,9 +153,17 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
     # a held root writer lease during an (offline) audit means a
     # writer is in flight — or was killed and awaits its replay;
     # informational, the operator decides which
-    lease = iofs.read_marker(spark, os.path.join(root_dir, "_writer_lease"))
+    lease_path = os.path.join(root_dir, "_writer_lease")
+    lease = iofs.read_marker(spark, lease_path)
     if lease is not None:
         checks["writer_lease_held"] = lease
+        # heartbeat age (r13 liveness): the runbook's live-vs-dead
+        # distinction — fresh means a writer is really running
+        mt = iofs.marker_mtime(spark, lease_path)
+        if mt is not None:
+            import time as _time
+
+            checks["writer_lease_age_s"] = round(_time.time() - mt, 1)
 
     # --- admission ledgers ---------------------------------------------
     # A night that admits nothing appends NO url epoch (an empty
@@ -191,6 +199,16 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
     # (_check_knobs skips them), so the audit must not out-strict the
     # code that writes the state
     state_led = resolve_store(spark, root_dir, "state_ledger")
+    # `state_archived_pre_ledger/` is minted exactly once, by a
+    # completed --migrate-state whose pointer flip landed the serving
+    # ledger FIRST — so an archive with NO serving ledger is manual
+    # surgery (ledger dir deleted, pointer log edited): the rotated
+    # history was retired but nothing serves (r12 verdict #6). Healthy
+    # migrated roots (archive + ledger) stay silent.
+    if iofs.is_dir(
+        spark, os.path.join(root_dir, "state_archived_pre_ledger")
+    ) and not iofs.has_parquet(spark, state_led):
+        checks["state_archive_consistent"] = False
     last_audit = None  # the audit view the kept store must match
     if iofs.has_parquet(spark, state_led):
         from radares_spark.pipeline.state_ledger import (

@@ -48,9 +48,15 @@ from radares_spark.plans import tpch_extra  # noqa: E402,F401
 # monitor, strict oracle since r11); q7_nation_volume moves to the
 # library tier in tpch_more (J4 stays driver-covered via q5/q3, A3
 # via q1/q11).
+# r13 rotation: text_chunk_windows enters (context-window chunking,
+# strict oracle + fuzz grid since r7, linearity rewrite in r12);
+# range_join_price_bands moves to the library tier in relational
+# (§2.6's range/as-of capability stays driver-covered via
+# asof_join_error_click).
 from radares_spark.operators import drift as _drift  # noqa: E402
 from radares_spark.operators import dsir as _dsir  # noqa: E402
 from radares_spark.operators import retrieval as _retrieval  # noqa: E402
+from radares_spark.operators import text_ext as _text_ext  # noqa: E402
 from radares_spark.pipeline import shards as _shards  # noqa: E402
 from radares_spark.pipeline import snapshot as _snapshot  # noqa: E402
 
@@ -60,6 +66,7 @@ for _spec in (
     *_shards.DRIVER_SPECS.values(),
     *_dsir.DRIVER_SPECS.values(),
     *_drift.DRIVER_SPECS.values(),
+    *_text_ext.DRIVER_SPECS.values(),
 ):
     assert _spec.name not in REGISTRY, _spec.name
     REGISTRY[_spec.name] = _spec

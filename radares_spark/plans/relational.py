@@ -670,7 +670,12 @@ def asof_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@_library(
+    # r13 window rotation: demoted to the library tier to put the
+    # context-window chunker (operators/text_ext.text_chunk_windows)
+    # under the driver oracle — §2.6's range/as-of capability stays
+    # driver-covered via asof_join_error_click; still
+    # strict-hash-swept here.
     "range_join_price_bands",
     oracle="""
     WITH bands AS (

@@ -410,3 +410,132 @@ def test_night_log_claim_blocks_concurrent_night(spark, tmp_path):
         r["night"]
         for r in spark.read.parquet(f"{root}/night_log").orderBy("idx").collect()
     ] == ["n1", "n2"]
+
+
+def test_root_writer_lease_liveness(spark, tmp_path):
+    """r12 verdict #1 — the same-tag replay escape must tell a killed
+    run from a LIVE duplicate: the lease content carries a per-run
+    nonce and the holder heartbeats the marker mtime, so a second
+    concurrent launch of the SAME work fails fast while the heartbeat
+    is fresh, a stale heartbeat admits the killed-run replay (which
+    takes the lease over under its OWN nonce), and release deletes
+    the lease only while its content is still this run's."""
+    import time
+
+    import pytest
+
+    from radares_spark import cli
+    from radares_spark.cli import cmd_corpus_maintain
+    from radares_spark.io import fs as iofs
+
+    A, B = _body("alpha"), _body("beta")
+    root = str(tmp_path / "root")
+    src1, src2 = tmp_path / "p1", tmp_path / "p2"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A)])
+    _write_pages(spark, src2, [(2, "https://b.example.com/2", B)])
+    cmd_corpus_nightly(spark, str(src1), root, "n1", n_merges=8, ctx_len=16)
+    lease = f"{root}/_writer_lease"
+
+    # a LIVE duplicate: a nonce-carrying lease with a FRESH heartbeat.
+    # The second launch of the SAME night fails fast BEFORE any store
+    # mutation and deletes nothing — the live holder keeps its lease.
+    live = "corpus-nightly:n2\notherhost:4242:1700000000000"
+    assert iofs.claim_marker(spark, lease, live)
+    with pytest.raises(ValueError, match="LIVE run of this same work"):
+        cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    assert iofs.read_marker(spark, lease) == live
+    assert not os.path.exists(f"{root}/nights/n2")
+    assert not os.path.exists(f"{root}/night_log/_claim_idx_1")
+
+    # a DIFFERENT command still fails fast regardless of freshness
+    with pytest.raises(ValueError, match="leased by another writer"):
+        cmd_corpus_maintain(spark, root, ivf="skip")
+
+    # the heartbeat goes stale (the holder is dead): the rerun is the
+    # killed-run replay — it takes the lease over, completes, releases
+    old_t = time.time() - cli.LEASE_STALE_AFTER_S - 5
+    os.utime(lease, (old_t, old_t))
+    c2 = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
+    assert c2["night_index"] == 1
+    assert not os.path.exists(lease)
+
+    # release never unlocks a root it no longer owns: simulate a
+    # post-staleness takeover landing mid-run — the original holder's
+    # release is a no-op on the usurper's lease
+    h = cli._acquire_root_lease(spark, root, "corpus-maintain")
+    iofs.delete(spark, lease)
+    usurper = "corpus-maintain\nusurper:9:9"
+    assert iofs.claim_marker(spark, lease, usurper)
+    assert h.release(spark) is False
+    assert iofs.read_marker(spark, lease) == usurper
+    iofs.delete(spark, lease)
+
+
+def test_migrate_state_crash_ahead_and_recreated_archive(spark, tmp_path):
+    """r12 verdict #4 + advice #2 — two migrate-state edges pinned:
+    (1) a state dir the night log does not record (a crashed night
+    ahead of the log) fails the migration fast, matching its own
+    replay-first docstring, instead of archiving the partial dir
+    wholesale and migrating a base that never saw it; (2) after a
+    completed migration, a manually recreated state/ dir alongside the
+    archive raises a migration-specific error naming both dirs, not
+    fs.rename's bare 'destination already exists'."""
+    import pytest
+
+    from radares_spark.cli import cmd_corpus_maintain
+    from radares_spark.pipeline.refresh import _state_read
+    from radares_spark.pipeline.state_ledger import LedgerState
+
+    A, B = _body("alpha"), _body("beta")
+    root = str(tmp_path / "root")
+    src1 = tmp_path / "p1"
+    _write_pages(spark, src1, [(1, "https://a.example.com/1", A),
+                               (2, "https://b.example.com/2", B)])
+    cmd_corpus_nightly(spark, str(src1), root, "n1", n_merges=8, ctx_len=16)
+
+    # downgrade to the legacy rotated-dirs layout (as the migration's
+    # target population actually looks)
+    led = f"{root}/state_ledger"
+    for t in ("features", "bands", "audit"):
+        _state_read(spark, LedgerState(led, 0), t).write.parquet(
+            f"{root}/state/n1/{t}"
+        )
+    spark.read.parquet(f"{led}/knobs").write.parquet(f"{root}/state/n1/knobs")
+    shutil.rmtree(led)
+
+    # (1) plant a crashed night AHEAD of the log: a partial state dir
+    # with no matching night-log row — the migration refuses
+    os.makedirs(f"{root}/state/n2_crashed/features")
+    with pytest.raises(ValueError, match="not in the night log"):
+        cmd_corpus_maintain(spark, root, ivf="skip", migrate_state=True)
+    assert os.path.isdir(f"{root}/state/n1")  # nothing archived
+    assert not os.path.exists(f"{root}/state_archived_pre_ledger")
+    shutil.rmtree(f"{root}/state/n2_crashed")
+
+    # the clean migration then proceeds
+    m = cmd_corpus_maintain(spark, root, ivf="skip", migrate_state=True)
+    assert m["state_migrated"] == 1 and m["state_base_epoch"] == 0
+    assert os.path.isdir(f"{root}/state_archived_pre_ledger/n1")
+
+    # (2) manual surgery: state/ recreated AFTER the completed
+    # migration — the crash-repair branch must name both dirs and the
+    # remedy instead of crashing in fs.rename
+    os.makedirs(f"{root}/state/n1")
+    with pytest.raises(ValueError, match="already completed.*recreated"):
+        cmd_corpus_maintain(spark, root, ivf="skip", migrate_state=True)
+    assert os.path.isdir(f"{root}/state_archived_pre_ledger/n1")
+
+    # nightly-verify on top of the same root: a healthy migrated root
+    # (archive + serving ledger) stays SILENT; an archive with NO
+    # serving ledger (only reachable by manual surgery — the tool
+    # flips the ledger before it archives) trips a named flag (r12
+    # verdict #6)
+    from radares_spark.cli import cmd_nightly_verify
+
+    shutil.rmtree(f"{root}/state")  # undo the surgery from (2)
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["ok"] and "state_archive_consistent" not in checks, checks
+    shutil.rmtree(glob.glob(f"{root}/state_ledger.m*")[0])
+    checks2 = cmd_nightly_verify(spark, root)
+    assert checks2["state_archive_consistent"] is False
+    assert not checks2["ok"]

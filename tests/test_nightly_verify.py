@@ -160,6 +160,8 @@ def test_orphan_and_contradicting_claims_surface(spark, tmp_path):
     assert iofs.claim_marker(spark, f"{root}/_writer_lease", "corpus-nightly:n2")
     checks = cmd_nightly_verify(spark, root)
     assert checks["writer_lease_held"] == "corpus-nightly:n2" and checks["ok"]
+    # heartbeat age rides along (r13 liveness runbook): fresh here
+    assert 0 <= checks["writer_lease_age_s"] < 120
     iofs.delete(spark, f"{root}/_writer_lease")
 
     # a claim CONTRADICTING its logged partition = a buried writer
