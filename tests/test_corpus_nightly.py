@@ -539,3 +539,33 @@ def test_migrate_state_crash_ahead_and_recreated_archive(spark, tmp_path):
     checks2 = cmd_nightly_verify(spark, root)
     assert checks2["state_archive_consistent"] is False
     assert not checks2["ok"]
+
+
+def test_lease_heartbeat_refreshes_mtime(spark, tmp_path, monkeypatch):
+    """The liveness mechanism itself: a held lease's daemon heartbeat
+    brings a (simulated-)stale mtime back to fresh within a beat, and
+    a clean release deletes the lease and stops the thread."""
+    import time
+
+    from radares_spark import cli
+    from radares_spark.io import fs as iofs
+
+    monkeypatch.setattr(cli, "LEASE_HEARTBEAT_S", 0.2)
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    h = cli._acquire_root_lease(spark, root, "corpus-maintain")
+    lease = f"{root}/_writer_lease"
+    assert os.path.exists(lease)
+    # age the marker far past staleness; the heartbeat must refresh it
+    old_t = time.time() - 10 * cli.LEASE_STALE_AFTER_S
+    os.utime(lease, (old_t, old_t))
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        mt = iofs.marker_mtime(spark, lease)
+        if mt is not None and time.time() - mt < 60:
+            break
+        time.sleep(0.1)
+    mt = iofs.marker_mtime(spark, lease)
+    assert mt is not None and time.time() - mt < 60, "heartbeat never fired"
+    assert h.release(spark) is True
+    assert not os.path.exists(lease)
