@@ -135,7 +135,7 @@ def _acquire_root_lease(
         if iofs.claim_marker(spark, lease, content):
             return _RootLease(spark, lease, content)
         held = iofs.read_marker(spark, lease) or ""
-        held_owner = held.splitlines()[0] if held else ""
+        held_owner, _, held_nonce = held.partition("\n")
         if held_owner != owner:
             raise ValueError(
                 f"root {root_dir!r} is leased by another writer "
@@ -151,7 +151,7 @@ def _acquire_root_lease(
             raise ValueError(
                 f"root {root_dir!r} is leased by a LIVE run of this same "
                 f"work ({held_owner!r}, heartbeat {age:.0f}s old, nonce "
-                f"{held.splitlines()[1]!r}) — a second concurrent launch "
+                f"{held_nonce!r}) — a second concurrent launch "
                 "would interleave store mutations; if that run is truly "
                 f"dead, its heartbeat goes stale in "
                 f"{max(LEASE_STALE_AFTER_S - age, 0):.0f}s and a rerun "
