@@ -356,7 +356,7 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
         store = os.path.join(root, "store")
         postings = os.path.join(root, "postings")
         ivf = os.path.join(root, "ivf")
-        s = [LedgerState(led, e) for e in range(3)]
+        s = [LedgerState(led, e) for e in range(4)]
         init_state(spark, docs, s[0])
         init_store(spark, docs, s[0], store)
         init_postings_from_state(spark, docs, s[0], postings)
@@ -409,26 +409,35 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
             }
 
         one = night(1, 100, "a")   # ~2% delta — the nightly shape
-        ten = night(2, 10, "b")    # ~20% delta — the amortization point
-        d1, d10 = one["delta_rows"], ten["delta_rows"]
-        t1, t10 = one["wall_s"], ten["wall_s"]
-        fixed = (t1 * d10 - t10 * d1) / max(d10 - d1, 1)
-        marginal = (t10 - t1) / max(d10 - d1, 1)
+        mid = night(2, 25, "b")    # ~8% delta — the fit's middle point
+        ten = night(3, 10, "c")    # ~20% delta — the amortization point
+        pts = [
+            (p["delta_rows"], p["wall_s"]) for p in (one, mid, ten)
+        ]
+        # least-squares t = fixed + marginal*rows over THREE deltas
+        # (r12 verdict #2: the old two-point solve extrapolated a
+        # physically meaningless negative marginal, -1.409 ms/row,
+        # whenever session noise inverted the pair — at toy deltas the
+        # fixed per-night overhead of ~25 Spark jobs dominates every
+        # point, so inversion is common). Three points make the slope
+        # a fit instead of a difference; the clamp-and-flag below
+        # still guards the sessions noise inverts outright.
+        n_p = len(pts)
+        mx = sum(x for x, _ in pts) / n_p
+        my = sum(y for _, y in pts) / n_p
+        var = sum((x - mx) ** 2 for x, _ in pts)
+        cov = sum((x - mx) * (y - my) for x, y in pts)
+        marginal = cov / var if var else 0.0
+        fixed = my - marginal * mx
         out = {
             "resident_docs": n_resident,
             **one,
+            "delta_4x": mid,
             "delta_10x": ten,
         }
-        # At toy deltas the fixed per-night overhead (~25 Spark jobs of
-        # scheduler/commit cost) dominates BOTH points, so session
-        # noise can make the bigger delta measure FASTER in wall — a
-        # two-point fit through inverted points extrapolates a
-        # (physically meaningless) negative marginal (BENCH_r12 printed
-        # -1.409). Clamp and flag instead of quoting nonsense: the fit
-        # is only meaningful when the 10x point actually cost more.
         if marginal < 0:
             out["fit_inverted"] = True
-            out["fixed_night_s_est"] = round(min(t1, t10), 3)
+            out["fixed_night_s_est"] = round(min(y for _, y in pts), 3)
             out["marginal_ms_per_row"] = 0.0
         else:
             out["fixed_night_s_est"] = round(fixed, 3)
