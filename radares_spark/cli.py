@@ -163,8 +163,10 @@ def _acquire_root_lease(
         # iteration reads a fresh nonce-carrying lease and fails fast.
         iofs.delete(spark, lease)
     raise ValueError(
-        f"root lease {lease!r} was re-taken during a stale-lease "
-        "takeover — another replay of the same work is live; let it run"
+        f"root lease {lease!r} could not be acquired after a stale-lease "
+        "takeover attempt — another writer re-took it mid-takeover; if a "
+        "replay of the same work is live, let it run (see README, "
+        "'Crashed-writer recovery')"
     )
 
 
