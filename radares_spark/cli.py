@@ -41,6 +41,18 @@ ROOT_LEASE = "_writer_lease"
 # and fails fast, and one older as a killed run and takes it over.
 # The stale threshold is deliberately >> the heartbeat interval so a
 # paused-but-alive holder (GC, brief driver stall) is never usurped.
+# CLOCK-SYNC ASSUMPTION (r13 advice): staleness compares the
+# ACQUIRER's time.time() to an mtime stamped from the HOLDER's clock
+# (``setTimes`` payload on HDFS/local) or the STORE's clock (PUT time
+# on object stores, where the rewrite fallback lands the heartbeat).
+# The threshold therefore absorbs holder↔acquirer skew only up to
+# ~LEASE_STALE_AFTER_S − a few heartbeats: a holder clock that far
+# BEHIND the acquirer's looks permanently stale and gets usurped
+# (the usurped holder then aborts at its next store-mutation
+# boundary via ``lease_lost`` — safe, but the night is wasted); skew
+# the other way masks a real death for the skew duration. Deploy the
+# writers NTP-synced (minutes of skew is operator error); the 10×
+# heartbeat-to-stale ratio absorbs the seconds-level skew NTP leaves.
 LEASE_STALE_AFTER_S = 300.0
 LEASE_HEARTBEAT_S = 30.0
 
@@ -51,7 +63,27 @@ class _RootLease:
     thread refreshing the marker's mtime. ``release`` deletes the
     marker only while its content still matches THIS run's nonce — a
     finisher can never unlock the root out from under a holder that
-    (legitimately, post-staleness) took the lease over."""
+    (legitimately, post-staleness) took the lease over.
+
+    Abort-on-lost-lease (r13 verdict #1): when a beat observes the
+    marker gone or carrying a FOREIGN nonce, the holder was judged
+    stale and usurped (a >stale-threshold driver stall that outlived
+    the heartbeat) — the thread sets :attr:`lease_lost` and logs at
+    WARNING, and every store-mutation boundary of the root-mutating
+    commands checks the flag via :func:`_check_root_lease` and raises
+    BEFORE the next write, so a usurped run can no longer keep
+    mutating stores concurrently with its usurper. ``release`` then
+    deletes nothing (the takeover's lease is not ours), which also
+    removes the read-then-delete race the pre-r14 release carried.
+
+    Heartbeat health (r13 verdict "what's wrong" #3): consecutive
+    beat FAILURES (FS errors — not takeovers) are counted in
+    :attr:`heartbeat_misses` and logged at WARNING from the third
+    one, so a persistent refresh failure (marker dir deleted by
+    surgery, FS outage) is observable from the holder's side before
+    the lease silently goes stale under a live run; the counter
+    resets on the next successful beat and is surfaced as
+    ``lease_heartbeat_misses`` in each command's result dict."""
 
     def __init__(self, spark: SparkSession, lease_path: str, content: str):
         import threading
@@ -59,6 +91,8 @@ class _RootLease:
         self._lease = lease_path
         self._content = content
         self._stop = threading.Event()
+        self.lease_lost = threading.Event()
+        self.heartbeat_misses = 0  # consecutive failed beats
         self._thread = threading.Thread(
             target=self._beat, args=(spark,), daemon=True,
             name=f"root-lease-heartbeat:{lease_path}",
@@ -66,29 +100,96 @@ class _RootLease:
         self._thread.start()
 
     def _beat(self, spark: SparkSession) -> None:
+        import logging
+
         from radares_spark.io import fs as iofs
 
+        log = logging.getLogger(__name__)
         while not self._stop.wait(LEASE_HEARTBEAT_S):
             try:
-                if iofs.read_marker(spark, self._lease) != self._content:
-                    return  # taken over after a (wrongly judged) stall
-                iofs.refresh_marker_mtime(spark, self._lease)
+                cur = iofs.read_marker(spark, self._lease)
+                if cur != self._content:
+                    # taken over after a (wrongly judged) stall — or
+                    # the marker was deleted out from under us. Either
+                    # way this run no longer holds the root: flag it
+                    # LOUDLY so the store-mutation boundaries abort.
+                    self.lease_lost.set()
+                    log.warning(
+                        "root lease %r was %s — this run was judged "
+                        "stale and usurped; it will abort at its next "
+                        "store-mutation boundary",
+                        self._lease,
+                        "deleted" if cur is None else "taken over",
+                    )
+                    return
+                iofs.refresh_marker_mtime(
+                    spark, self._lease, content=self._content
+                )
+                self.heartbeat_misses = 0
             except Exception:  # noqa: BLE001 — a heartbeat must never
-                continue  # crash the run; a TRANSIENT FS error retries
-                # next tick (the stale threshold is 10 beats deep, so
-                # one missed refresh can't get a live holder usurped)
+                # crash the run; a TRANSIENT FS error retries next
+                # tick (the stale threshold is 10 beats deep, so one
+                # missed refresh can't get a live holder usurped) —
+                # but a PERSISTENT failure must not stay invisible
+                self.heartbeat_misses += 1
+                if self.heartbeat_misses >= 3:
+                    log.warning(
+                        "root lease %r heartbeat has missed %d "
+                        "consecutive beats — if this persists past "
+                        "%.0fs a replay will judge this run dead and "
+                        "take the lease over",
+                        self._lease,
+                        self.heartbeat_misses,
+                        LEASE_STALE_AFTER_S,
+                    )
+                continue
+
+    def check(self) -> None:
+        """Raise if this run lost its lease to a post-stale takeover —
+        called at every store-mutation boundary of the holder."""
+        if self.lease_lost.is_set():
+            raise RuntimeError(
+                f"root lease {self._lease!r} was taken over by another "
+                "run (this run stalled past the "
+                f"{LEASE_STALE_AFTER_S:.0f}s staleness threshold and "
+                "was judged dead) — aborting before the next store "
+                "mutation; the takeover now owns the root and will "
+                "replay this work (see README, 'Crashed-writer "
+                "recovery')"
+            )
 
     def release(self, spark: SparkSession) -> bool:
         """Stop the heartbeat and delete the lease IF still ours;
-        False when another run took it over (nothing deleted)."""
+        False when another run took it over (nothing deleted). A
+        set ``lease_lost`` skips even the content read: the takeover
+        owns the marker, and re-reading it here would reopen the
+        read-then-delete window the flag exists to close."""
         from radares_spark.io import fs as iofs
 
         self._stop.set()
         self._thread.join(timeout=30.0)
+        if self.lease_lost.is_set():
+            return False
         if iofs.read_marker(spark, self._lease) == self._content:
             iofs.delete(spark, self._lease)
             return True
         return False
+
+
+# root_dir -> the lease its root-mutating command currently holds;
+# registered by the cmd_* wrappers so the _run bodies (which tests
+# also drive directly, lease-less) can abort-check at every
+# store-mutation boundary without threading the handle through.
+_HELD_ROOT_LEASES: dict[str, _RootLease] = {}
+
+
+def _check_root_lease(root_dir: str) -> None:
+    """Abort-before-mutation guard (r13 verdict #1): raise when the
+    root's held lease observed a takeover. A no-op when no lease is
+    registered (direct ``_run`` calls in tests)."""
+    lease = _HELD_ROOT_LEASES.get(root_dir)
+    if lease is not None:
+        lease.check()
 
 
 def _lease_nonce() -> str:
@@ -161,6 +262,17 @@ def _acquire_root_lease(
         # killed-run replay takes over under OUR nonce. If a
         # simultaneous replay wins the re-claim race, the next
         # iteration reads a fresh nonce-carrying lease and fails fast.
+        # The delete is CONDITIONED on the marker still carrying the
+        # stale content first observed (r13 advice #2): two
+        # simultaneous replays can both judge staleness, and an
+        # unconditional delete from the loser would remove the
+        # winner's FRESH post-claim lease — the re-read narrows that
+        # window to the read→delete instants (an exact CAS needs a
+        # primitive HDFS/S3 lack); the winner's heartbeat content
+        # check (``lease_lost``) catches the residue and aborts it
+        # before its next store mutation.
+        if iofs.read_marker(spark, lease) != held:
+            continue  # re-taken mid-judgment — re-evaluate afresh
         iofs.delete(spark, lease)
     raise ValueError(
         f"root lease {lease!r} could not be acquired after a stale-lease "
@@ -740,9 +852,15 @@ def cmd_corpus_nightly(
     interleaving store mutations; a replay of a killed run of the
     SAME night re-enters its own lease."""
     lease = _acquire_root_lease(spark, root_dir, f"corpus-nightly:{night}")
+    _HELD_ROOT_LEASES[root_dir] = lease
     try:
-        return _corpus_nightly_run(spark, pages_path, root_dir, night, **kwargs)
+        out = _corpus_nightly_run(
+            spark, pages_path, root_dir, night, **kwargs
+        )
+        out["lease_heartbeat_misses"] = lease.heartbeat_misses
+        return out
     finally:
+        _HELD_ROOT_LEASES.pop(root_dir, None)
         lease.release(spark)
 
 
@@ -876,6 +994,7 @@ def _corpus_nightly_run(
     # proceeds. The claim is an _-prefixed file inside the log dir
     # (invisible to Spark reads) and stays in place forever — one
     # claim per idx, the append-only log discipline.
+    _check_root_lease(root_dir)  # abort if usurped before the claim
     claim = f"{log}/_claim_idx_{len(done)}"
     if not iofs.claim_marker(spark, claim, night) and (
         iofs.read_marker(spark, claim) != night
@@ -908,6 +1027,7 @@ def _corpus_nightly_run(
         prior_state = LedgerState(state_led, len(done) - 1) if done else None
         state_dir = LedgerState(state_led, len(done))
 
+    _check_root_lease(root_dir)  # next: crawl mutates ledgers/out_dir
     counts = cmd_crawl_nightly(
         spark,
         pages_path,
@@ -940,6 +1060,7 @@ def _corpus_nightly_run(
         recap_profile_hosts,
     )
 
+    _check_root_lease(root_dir)  # next: profile write under out_dir
     profile_dir = os.path.join(out_dir, "drift_profile")
     crawl_profile(spark.read.parquet(kept_dir)).repartition(1).write.mode(
         "overwrite"
@@ -981,6 +1102,7 @@ def _corpus_nightly_run(
     # ∪ tonight — tonight's docs are the only text hashed, and stable
     # text is point-read through the store's bucket partitions, so
     # the night's I/O is delta-proportional, never O(corpus)
+    _check_root_lease(root_dir)  # next: refresh mutates all 3 stores
     counts.update(
         {
             f"refresh_{k}": v
@@ -1002,6 +1124,7 @@ def _corpus_nightly_run(
         }
     )
 
+    _check_root_lease(root_dir)  # next: tokenizer/shard store writes
     if first:
         # deterministic training: a crashed first night re-trains to
         # the byte-identical artifact and re-seals the (replayable)
@@ -1033,6 +1156,7 @@ def _corpus_nightly_run(
     # atomic create, where two simultaneous claims can both "win"): a
     # buried writer sees the other night's row and raises instead of
     # reporting success for a night the log never recorded.
+    _check_root_lease(root_dir)  # next: the completed-night append
     (
         spark.createDataFrame([(len(done), night)], "idx int, night string")
         .repartition(1)
@@ -1293,9 +1417,13 @@ def cmd_corpus_maintain(spark: SparkSession, root_dir: str, **kwargs) -> dict:
     night (or a reinit) can never interleave with a store swap; a
     rerun of a killed maintenance re-enters its own lease."""
     lease = _acquire_root_lease(spark, root_dir, "corpus-maintain")
+    _HELD_ROOT_LEASES[root_dir] = lease
     try:
-        return _corpus_maintain_run(spark, root_dir, **kwargs)
+        out = _corpus_maintain_run(spark, root_dir, **kwargs)
+        out["lease_heartbeat_misses"] = lease.heartbeat_misses
+        return out
     finally:
+        _HELD_ROOT_LEASES.pop(root_dir, None)
         lease.release(spark)
 
 
@@ -1399,6 +1527,7 @@ def _corpus_maintain_run(
     counts: dict = {}
 
     if migrate_state:
+        _check_root_lease(root_dir)
         # runs FIRST so --migrate-state --compact-states composes: the
         # compaction below resolves the freshly flipped ledger
         counts.update(_migrate_legacy_state(spark, root_dir))
@@ -1413,6 +1542,7 @@ def _corpus_maintain_run(
             )
         counts["ivf_retrain_due"] = int(due)
         if due:
+            _check_root_lease(root_dir)
             # candidate dir named by the flip index it will take, so
             # .m<k> suffixes always correlate with pointer-log entries
             out = os.path.join(
@@ -1431,6 +1561,7 @@ def _corpus_maintain_run(
             )
 
     if reshard_tokenizer:
+        _check_root_lease(root_dir)
         cur_shards = resolve_store(spark, root_dir, "shards")
         kept = resolve_store(spark, root_dir, "kept_store")
         out = os.path.join(
@@ -1452,6 +1583,7 @@ def _corpus_maintain_run(
         )
 
     if compact_shards:
+        _check_root_lease(root_dir)
         from radares_spark.pipeline.shards import compact_shards as _compact
 
         cur_shards = resolve_store(spark, root_dir, "shards")
@@ -1466,6 +1598,7 @@ def _corpus_maintain_run(
         )
 
     if compact_ledgers:
+        _check_root_lease(root_dir)
         from radares_spark.streaming.admission_stream import compact_ledger
         from radares_spark.streaming.url_stream import compact_url_ledger
 
@@ -1489,6 +1622,7 @@ def _corpus_maintain_run(
         counts["ledger_epochs_folded"] = n_before
 
     if compact_states:
+        _check_root_lease(root_dir)
         from radares_spark.pipeline.state_ledger import compact_state_ledger
 
         led = resolve_store(spark, root_dir, "state_ledger")
@@ -1516,6 +1650,7 @@ def _corpus_maintain_run(
         counts["state_compacted_thru"] = n_done - 1
 
     if prune_nights is not None:
+        _check_root_lease(root_dir)
         if prune_nights < 1:
             raise ValueError(
                 "--prune-nights must keep at least the most recent "
@@ -1550,9 +1685,13 @@ def cmd_corpus_reinit(spark: SparkSession, root_dir: str, **kwargs) -> dict:
     fast BEFORE any store mutation; a rerun of a killed reinit
     re-enters its own lease."""
     lease = _acquire_root_lease(spark, root_dir, "corpus-reinit")
+    _HELD_ROOT_LEASES[root_dir] = lease
     try:
-        return _corpus_reinit_run(spark, root_dir, **kwargs)
+        out = _corpus_reinit_run(spark, root_dir, **kwargs)
+        out["lease_heartbeat_misses"] = lease.heartbeat_misses
+        return out
     finally:
+        _HELD_ROOT_LEASES.pop(root_dir, None)
         lease.release(spark)
 
 
@@ -1649,6 +1788,7 @@ def _corpus_reinit_run(
 
     kept_store = resolve_store(spark, root_dir, "kept_store")
     snap = os.path.join(root_dir, "reinit_snapshot")
+    _check_root_lease(root_dir)  # next: snapshot + candidate rebuilds
     if not iofs.exists(spark, f"{snap}/_SUCCESS"):
         # _SUCCESS-gated: a crashed partial snapshot rewrites in full
         spark.read.parquet(kept_store).select("doc_id", "text").write.mode(
@@ -1668,6 +1808,7 @@ def _corpus_reinit_run(
     init_postings_from_state(spark, docs, new_led, new_postings)
     new_ivf = os.path.join(root_dir, f"ivf_store.m{k}")
     init_ivf_from_state(spark, docs, new_led, new_ivf, n_cells=n_cells)
+    _check_root_lease(root_dir)  # next: the four-store pointer flip
     flip_idx = flip_stores(
         spark,
         root_dir,

@@ -132,18 +132,64 @@ def marker_mtime(spark: SparkSession, path_str: str) -> float | None:
     return fs.getFileStatus(path).getModificationTime() / 1000.0
 
 
-def refresh_marker_mtime(spark: SparkSession, path_str: str) -> bool:
-    """Bump a marker's modification time to now WITHOUT touching its
-    content (``FileSystem.setTimes`` — a metadata-only heartbeat, no
-    create/delete window a concurrent reader could race). False when
-    the marker is gone (the holder lost it — a stale-lease takeover
-    happened; the caller must stop believing it holds the lease)."""
+def _set_times(fs, path, ms: int) -> None:
+    """``FileSystem.setTimes``, isolated so tests can simulate an
+    object store's silent no-op (Hadoop's base implementation is
+    EMPTY and S3AFileSystem does not override it — the heartbeat must
+    not trust this call alone, r13 advice #1)."""
+    fs.setTimes(path, ms, -1)
+
+
+# mtime-resolution slack for the "did setTimes actually land" probe:
+# local filesystems may truncate to whole seconds, so an mtime within
+# this window of the requested stamp counts as advanced.
+_MTIME_SLACK_MS = 2000
+
+
+def refresh_marker_mtime(
+    spark: SparkSession, path_str: str, content: str | None = None
+) -> bool:
+    """Bump a marker's modification time to now, WITHOUT touching its
+    content where the filesystem allows it (``FileSystem.setTimes`` —
+    a metadata-only heartbeat, no create/delete window a concurrent
+    reader could race). False when the marker is gone (the holder
+    lost it — a stale-lease takeover happened; the caller must stop
+    believing it holds the lease).
+
+    Object-store degradation (r13 advice #1): on s3a ``setTimes`` is
+    a SILENT NO-OP (Hadoop's base implementation is empty and
+    S3AFileSystem does not override it), so a heartbeat that trusted
+    it would leave a live holder's lease looking stale five minutes
+    after acquisition — the exact hazard the liveness design closes.
+    The refresh therefore VERIFIES the mtime actually advanced and
+    otherwise falls back to a content-preserving rewrite:
+    ``create(overwrite=true)`` is an atomic PUT on object stores, so
+    a concurrent reader observes either the old or the new object,
+    both carrying identical content, and the PUT's server-side
+    timestamp IS the heartbeat. ``content`` lets the holder supply
+    the bytes it knows it wrote, so the fallback never depends on a
+    read that could race a takeover; omitted, the current content is
+    re-read (and a vanished marker reports False, as above)."""
     import time as _time
 
     fs, path = _fs_and_path(spark, path_str)
     if not fs.exists(path):
         return False
-    fs.setTimes(path, int(_time.time() * 1000), -1)
+    now_ms = int(_time.time() * 1000)
+    try:
+        _set_times(fs, path, now_ms)
+    except Exception:  # noqa: BLE001 — treated as "did not advance"
+        pass
+    if fs.getFileStatus(path).getModificationTime() >= now_ms - _MTIME_SLACK_MS:
+        return True
+    data = content if content is not None else read_marker(spark, path_str)
+    if data is None:
+        return False
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
     return True
 
 

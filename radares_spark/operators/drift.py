@@ -96,6 +96,17 @@ def distribution_drift_psi(
       via a single-partition window over the bounded bucket rows.
       The choice at 100 TB, where events dwarf any cache and k+1
       cold scans ARE the cost.
+
+    Auto-pick caveat (r13 advice #4): inputs whose optimized plan
+    carries NO size statistic — RDD-backed / ``createDataFrame``
+    relations, JDBC sources, views without file stats — report
+    Catalyst's Long.MaxValue unknown-size sentinel, which the picker
+    deliberately treats as UNKNOWN, not huge, and keeps on the
+    multi-scan default (mis-routing tiny in-memory frames to the
+    one-pass plan would be the common failure). So "the scale-safe
+    plan needs no caller knob" holds for stats-bearing FILE sources;
+    callers feeding a genuinely large stats-less relation (e.g. a
+    huge JDBC extract) should pass ``single_pass=True`` explicitly.
     """
     if not dims:
         raise ValueError("dims must be non-empty")

@@ -163,7 +163,16 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         if mt is not None:
             import time as _time
 
-            checks["writer_lease_age_s"] = round(_time.time() - mt, 1)
+            from radares_spark.cli import LEASE_STALE_AFTER_S
+
+            age = round(_time.time() - mt, 1)
+            checks["writer_lease_age_s"] = age
+            # classified against the liveness threshold (r13 verdict
+            # #6) so the runbook's first rule — never delete a FRESH
+            # lease — is machine-checkable: True means a writer is
+            # really running (or died < threshold ago); False means
+            # the holder is dead and a replay of ITS work re-enters
+            checks["writer_lease_live"] = age < LEASE_STALE_AFTER_S
 
     # --- admission ledgers ---------------------------------------------
     # A night that admits nothing appends NO url epoch (an empty
@@ -336,7 +345,13 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         if ahead:
             checks["shards_ahead_of_log"] = ahead
 
+    # writer_lease_live CLASSIFIES the held lease (live writer vs
+    # dead-awaiting-replay); neither state is unhealthy — a killed
+    # writer's stale lease is legitimate replayable crash state, like
+    # orphan_claims — so it stays out of the health fold.
     checks["ok"] = all(
-        v for k, v in checks.items() if isinstance(v, bool)
+        v
+        for k, v in checks.items()
+        if isinstance(v, bool) and k != "writer_lease_live"
     )
     return checks

@@ -126,3 +126,57 @@ def test_hotkeys_maintenance_over_file_uri(spark, tmp_path):
     assert snap == {"x": 5, "y": 7, "z": 2}
     prune_snapshots(spark, top, keep=1)
     assert len(fs.epoch_partitions(spark, top)) == 1
+
+
+def test_heartbeat_survives_object_store_settimes_noop(
+    spark, tmp_path, monkeypatch
+):
+    """r13 advice #1 — Hadoop's ``FileSystem.setTimes`` base
+    implementation is EMPTY and S3AFileSystem does not override it,
+    so on s3a a heartbeat built on it alone would silently never
+    refresh and a live holder would be usurped 5 minutes in. The
+    refresh must therefore VERIFY the mtime advanced and fall back to
+    a content-preserving rewrite (an atomic PUT on object stores).
+    Simulated here by no-op'ing the isolated ``_set_times`` seam —
+    exactly the object store's behavior."""
+    import os
+    import time
+
+    from radares_spark.io import fs
+
+    marker = str(tmp_path / "root" / "_writer_lease")
+    content = "corpus-nightly:n1\nhost:42:1700000000000"
+    assert fs.claim_marker(spark, marker, content)
+    monkeypatch.setattr(fs, "_set_times", lambda *_a, **_k: None)
+
+    # age the marker far past any staleness threshold, then beat:
+    # the fallback rewrite must land (True), preserve the content
+    # byte-for-byte, and advance the mtime to now
+    old = time.time() - 3600
+    os.utime(marker, (old, old))
+    assert fs.refresh_marker_mtime(spark, marker, content=content) is True
+    assert fs.read_marker(spark, marker) == content
+    mt = fs.marker_mtime(spark, marker)
+    assert mt is not None and time.time() - mt < 60
+
+    # content omitted: the fallback re-reads the marker's own bytes
+    os.utime(marker, (old, old))
+    assert fs.refresh_marker_mtime(spark, marker) is True
+    assert fs.read_marker(spark, marker) == content
+    mt = fs.marker_mtime(spark, marker)
+    assert mt is not None and time.time() - mt < 60
+
+    # a vanished marker reports lost, no resurrection
+    fs.delete(spark, marker)
+    assert fs.refresh_marker_mtime(spark, marker, content=content) is False
+    assert not os.path.exists(marker)
+
+    # and with a WORKING setTimes (the HDFS/local path) the marker is
+    # refreshed metadata-only — content untouched, mtime advanced
+    monkeypatch.undo()
+    assert fs.claim_marker(spark, marker, content)
+    os.utime(marker, (old, old))
+    assert fs.refresh_marker_mtime(spark, marker, content=content) is True
+    assert fs.read_marker(spark, marker) == content
+    mt = fs.marker_mtime(spark, marker)
+    assert mt is not None and time.time() - mt < 60

@@ -160,8 +160,22 @@ def test_orphan_and_contradicting_claims_surface(spark, tmp_path):
     assert iofs.claim_marker(spark, f"{root}/_writer_lease", "corpus-nightly:n2")
     checks = cmd_nightly_verify(spark, root)
     assert checks["writer_lease_held"] == "corpus-nightly:n2" and checks["ok"]
-    # heartbeat age rides along (r13 liveness runbook): fresh here
+    # heartbeat age rides along (r13 liveness runbook): fresh here,
+    # and classified LIVE against the staleness threshold (r14 —
+    # the runbook's "never delete a fresh lease" as a machine flag)
     assert 0 <= checks["writer_lease_age_s"] < 120
+    assert checks["writer_lease_live"] is True
+    # aged past the threshold: the holder is dead — a replay of its
+    # own work re-enters; classified not-live, still informational
+    import os as _os
+    import time as _time
+
+    from radares_spark.cli import LEASE_STALE_AFTER_S
+
+    old = _time.time() - LEASE_STALE_AFTER_S - 5
+    _os.utime(f"{root}/_writer_lease", (old, old))
+    checks = cmd_nightly_verify(spark, root)
+    assert checks["writer_lease_live"] is False and checks["ok"]
     iofs.delete(spark, f"{root}/_writer_lease")
 
     # a claim CONTRADICTING its logged partition = a buried writer
