@@ -356,7 +356,7 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
         store = os.path.join(root, "store")
         postings = os.path.join(root, "postings")
         ivf = os.path.join(root, "ivf")
-        s = [LedgerState(led, e) for e in range(5)]
+        s = [LedgerState(led, e) for e in range(8)]
         init_state(spark, docs, s[0])
         init_store(spark, docs, s[0], store)
         init_postings_from_state(spark, docs, s[0], postings)
@@ -417,10 +417,30 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
         # mechanism behind BENCH_r12's negative marginal (-1.409
         # ms/row), not sampling noise. One tiny discarded night warms
         # the code paths so all three fit points measure steady-state.
-        night(1, 500, "w")
-        one = night(2, 100, "a")   # ~2% delta — the nightly shape
-        mid = night(3, 25, "b")    # ~8% delta — the fit's middle point
-        ten = night(4, 10, "c")    # ~20% delta — the amortization point
+        #
+        # TWO INTERLEAVED REPS per shape, fitted on the per-shape MIN
+        # (r13 verdict #2): the r13 driver session STILL fit inverted
+        # after the warm-up — a loaded/noisy session can inflate any
+        # single wall by more than the whole marginal term (~0.2 s at
+        # these deltas), and whichever shape absorbs the spike first
+        # tilts a 3-point fit. The a,b,c,a,b,c order puts every
+        # shape's second rep late-session (equally warm), and min()
+        # is the standard load-spike filter: a spike can only ADD
+        # wall, so the per-shape min is the best steady-state
+        # estimate two reps can give. All six measured walls are
+        # emitted as ``night_fit_points`` so an inverted session is
+        # diagnosable from the artifact alone.
+        night(1, 100, "w")  # warms the exact first-measured shape
+        reps = [
+            night(2, 100, "a"),  # ~2% delta — the nightly shape
+            night(3, 25, "b"),   # ~8% delta — the fit's middle point
+            night(4, 10, "c"),   # ~20% delta — the amortization point
+            night(5, 100, "d"),
+            night(6, 25, "e"),
+            night(7, 10, "f"),
+        ]
+        by_shape = [(reps[0], reps[3]), (reps[1], reps[4]), (reps[2], reps[5])]
+        one, mid, ten = (min(pair, key=lambda p: p["wall_s"]) for pair in by_shape)
         pts = [
             (p["delta_rows"], p["wall_s"]) for p in (one, mid, ten)
         ]
@@ -440,6 +460,12 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
             **one,
             "delta_4x": mid,
             "delta_10x": ten,
+            # every measured wall, in run order — the r13 ask: an
+            # inverted fit must be diagnosable from the artifact
+            "night_fit_points": [
+                {"delta_rows": p["delta_rows"], "wall_s": p["wall_s"]}
+                for p in reps
+            ],
         }
         if marginal < 0:
             out["fit_inverted"] = True
