@@ -806,6 +806,23 @@ KN_TRIGRAM_SQL = f"""
 # relational's library tier with A3's grouping lattice still
 # driver-covered via grouping_analytics_lineitem.
 DRIVER_SPECS: dict[str, QuerySpec] = {
+    # r14 window rotation: the DSIR budgeted selector joins the two
+    # KN rows in the driver window (strict library oracle + bench
+    # extra since r7); window_cumsum_qty moved to relational's
+    # library tier with §2.8's cumulative window still driver-covered
+    # via window_topk_parts_per_brand + events_sessionize.
+    "corpus_dsir_select": QuerySpec(
+        name="corpus_dsir_select",
+        fn=corpus_dsir_select,
+        oracle=DSIR_SELECT_SQL,
+        survey="LLM-pipeline (DSIR resample: weight-ordered greedy "
+        "selection under a token budget)",
+        doc=f"Greedy (weight desc, doc_id) prefix totalling <= "
+        f"{DSIR_BUDGET} tokens — the oracle is the naive global "
+        "window; the engine plan is the two-phase prefix sum over "
+        "coarse weight bins (only single-partition window: <= 1025 "
+        "bin rows).",
+    ),
     "corpus_kn_bigram_logprob": QuerySpec(
         name="corpus_kn_bigram_logprob",
         fn=corpus_kn_bigram_logprob,
@@ -852,18 +869,6 @@ LIBRARY_SPECS: dict[str, QuerySpec] = {
         "oracle is the naive per-language global window; the engine "
         "plan is the two-phase prefix sum over coarse perplexity bins "
         "(no corpus-wide sort).",
-    ),
-    "corpus_dsir_select": QuerySpec(
-        name="corpus_dsir_select",
-        fn=corpus_dsir_select,
-        oracle=DSIR_SELECT_SQL,
-        survey="LLM-pipeline (DSIR resample: weight-ordered greedy "
-        "selection under a token budget)",
-        doc=f"Greedy (weight desc, doc_id) prefix totalling <= "
-        f"{DSIR_BUDGET} tokens — the oracle is the naive global "
-        "window; the engine plan is the two-phase prefix sum over "
-        "coarse weight bins (only single-partition window: <= 1025 "
-        "bin rows).",
     ),
     "corpus_dsir_weights": QuerySpec(
         name="corpus_dsir_weights",

@@ -385,7 +385,12 @@ def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@_library(
+    # r14 window rotation: demoted to the library tier to put the
+    # DSIR budgeted selector (operators/dsir.corpus_dsir_select)
+    # under the driver oracle — §2.8's cumulative-window capability
+    # stays driver-covered via window_topk_parts_per_brand +
+    # events_sessionize; still strict-hash-swept here.
     "window_cumsum_qty",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
