@@ -481,6 +481,137 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# --sf-scaling: the five heaviest extra-tier text/corpus plans, spot-
+# checked for super-linear terms local sf0.1 cannot expose (r13
+# verdict #7). Wall at REPLICATIONx the corpus must stay within
+# SCALE_BOUND x the sf-dir wall — linear scaling plus a generous
+# allowance for the log-factors a sort/shuffle legitimately adds.
+SCALE_QUERIES = [
+    "shards_pack",
+    "shards_manifest_audit",
+    "text_hash_embed_4k",
+    "text_hybrid_rrf_topk",
+    "dedup_ngram_jaccard",
+]
+SCALE_REPLICATION = 10
+SCALE_BOUND = 12.0
+
+
+def _build_scaled_documents(spark, sf_dir: str, out_dir: str, replication: int) -> int:
+    """A replication-x documents table for the scaling spot-check:
+    every doc appears ``replication`` times with remapped unique ids
+    and a PER-REPLICA character bijection over the text, so replicas
+    of one doc are NOT near-duplicates of each other and the corpus's
+    near-dup DENSITY (what pair-forming operators key on) matches the
+    original instead of being 100x inflated by construction."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = docs.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("w")
+    )
+    rep = words.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
+    )
+    # per-replica BIJECTIVE character rotation: rewrites char n-grams
+    # (and hence the vocabulary) THROUGHOUT the text so replicas of
+    # one doc are not near-duplicates of each other, yet preserves
+    # within-replica equality/similarity structure exactly (a
+    # bijection), so the original corpus's dup density carries over —
+    # and is LENGTH-PRESERVING, so the big corpus is exactly
+    # replication x the BYTES (a word-suffix variant inflated chars
+    # ~30% and read as a false super-linear term in the ratios).
+    alpha = "aeiousnrtl"
+    base = F.array_join("w", " ")
+    text = F.when(F.col("rep") == 0, base)
+    for i in range(1, replication):
+        r = i % len(alpha)
+        text = text.when(
+            F.col("rep") == i,
+            F.translate(base, alpha, alpha[r:] + alpha[:r]),
+        )
+    scaled = rep.select(
+        (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+    out = os.path.join(out_dir, "documents.parquet")
+    scaled.repartition(DEFAULT_CPUS).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()
+
+
+def sf_scaling_main() -> None:
+    """``python bench.py --sf-scaling``: one JSON line with, per scale
+    query, the warm wall at $SPARK_GRAFT_SF_DIR and at a REPLICATIONx
+    replicated documents corpus, plus the ratio and the bound verdict.
+    Warm medians only (the cold pass eats codegen/JIT and, for the
+    pinned shards plans, the train-once construction — exactly the
+    split the main bench uses), so the ratio compares steady-state
+    per-row cost, which is where a super-linear term would live."""
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    spark = get_spark("radares-spark-sf-scaling", shuffle_partitions=DEFAULT_CPUS)
+    big_dir = tempfile.mkdtemp(prefix="radares_bench_scale_")
+    out: dict = {
+        "metric": "sf_scaling_wall_ratio",
+        "unit": "ratio",
+        "replication": SCALE_REPLICATION,
+        "bound": SCALE_BOUND,
+        "queries": {},
+    }
+    try:
+        n_big = _build_scaled_documents(
+            spark, sf_dir, big_dir, SCALE_REPLICATION
+        )
+        out["rows_big"] = n_big
+        # byte-honesty receipt: the builder is length-preserving, so
+        # the char ratio must equal the replication — emitted so a
+        # wall ratio is always read against the TRUE data ratio
+        chars = lambda d: (  # noqa: E731
+            spark.read.parquet(os.path.join(d, "documents.parquet"))
+            .agg(F.sum(F.length("text")))
+            .head()[0]
+        )
+        c_small, c_big = chars(sf_dir), chars(big_dir)
+        out["char_ratio"] = round(c_big / max(c_small, 1), 3)
+        library_plans = {**LIBRARY_PLANS, **_late_library_plans()}
+        for name in SCALE_QUERIES:
+            try:
+                fn = library_plans.get(name) or REGISTRY[name].fn
+                walls = {}
+                for key, d in (("small", sf_dir), ("big", big_dir)):
+                    df, _pin = _construct_with_pin_spy(fn, spark, d)
+                    _materialize(df)  # cold discarded: codegen + pins
+                    walls[key] = round(
+                        statistics.median(
+                            _noop_time(df) for _ in range(WARM_REPS)
+                        ),
+                        3,
+                    )
+                ratio = round(walls["big"] / max(walls["small"], 1e-3), 2)
+                out["queries"][name] = {
+                    "wall_small_s": walls["small"],
+                    "wall_big_s": walls["big"],
+                    "ratio": ratio,
+                    "within_bound": ratio <= SCALE_BOUND,
+                }
+            except Exception as exc:  # noqa: BLE001 — isolation
+                out["queries"][name] = {
+                    "error": f"{type(exc).__name__}: {exc}"[:300]
+                }
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+        out["ok"] = all(
+            q.get("within_bound") for q in out["queries"].values()
+        )
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+        spark.stop()
+
+
 def _bench_streaming(spark, sf_dir: str) -> dict:
     """Streaming micro-batch throughput (r6 verdict #7): one
     AvailableNow pass of the admission and URL-admission streams over
@@ -805,4 +936,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf-scaling" in sys.argv[1:]:
+        sf_scaling_main()
+    else:
+        main()

@@ -69,7 +69,7 @@ def test_corpus_nightly_three_nights(spark, tmp_path, capsys):
     # ---- completed night: recognized no-op, nothing rewritten -------
     before = _tree(root)
     again = cmd_corpus_nightly(spark, str(src2), root, "n2", n_merges=8)
-    assert again == {"already_completed": 1}
+    assert again == {"already_completed": 1, "lease_heartbeat_misses": 0}
     assert _tree(root) == before
 
     # ---- night 3 + crash-rerun: run once, roll the night log back to

@@ -135,7 +135,7 @@ def test_maintain_swap_story_end_to_end(spark, tmp_path):
 
     _plant(False)
     counts = cmd_corpus_maintain(spark, root, ivf="auto")
-    assert counts == {"ivf_retrain_due": 0}
+    assert counts == {"ivf_retrain_due": 0, "lease_heartbeat_misses": 0}
     assert resolve_store(spark, root, "ivf_store") == os.path.join(root, "ivf_store")
 
     # --- retrain_due set (what a drifted/skewed store reports) --------
