@@ -55,6 +55,12 @@ ROOT_LEASE = "_writer_lease"
 # heartbeat-to-stale ratio absorbs the seconds-level skew NTP leaves.
 LEASE_STALE_AFTER_S = 300.0
 LEASE_HEARTBEAT_S = 30.0
+# claim-then-verify settle (r14): how long a won create waits before
+# the read-back that decides whether OUR bytes survived — longer than
+# the create→write→close skew of a truly simultaneous rival claimer
+# on filesystems whose create-if-absent is best-effort (LocalFS,
+# object stores). Paid once per command, not per night stage.
+CLAIM_SETTLE_S = 0.05
 
 
 class _RootLease:
@@ -225,7 +231,22 @@ def _acquire_root_lease(
     heartbeat and so cannot prove liveness; it keeps the original
     killed-run contract and is taken over immediately. The per-idx
     ``_claim_idx`` replay escape inherits this protection
-    transitively: a live duplicate never reaches its claim."""
+    transitively: a live duplicate never reaches its claim.
+
+    Claim-then-verify (r14, found by the forked two-JVM race test):
+    ``FileSystem.create(path, overwrite=false)`` is atomic
+    create-if-absent on HDFS but BEST-EFFORT on LocalFileSystem and
+    object stores — two truly simultaneous claimers can both pass the
+    exists check and both report a won claim, with the last writer's
+    bytes surviving. So a "won" claim is only believed after a short
+    settle (letting a simultaneous rival's write land) and a
+    read-back of the marker: the claimer whose nonce survived
+    proceeds; the other falls through to the held-lease analysis and
+    fails fast as a live duplicate. The residue (a rival's write
+    landing after our verify read) is the same weak-atomicity
+    remainder the night-log read-back documents, now also caught by
+    the heartbeat's content check + the ``lease_lost`` abort
+    boundaries within one beat."""
     import time
 
     from radares_spark.io import fs as iofs
@@ -234,7 +255,12 @@ def _acquire_root_lease(
     content = f"{owner}\n{_lease_nonce()}"
     for _attempt in range(2):
         if iofs.claim_marker(spark, lease, content):
-            return _RootLease(spark, lease, content)
+            time.sleep(CLAIM_SETTLE_S)  # let a simultaneous rival's
+            # write land so both verify reads see the SAME survivor
+            if iofs.read_marker(spark, lease) == content:
+                return _RootLease(spark, lease, content)
+            # our create "won" but a rival's bytes survived — treat
+            # the marker as theirs and analyze it like any held lease
         held = iofs.read_marker(spark, lease) or ""
         held_owner, _, held_nonce = held.partition("\n")
         if held_owner != owner:

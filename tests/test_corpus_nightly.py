@@ -601,12 +601,23 @@ def test_abort_on_lost_lease(spark, tmp_path, monkeypatch):
 
     def crawl_with_takeover(*args, **kwargs):
         # the run stalls past staleness: age the heartbeat, then a
-        # REPLAY of the same night legitimately takes the lease over
-        old_t = time.time() - cli.LEASE_STALE_AFTER_S - 5
-        os.utime(lease_path, (old_t, old_t))
-        usurpers.append(
-            cli._acquire_root_lease(spark, root, "corpus-nightly:n2")
-        )
+        # REPLAY of the same night legitimately takes the lease over.
+        # The holder's (test-fast) 0.1s heartbeat can re-fresh the
+        # aged mtime between the utime and the acquirer's staleness
+        # read — in production the whole premise is a STOPPED
+        # heartbeat, so retrying the aging until the replay wins is
+        # the faithful simulation, not a weakening of the test.
+        for _ in range(100):
+            old_t = time.time() - cli.LEASE_STALE_AFTER_S - 5
+            os.utime(lease_path, (old_t, old_t))
+            try:
+                usurpers.append(
+                    cli._acquire_root_lease(spark, root, "corpus-nightly:n2")
+                )
+                break
+            except ValueError:
+                continue  # heartbeat won the re-fresh race; re-age
+        assert usurpers, "takeover never won against the heartbeat"
         holder = cli._HELD_ROOT_LEASES[root]
         deadline = time.time() + 10
         while not holder.lease_lost.is_set() and time.time() < deadline:
@@ -731,7 +742,7 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 from radares_spark.cli import cmd_corpus_nightly
 open(readyfile, "w").write("ready")
-deadline = time.time() + 120
+deadline = time.time() + 600
 while not os.path.exists(gofile):
     if time.time() > deadline:
         sys.exit(5)
@@ -759,11 +770,15 @@ except ValueError as e:
                 [sys.executable, str(runner), root, str(src2), result,
                  gofile, ready, tag],
                 env=env, cwd=os.getcwd(),
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                stdout=subprocess.DEVNULL,
+                stderr=open(str(tmp_path / f"stderr-{tag}"), "w"),
             )
         )
     try:
-        deadline = time.time() + 180
+        # generous: a JVM that starts in ~15 s quiet can take minutes
+        # under a concurrently running full suite; the go-file barrier
+        # (runner side: 600 s) keeps the RACE itself tight regardless
+        deadline = time.time() + 480
         while not all(os.path.exists(r) for r in readies):
             if any(p.poll() is not None for p in procs):
                 pytest.skip("sandbox could not start two Spark JVMs")
@@ -776,7 +791,13 @@ except ValueError as e:
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    outs = [json.loads(open(r).read()) for r in results]
+    outs = []
+    for r, tag in zip(results, ("A", "B")):
+        if os.path.exists(r):
+            outs.append(json.loads(open(r).read()))
+        else:  # diagnosable from the assert message, not a bare ENOENT
+            tail = open(str(tmp_path / f"stderr-{tag}")).read()[-1500:]
+            outs.append({"outcome": f"no-result-{tag}", "stderr": tail})
     outcomes = sorted(o["outcome"] for o in outs)
     assert outcomes == ["completed", "live_duplicate"], (rcs, outs)
     assert sorted(rcs) == [0, 3]
