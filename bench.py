@@ -411,50 +411,68 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
         # UNMEASURED warm-up night: the FIRST night through this plan
         # pays the JVM codegen/JIT cost for the whole refresh chain
         # (~2 s at sf0.1), which systematically inflates whichever
-        # delta point runs first — measured 21.1 / 19.9 / 19.2 s for
-        # 100 / 400 / 1000 rows when the smallest ran cold, a
-        # MONOTONE inversion no fit can rescue. This is the actual
-        # mechanism behind BENCH_r12's negative marginal (-1.409
-        # ms/row), not sampling noise. One tiny discarded night warms
-        # the code paths so all three fit points measure steady-state.
+        # delta point runs first. This is the actual mechanism behind
+        # BENCH_r12's negative marginal (-1.409 ms/row), not sampling
+        # noise. One tiny discarded night warms the first-measured
+        # code paths.
         #
-        # TWO INTERLEAVED REPS per shape, fitted on the per-shape MIN
-        # (r13 verdict #2): the r13 driver session STILL fit inverted
-        # after the warm-up — a loaded/noisy session can inflate any
-        # single wall by more than the whole marginal term (~0.2 s at
-        # these deltas), and whichever shape absorbs the spike first
-        # tilts a 3-point fit. The a,b,c,a,b,c order puts every
-        # shape's second rep late-session (equally warm), and min()
-        # is the standard load-spike filter: a spike can only ADD
-        # wall, so the per-shape min is the best steady-state
-        # estimate two reps can give. All six measured walls are
-        # emitted as ``night_fit_points`` so an inverted session is
-        # diagnosable from the artifact alone.
+        # PALINDROMIC counterbalancing + explicit drift term (r14):
+        # the r13 a,b,c,a,b,c interleave with min-of-two-reps STILL
+        # fit inverted even in a QUIET session, and the emitted
+        # night_fit_points showed why — the JVM keeps getting faster
+        # for minutes (tiered JIT over ~25 jobs/night), a monotone
+        # ~1 s/night session drift that dwarfs the ~1.5 s marginal
+        # signal; min() filters load SPIKES but preserves a monotone
+        # trend's ordering, and in the cyclic order run position
+        # correlates with delta size (r = 0.47), so the drift aliases
+        # straight into the rows slope. The palindrome a,b,c,c,b,a
+        # zeroes that correlation (every shape's mean position is
+        # 3.5), and the fit models the drift explicitly:
+        #   wall = fixed + marginal*rows + drift*pos
+        # over all six (pos, rows, wall) points. rows ⟂ pos by
+        # construction, so the normal equations decouple and a linear
+        # session drift CANNOT bias the marginal estimate; warm-up
+        # curvature (a decelerating drift) is the residual —
+        # second-order, and diagnosable from night_fit_points.
         night(1, 100, "w")  # warms the exact first-measured shape
         reps = [
             night(2, 100, "a"),  # ~2% delta — the nightly shape
             night(3, 25, "b"),   # ~8% delta — the fit's middle point
             night(4, 10, "c"),   # ~20% delta — the amortization point
-            night(5, 100, "d"),
+            night(5, 10, "d"),
             night(6, 25, "e"),
-            night(7, 10, "f"),
+            night(7, 100, "f"),
         ]
-        by_shape = [(reps[0], reps[3]), (reps[1], reps[4]), (reps[2], reps[5])]
-        one, mid, ten = (min(pair, key=lambda p: p["wall_s"]) for pair in by_shape)
+        # per-shape representative row (structural fields + the
+        # round-over-round delta_4x/delta_10x keys): min wall of the
+        # shape's palindromic pair
+        one = min((reps[0], reps[5]), key=lambda p: p["wall_s"])
+        mid = min((reps[1], reps[4]), key=lambda p: p["wall_s"])
+        ten = min((reps[2], reps[3]), key=lambda p: p["wall_s"])
         pts = [
-            (p["delta_rows"], p["wall_s"]) for p in (one, mid, ten)
+            (pos, p["delta_rows"], p["wall_s"])
+            for pos, p in enumerate(reps, start=1)
         ]
-        # least-squares t = fixed + marginal*rows over THREE deltas
-        # (r12 verdict #2): three points make the slope a fit instead
-        # of a difference; the clamp-and-flag below still guards the
-        # sessions residual noise inverts outright.
         n_p = len(pts)
-        mx = sum(x for x, _ in pts) / n_p
-        my = sum(y for _, y in pts) / n_p
-        var = sum((x - mx) ** 2 for x, _ in pts)
-        cov = sum((x - mx) * (y - my) for x, y in pts)
-        marginal = cov / var if var else 0.0
-        fixed = my - marginal * mx
+        mp = sum(p for p, _, _ in pts) / n_p
+        mr = sum(r for _, r, _ in pts) / n_p
+        mw = sum(w for _, _, w in pts) / n_p
+        # centered rows and pos are exactly orthogonal (palindrome),
+        # so the two slopes are independent simple regressions
+        var_r = sum((r - mr) ** 2 for _, r, _ in pts)
+        var_p = sum((p - mp) ** 2 for p, _, _ in pts)
+        marginal = (
+            sum((r - mr) * (w - mw) for _, r, w in pts) / var_r if var_r else 0.0
+        )
+        drift = (
+            sum((p - mp) * (w - mw) for p, _, w in pts) / var_p if var_p else 0.0
+        )
+        # steady-state fixed cost: evaluate the drift term at the
+        # session's most-settled position (last when warming, first
+        # when a load ramp slows the session) — never extrapolated
+        # beyond what was measured
+        settled_pos = n_p if drift < 0 else 1
+        fixed = mw - marginal * mr + drift * (settled_pos - mp)
         out = {
             "resident_docs": n_resident,
             **one,
@@ -469,11 +487,12 @@ def _bench_nightly_refresh(spark, sf_dir: str) -> dict:
         }
         if marginal < 0:
             out["fit_inverted"] = True
-            out["fixed_night_s_est"] = round(min(y for _, y in pts), 3)
+            out["fixed_night_s_est"] = round(min(w for *_, w in pts), 3)
             out["marginal_ms_per_row"] = 0.0
         else:
             out["fixed_night_s_est"] = round(fixed, 3)
             out["marginal_ms_per_row"] = round(marginal * 1000, 3)
+        out["session_drift_s_per_night"] = round(drift, 3)
         return out
     except Exception as exc:  # noqa: BLE001 — isolation is the point
         return {"error": f"{type(exc).__name__}: {exc}"[:300]}
