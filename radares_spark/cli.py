@@ -55,12 +55,6 @@ ROOT_LEASE = "_writer_lease"
 # heartbeat-to-stale ratio absorbs the seconds-level skew NTP leaves.
 LEASE_STALE_AFTER_S = 300.0
 LEASE_HEARTBEAT_S = 30.0
-# claim-then-verify settle (r14): how long a won create waits before
-# the read-back that decides whether OUR bytes survived — longer than
-# the create→write→close skew of a truly simultaneous rival claimer
-# on filesystems whose create-if-absent is best-effort (LocalFS,
-# object stores). Paid once per command, not per night stage.
-CLAIM_SETTLE_S = 0.05
 
 
 class _RootLease:
@@ -233,20 +227,15 @@ def _acquire_root_lease(
     ``_claim_idx`` replay escape inherits this protection
     transitively: a live duplicate never reaches its claim.
 
-    Claim-then-verify (r14, found by the forked two-JVM race test):
-    ``FileSystem.create(path, overwrite=false)`` is atomic
-    create-if-absent on HDFS but BEST-EFFORT on LocalFileSystem and
-    object stores — two truly simultaneous claimers can both pass the
-    exists check and both report a won claim, with the last writer's
-    bytes surviving. So a "won" claim is only believed after a short
-    settle (letting a simultaneous rival's write land) and a
-    read-back of the marker: the claimer whose nonce survived
-    proceeds; the other falls through to the held-lease analysis and
-    fails fast as a live duplicate. The residue (a rival's write
-    landing after our verify read) is the same weak-atomicity
-    remainder the night-log read-back documents, now also caught by
-    the heartbeat's content check + the ``lease_lost`` abort
-    boundaries within one beat."""
+    Simultaneous claimers (r14, found by the forked two-JVM race
+    test): ``fs.claim_marker`` itself is claim-then-verify — a won
+    create is only believed after a settle and a read-back, because
+    create-if-absent is best-effort on LocalFileSystem and object
+    stores (see its docstring). A rival whose bytes lost simply gets
+    False here and falls through to the held-lease analysis, failing
+    fast as a live duplicate; the sub-settle residue is caught by the
+    heartbeat's content check + the ``lease_lost`` abort boundaries
+    within one beat."""
     import time
 
     from radares_spark.io import fs as iofs
@@ -255,12 +244,7 @@ def _acquire_root_lease(
     content = f"{owner}\n{_lease_nonce()}"
     for _attempt in range(2):
         if iofs.claim_marker(spark, lease, content):
-            time.sleep(CLAIM_SETTLE_S)  # let a simultaneous rival's
-            # write land so both verify reads see the SAME survivor
-            if iofs.read_marker(spark, lease) == content:
-                return _RootLease(spark, lease, content)
-            # our create "won" but a rival's bytes survived — treat
-            # the marker as theirs and analyze it like any held lease
+            return _RootLease(spark, lease, content)
         held = iofs.read_marker(spark, lease) or ""
         held_owner, _, held_nonce = held.partition("\n")
         if held_owner != owner:

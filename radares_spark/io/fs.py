@@ -91,20 +91,47 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
         raise OSError(f"rename {src!r} -> {dst!r} failed")
 
 
+# claim-then-verify settle: how long a won create waits before the
+# read-back that decides whether OUR bytes survived — longer than the
+# create→write→close skew of a truly simultaneous rival claimer on
+# filesystems whose create-if-absent is best-effort. Paid once per
+# claim (one claim per command / night / flip), never per row.
+CLAIM_SETTLE_S = 0.05
+
+
+def _settle() -> None:
+    """Isolated so tests can plant a rival's write landing inside the
+    settle window (the same seam pattern as ``_set_times``)."""
+    import time
+
+    time.sleep(CLAIM_SETTLE_S)
+
+
 def claim_marker(spark: SparkSession, path_str: str, content: str = "") -> bool:
-    """Atomically create a claim file carrying ``content``; False when
-    one already exists — the single-writer fail-fast primitive (two
+    """Create a claim file carrying ``content``; True only when OUR
+    bytes survived — the single-writer fail-fast primitive (two
     writers about to mint the same ledger partition race on the SAME
     marker name; exactly one wins). ``FileSystem.create(path,
-    overwrite=false)`` is atomic create-if-absent on HDFS and local
-    filesystems; object stores without atomic create degrade to
-    best-effort, which still catches every non-simultaneous
-    double-writer. Won claims stay in place forever (append-only
-    discipline: one claim per partition, like the partition itself);
-    the content lets a DETERMINISTIC re-run of the same work (a
-    crashed night's replay, a re-flip of the same swap) recognize its
-    own prior claim via :func:`read_marker` and proceed, while a
-    different writer fails fast."""
+    overwrite=false)`` is atomic create-if-absent on HDFS but
+    BEST-EFFORT on LocalFileSystem and object stores — the r14 forked
+    two-JVM race test caught two truly simultaneous claimers BOTH
+    passing the exists check and both reporting a won claim, with the
+    last writer's bytes surviving. So a won create is only believed
+    after a short settle (letting a simultaneous rival's write land,
+    so both rivals' verify reads see the SAME survivor) and a
+    read-back of the marker: the claimer whose content survived gets
+    True; the other gets False exactly as if it had lost the create.
+    The residue (a rival's write landing after the verify read) is
+    narrowed to a sub-settle window; the root-lease heartbeat's
+    content check catches it within one beat. Won claims stay in
+    place forever (append-only discipline: one claim per partition,
+    like the partition itself); the content lets a DETERMINISTIC
+    re-run of the same work (a crashed night's replay, a re-flip of
+    the same swap) recognize its own prior claim via
+    :func:`read_marker` and proceed, while a different writer fails
+    fast. Two simultaneous claimers carrying IDENTICAL content may
+    both see True — by construction that is the deterministic-replay
+    case the content check exists to admit."""
     fs, path = _fs_and_path(spark, path_str)
     parent = path.getParent()
     if parent is not None and not fs.exists(parent):
@@ -119,7 +146,16 @@ def claim_marker(spark: SparkSession, path_str: str, content: str = "") -> bool:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
-    return True
+    _settle()
+    try:
+        return read_marker(spark, path_str) == content
+    except Exception:
+        # a read-back that cannot be completed (torn concurrent write,
+        # checksum mismatch from a rival's in-flight bytes, transient
+        # FS error) cannot PROVE our bytes survived — treat the claim
+        # as lost; failing a claim is always safe (the caller fails
+        # fast and a deterministic replay re-enters)
+        return False
 
 
 def marker_mtime(spark: SparkSession, path_str: str) -> float | None:

@@ -180,3 +180,52 @@ def test_heartbeat_survives_object_store_settimes_noop(
     assert fs.read_marker(spark, marker) == content
     mt = fs.marker_mtime(spark, marker)
     assert mt is not None and time.time() - mt < 60
+
+
+def test_claim_marker_verifies_surviving_bytes(spark, tmp_path, monkeypatch):
+    """r14 — ``FileSystem.create(path, overwrite=false)`` is atomic
+    create-if-absent on HDFS but BEST-EFFORT on LocalFileSystem and
+    object stores: the forked two-JVM race test caught two truly
+    simultaneous claimers both passing the exists check and both
+    reporting a won claim (last writer's bytes surviving). claim_marker
+    is therefore claim-then-verify — a won create is believed only
+    after a settle + read-back. The rival's write landing inside the
+    settle window is planted via the isolated ``_settle`` seam."""
+    marker = str(tmp_path / "log" / "_claim_idx_0")
+
+    # clean win: claimed, content survives, True
+    assert fs.claim_marker(spark, marker, "night:n1") is True
+    assert fs.read_marker(spark, marker) == "night:n1"
+
+    # ordinary lost race (claim already exists): False, untouched
+    assert fs.claim_marker(spark, marker, "night:n2") is False
+    assert fs.read_marker(spark, marker) == "night:n1"
+
+    # simultaneous rival: our create "wins" but the rival's bytes land
+    # during the settle — the verify read must turn our claim into a
+    # loss, exactly as if the create itself had lost
+    rival_marker = str(tmp_path / "log" / "_claim_idx_1")
+
+    def hadoop_write(path_str, data):
+        # through Hadoop's own API, as the real rival writes (a plain
+        # os-level write leaves LocalFileSystem's .crc sidecar stale)
+        h, p = fs._fs_and_path(spark, path_str)
+        out = h.create(p, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    monkeypatch.setattr(
+        fs, "_settle", lambda: hadoop_write(rival_marker, b"night:rival")
+    )
+    assert fs.claim_marker(spark, rival_marker, "night:ours") is False
+    assert fs.read_marker(spark, rival_marker) == "night:rival"
+
+    # identical-content simultaneity is the deterministic-replay case
+    # the content check exists to admit: both claimers may see True
+    same_marker = str(tmp_path / "log" / "_claim_idx_2")
+    monkeypatch.setattr(
+        fs, "_settle", lambda: hadoop_write(same_marker, b"night:n9")
+    )
+    assert fs.claim_marker(spark, same_marker, "night:n9") is True
