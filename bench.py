@@ -523,14 +523,6 @@ def _build_scaled_documents(spark, sf_dir: str, out_dir: str, replication: int) 
     of one doc are NOT near-duplicates of each other and the corpus's
     near-dup DENSITY (what pair-forming operators key on) matches the
     original instead of being 100x inflated by construction."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    words = docs.select(
-        "doc_id", "lang", "source", F.split("text", " ").alias("w")
-    )
-    rep = words.select(
-        "*",
-        F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
-    )
     # per-replica BIJECTIVE character rotation: rewrites char n-grams
     # (and hence the vocabulary) THROUGHOUT the text so replicas of
     # one doc are not near-duplicates of each other, yet preserves
@@ -540,13 +532,32 @@ def _build_scaled_documents(spark, sf_dir: str, out_dir: str, replication: int) 
     # replication x the BYTES (a word-suffix variant inflated chars
     # ~30% and read as a false super-linear term in the ratios).
     alpha = "aeiousnrtl"
-    base = F.array_join("w", " ")
+    if replication > len(alpha):
+        # rotation i % len(alpha) would wrap to the IDENTITY map and
+        # mint exact byte-for-byte duplicate replicas — silently
+        # inflating dup density, the artifact this builder exists to
+        # avoid (review find)
+        raise ValueError(
+            f"replication {replication} exceeds the {len(alpha)} "
+            "distinct character rotations; extend the alphabet before "
+            "scaling further"
+        )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rep = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
+    )
+    base = F.col("text")
     text = F.when(F.col("rep") == 0, base)
     for i in range(1, replication):
-        r = i % len(alpha)
+        # guarded above: i < len(alpha), so the rotation is never the
+        # identity and every replica pair differs
         text = text.when(
             F.col("rep") == i,
-            F.translate(base, alpha, alpha[r:] + alpha[:r]),
+            F.translate(base, alpha, alpha[i:] + alpha[:i]),
         )
     scaled = rep.select(
         (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
@@ -600,9 +611,20 @@ def sf_scaling_main() -> None:
             try:
                 fn = library_plans.get(name) or REGISTRY[name].fn
                 walls = {}
+                cold = {}
+                pinned = False
                 for key, d in (("small", sf_dir), ("big", big_dir)):
-                    df, _pin = _construct_with_pin_spy(fn, spark, d)
-                    _materialize(df)  # cold discarded: codegen + pins
+                    t0 = time.perf_counter()
+                    df, pin = _construct_with_pin_spy(fn, spark, d)
+                    _materialize(df)  # codegen JIT + the pinned
+                    # construction stages (e.g. shards_pack's BPE
+                    # train) — timed as the COLD wall so a
+                    # super-linear term hiding in a localCheckpointed
+                    # stage is still visible in cold_ratio; the warm
+                    # ratio alone would re-read the checkpoint and
+                    # never see it (review find)
+                    cold[key] = round(time.perf_counter() - t0, 3)
+                    pinned = pinned or pin
                     walls[key] = round(
                         statistics.median(
                             _noop_time(df) for _ in range(WARM_REPS)
@@ -610,11 +632,23 @@ def sf_scaling_main() -> None:
                         3,
                     )
                 ratio = round(walls["big"] / max(walls["small"], 1e-3), 2)
+                cold_ratio = round(cold["big"] / max(cold["small"], 1e-3), 2)
                 out["queries"][name] = {
                     "wall_small_s": walls["small"],
                     "wall_big_s": walls["big"],
                     "ratio": ratio,
-                    "within_bound": ratio <= SCALE_BOUND,
+                    "cold_small_s": cold["small"],
+                    "cold_big_s": cold["big"],
+                    "cold_ratio": cold_ratio,
+                    # True => the warm walls exclude pinned
+                    # construction; read cold_ratio for those stages
+                    "pinned": pinned,
+                    # cold pays one-time codegen JIT on the small side
+                    # (inflating its wall, DEFLATING the ratio) yet a
+                    # pinned plan's construction scales with data — so
+                    # bound the MAX of both ratios: warm catches the
+                    # steady state, cold catches construction
+                    "within_bound": max(ratio, cold_ratio) <= SCALE_BOUND,
                 }
             except Exception as exc:  # noqa: BLE001 — isolation
                 out["queries"][name] = {

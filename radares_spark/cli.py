@@ -34,27 +34,16 @@ from radares_spark.streaming.ingest_stream import run_ingest_stream
 
 
 ROOT_LEASE = "_writer_lease"
-# Liveness knobs (r12 verdict #1): a holder refreshes the lease's
-# mtime every LEASE_HEARTBEAT_S (metadata-only ``setTimes`` — no
-# create/delete window); an acquirer treats a SAME-tag lease whose
-# heartbeat is younger than LEASE_STALE_AFTER_S as a LIVE duplicate
-# and fails fast, and one older as a killed run and takes it over.
-# The stale threshold is deliberately >> the heartbeat interval so a
-# paused-but-alive holder (GC, brief driver stall) is never usurped.
-# CLOCK-SYNC ASSUMPTION (r13 advice): staleness compares the
-# ACQUIRER's time.time() to an mtime stamped from the HOLDER's clock
-# (``setTimes`` payload on HDFS/local) or the STORE's clock (PUT time
-# on object stores, where the rewrite fallback lands the heartbeat).
-# The threshold therefore absorbs holder↔acquirer skew only up to
-# ~LEASE_STALE_AFTER_S − a few heartbeats: a holder clock that far
-# BEHIND the acquirer's looks permanently stale and gets usurped
-# (the usurped holder then aborts at its next store-mutation
-# boundary via ``lease_lost`` — safe, but the night is wasted); skew
-# the other way masks a real death for the skew duration. Deploy the
-# writers NTP-synced (minutes of skew is operator error); the 10×
-# heartbeat-to-stale ratio absorbs the seconds-level skew NTP leaves.
-LEASE_STALE_AFTER_S = 300.0
-LEASE_HEARTBEAT_S = 30.0
+# Liveness knobs live with the marker protocol in io.fs (the audit
+# layer reads them too — importing them from here inverted the
+# layering, review find); imported as module globals so tests keep
+# monkeypatching cli.LEASE_* and the heartbeat/staleness code below
+# reads the patched binding. Rationale — heartbeat-to-stale ratio,
+# clock-sync assumption — documented at the definition site.
+from radares_spark.io.fs import (  # noqa: E402
+    LEASE_HEARTBEAT_S,
+    LEASE_STALE_AFTER_S,
+)
 
 
 class _RootLease:
@@ -122,9 +111,24 @@ class _RootLease:
                         "deleted" if cur is None else "taken over",
                     )
                     return
-                iofs.refresh_marker_mtime(
+                if not iofs.refresh_marker_mtime(
                     spark, self._lease, content=self._content
-                )
+                ):
+                    # the marker vanished — or stopped carrying our
+                    # bytes — between this beat's read and the
+                    # refresh: a takeover landed inside the beat.
+                    # Flag it NOW instead of letting the miss reset
+                    # below defer detection a full beat (30 s in
+                    # production — review find).
+                    self.lease_lost.set()
+                    log.warning(
+                        "root lease %r was lost between a beat's read "
+                        "and its refresh — this run was judged stale "
+                        "and usurped; it will abort at its next "
+                        "store-mutation boundary",
+                        self._lease,
+                    )
+                    return
                 self.heartbeat_misses = 0
             except Exception:  # noqa: BLE001 — a heartbeat must never
                 # crash the run; a TRANSIENT FS error retries next

@@ -91,6 +91,30 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
         raise OSError(f"rename {src!r} -> {dst!r} failed")
 
 
+# Root-writer-lease liveness knobs (defined here, with the marker
+# protocol, so both the CLI holder and the audit layer import them
+# DOWNWARD): a holder refreshes the lease's mtime every
+# LEASE_HEARTBEAT_S (metadata-only ``setTimes`` — no create/delete
+# window); an acquirer treats a SAME-tag lease whose heartbeat is
+# younger than LEASE_STALE_AFTER_S as a LIVE duplicate and fails
+# fast, and one older as a killed run and takes it over. The stale
+# threshold is deliberately >> the heartbeat interval so a
+# paused-but-alive holder (GC, brief driver stall) is never usurped.
+# CLOCK-SYNC ASSUMPTION (r13 advice): staleness compares the
+# ACQUIRER's time.time() to an mtime stamped from the HOLDER's clock
+# (``setTimes`` payload on HDFS/local) or the STORE's clock (PUT time
+# on object stores, where the rewrite fallback lands the heartbeat).
+# The threshold therefore absorbs holder↔acquirer skew only up to
+# ~LEASE_STALE_AFTER_S − a few heartbeats: a holder clock that far
+# BEHIND the acquirer's looks permanently stale and gets usurped
+# (the usurped holder then aborts at its next store-mutation
+# boundary via ``lease_lost`` — safe, but the night is wasted); skew
+# the other way masks a real death for the skew duration. Deploy the
+# writers NTP-synced (minutes of skew is operator error); the 10×
+# heartbeat-to-stale ratio absorbs the seconds-level skew NTP leaves.
+LEASE_STALE_AFTER_S = 300.0
+LEASE_HEARTBEAT_S = 30.0
+
 # claim-then-verify settle: how long a won create waits before the
 # read-back that decides whether OUR bytes survived — longer than the
 # create→write→close skew of a truly simultaneous rival claimer on
@@ -202,10 +226,16 @@ def refresh_marker_mtime(
     ``create(overwrite=true)`` is an atomic PUT on object stores, so
     a concurrent reader observes either the old or the new object,
     both carrying identical content, and the PUT's server-side
-    timestamp IS the heartbeat. ``content`` lets the holder supply
-    the bytes it knows it wrote, so the fallback never depends on a
-    read that could race a takeover; omitted, the current content is
-    re-read (and a vanished marker reports False, as above)."""
+    timestamp IS the heartbeat. ``content`` is the bytes the holder
+    knows it wrote: before the fallback rewrite the marker is
+    re-read and a mismatch reports False instead of writing — a
+    takeover landing between the holder's last read and this refresh
+    must LOSE the lease, not have its fresh lease clobbered back to
+    the usurped holder's content (the remaining read-then-create
+    window is sub-millisecond, the same class as the claim settle
+    residue). Omitted, the current content is re-read and rewritten
+    as-is — content-preserving regardless of owner (and a vanished
+    marker reports False, as above)."""
     import time as _time
 
     fs, path = _fs_and_path(spark, path_str)
@@ -218,8 +248,8 @@ def refresh_marker_mtime(
         pass
     if fs.getFileStatus(path).getModificationTime() >= now_ms - _MTIME_SLACK_MS:
         return True
-    data = content if content is not None else read_marker(spark, path_str)
-    if data is None:
+    data = read_marker(spark, path_str)
+    if data is None or (content is not None and data != content):
         return False
     out = fs.create(path, True)
     try:

@@ -163,7 +163,7 @@ def verify_nightly_root(spark: SparkSession, root_dir: str) -> dict:
         if mt is not None:
             import time as _time
 
-            from radares_spark.cli import LEASE_STALE_AFTER_S
+            from radares_spark.io.fs import LEASE_STALE_AFTER_S
 
             age = round(_time.time() - mt, 1)
             checks["writer_lease_age_s"] = age

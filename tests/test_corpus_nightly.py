@@ -571,6 +571,39 @@ def test_lease_heartbeat_refreshes_mtime(spark, tmp_path, monkeypatch):
     assert not os.path.exists(lease)
 
 
+def test_beat_flags_loss_within_the_beat(spark, tmp_path, monkeypatch):
+    """r14 review find: a takeover can land BETWEEN a beat's
+    content read (still ours) and its mtime refresh —
+    ``refresh_marker_mtime`` then returns False ("the holder lost
+    it"), and the beat must set ``lease_lost`` immediately rather
+    than resetting the miss counter and deferring detection a full
+    heartbeat (30 s in production). Planted by making the refresh
+    report loss while the read still returns our content."""
+    import time
+
+    import pytest
+
+    from radares_spark import cli
+    from radares_spark.io import fs as iofs
+
+    monkeypatch.setattr(cli, "LEASE_HEARTBEAT_S", 0.1)
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    h = cli._acquire_root_lease(spark, root, "corpus-maintain")
+    monkeypatch.setattr(
+        iofs, "refresh_marker_mtime", lambda *_a, **_k: False
+    )
+    deadline = time.time() + 10
+    while not h.lease_lost.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    assert h.lease_lost.is_set(), "within-beat loss never flagged"
+    with pytest.raises(RuntimeError, match="taken over"):
+        h.check()
+    # release deletes nothing: the marker is the takeover's now
+    assert h.release(spark) is False
+    assert os.path.exists(f"{root}/_writer_lease")
+
+
 def test_abort_on_lost_lease(spark, tmp_path, monkeypatch):
     """r13 verdict #1 — a holder whose lease is taken over after a
     stale judgment must NOT keep mutating stores: the heartbeat

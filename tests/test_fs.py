@@ -171,6 +171,17 @@ def test_heartbeat_survives_object_store_settimes_noop(
     assert fs.refresh_marker_mtime(spark, marker, content=content) is False
     assert not os.path.exists(marker)
 
+    # a marker that stopped carrying OUR bytes (a takeover landed
+    # between the holder's last read and this refresh) reports lost
+    # and the fallback must NOT clobber the usurper's fresh lease
+    # back to ours (r14 review find)
+    usurper = "corpus-nightly:n1\nother:77:1700000001111"
+    assert fs.claim_marker(spark, marker, usurper)
+    os.utime(marker, (old, old))
+    assert fs.refresh_marker_mtime(spark, marker, content=content) is False
+    assert fs.read_marker(spark, marker) == usurper
+    fs.delete(spark, marker)
+
     # and with a WORKING setTimes (the HDFS/local path) the marker is
     # refreshed metadata-only — content untouched, mtime advanced
     monkeypatch.undo()

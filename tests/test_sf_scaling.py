@@ -1,8 +1,10 @@
 """bench.py --sf-scaling (r13 verdict #7): the replicated-corpus
-builder must scale ROWS without inflating near-dup DENSITY — replicas
-of one doc carry per-replica token suffixes so pair-forming operators
-see the original corpus's duplicate structure at 10x the volume, not
-a 100x pair explosion manufactured by the fixture."""
+builder must scale ROWS without inflating near-dup DENSITY — each
+replica rewrites the text through a per-replica BIJECTIVE character
+rotation (length-preserving, so bytes scale exactly with rows), so
+pair-forming operators see the original corpus's duplicate structure
+at 10x the volume, not a 100x pair explosion manufactured by the
+fixture."""
 
 from __future__ import annotations
 
@@ -71,3 +73,15 @@ def test_scaled_documents_invariants(spark, tmp_path):
         fn = plans.get(name) or REGISTRY[name].fn
         df = fn(spark, out)
         assert df.columns, name
+
+
+def test_replication_beyond_alphabet_refused(spark, tmp_path):
+    """r14 review find: rotation i % len(alpha) would wrap to the
+    IDENTITY map at replication > len(alpha)=10, minting exact
+    byte-for-byte duplicate replicas and silently inflating dup
+    density — the artifact the bijection exists to avoid. The builder
+    must refuse instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct character rotations"):
+        _build_scaled_documents(spark, SF_DIR, str(tmp_path / "big"), 11)
