@@ -294,7 +294,12 @@ def _apply_merges_udf(merges: list[tuple[str, str]]):
             out.append(syms)
         return pd.Series(out)
 
-    return enc
+    # Nondeterministic marking keeps the optimizer from duplicating
+    # the merge-application node when the syms column is referenced
+    # through filters/union branches (shards_pack carried FOUR
+    # ArrowEvalPython copies of it; two after). Values are unchanged
+    # (pure function); measured 1.5-1.8x on the encode plans.
+    return enc.asNondeterministic()
 
 
 def bpe_encode(
