@@ -276,6 +276,12 @@ def _apply_merges_udf(merges: list[tuple[str, str]]):
     def enc(words):
         out = []
         for w in words:
+            if w is None:
+                # null-guarded call sites pass NULL for words that
+                # already resolved through the dictionary join, so the
+                # in-vocabulary bulk never pays the merge loop
+                out.append(None)
+                continue
             syms = list(w)
             syms[-1] = syms[-1] + EOW
             while len(syms) > 1:
