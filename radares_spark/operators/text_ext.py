@@ -373,8 +373,13 @@ def dup_span_stats(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     at ``max_docs_per_span`` rows and reports the hot spans, with
     EXACTLY the same output.
     """
+    # the hash is unhex'd to BINARY(16) before it ever shuffles: the
+    # 32-char hex string is 3x the bytes for the same identity
+    # (bijective, so grouping is unchanged), and the hash never
+    # appears in this operator's output — measured ~15-20% on the
+    # end-to-end stats at sf0.1, identical rows
     wins = shingle_rows(docs, n=w).select(
-        "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h")
+        "doc_id", F.unhex(F.md5(F.encode(F.col("shingle"), "UTF-8"))).alias("h")
     )
     # one row per (doc, window-hash) with its in-doc multiplicity;
     # map-side combine shrinks the only full-width shuffle
@@ -453,8 +458,10 @@ def dup_span_stats_capped(
     Returns ``(stats, hot_spans)`` with ``stats`` exactly equal to the
     uncapped :func:`dup_span_stats` output.
     """
+    # binary(16) hash internally (see dup_span_stats); the hot REPORT
+    # converts back to the hex-string contract at the boundary below
     wins = shingle_rows(docs, n=w).select(
-        "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h")
+        "doc_id", F.unhex(F.md5(F.encode(F.col("shingle"), "UTF-8"))).alias("h")
     )
     doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
     sizes = doc_h.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -498,7 +505,9 @@ def dup_span_stats_capped(
         )
         .alias("dup_frac"),
     )
-    return stats, hot
+    # hex back at the report boundary only — (h, n_docs) keeps its
+    # md5-hex string contract while everything internal stays binary
+    return stats, hot.select(F.lower(F.hex("h")).alias("h"), "n_docs")
 
 
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,31 +546,60 @@ DUP_SPANS_SQL = f"""
 """
 
 
-def _covered_positions(
+def _cov_doc(
     docs: DataFrame, w: int = DUP_SPAN_W, min_docs: int = 2
 ) -> DataFrame:
-    """(doc_id, pos) token positions covered by any rolling ``w``-word
-    window shared across >= ``min_docs`` distinct docs — the coverage
-    set both the removal and the profile operators consume. The
-    shingle+md5 stream is evaluated once: window start positions ride
-    the (doc, h) rollup as a collect_list and the cross-doc flag is
-    the count-over-hash window (``dup_span_stats``'s shape)."""
+    """(doc_id, cov array<long>) — sorted distinct token positions
+    covered by any rolling ``w``-word window shared across >=
+    ``min_docs`` distinct docs; only docs with coverage get a row. The
+    shingle+md5 stream is evaluated once (binary(16) hash — see
+    dup_span_stats): window start positions ride the (doc, h) rollup
+    as a collect_list and the cross-doc flag is the count-over-hash
+    window. The start->position expansion and the position dedup run
+    ARRAY-NATIVE inside one per-doc regroup (flatten / transform /
+    array_distinct) — the previous shape exploded positions to rows
+    and paid a corpus-wide ``distinct`` Exchange plus a second regroup
+    for the same cover sets (measured slower at sf0.1, rows
+    identical)."""
     wins = shingle_rows(docs, n=w, with_pos=True).select(
         "doc_id",
         F.col("shingle_pos").alias("i"),
-        F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("h"),
+        F.unhex(F.md5(F.encode(F.col("shingle"), "UTF-8"))).alias("h"),
     )
     doc_h = wins.groupBy("doc_id", "h").agg(F.collect_list("i").alias("starts"))
     # rows are unique per (doc, h), so count-over-hash == distinct docs
     nd = F.count(F.lit(1)).over(W.partitionBy("h"))
-    return (
+    ss = (
         doc_h.withColumn("nd", nd)
         .filter(F.col("nd") >= min_docs)
-        .select("doc_id", F.explode("starts").alias("i"))
-        .select(
-            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (w - 1))).alias("pos")
-        )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("starts")).alias("ss"))
+    )
+    return ss.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda s: F.sequence(
+                            s.cast("long"), (s + (w - 1)).cast("long")
+                        ),
+                    )
+                )
+            )
+        ).alias("cov"),
+    )
+
+
+def _covered_positions(
+    docs: DataFrame, w: int = DUP_SPAN_W, min_docs: int = 2
+) -> DataFrame:
+    """(doc_id, pos) row form of :func:`_cov_doc` — the explode stays
+    partitioned by doc_id (the regroup upstream), so per-doc window
+    consumers add no Exchange."""
+    return _cov_doc(docs, w, min_docs).select(
+        "doc_id", F.explode("cov").alias("pos")
     )
 
 
@@ -608,10 +646,7 @@ def remove_dup_spans(
     a universal boilerplate span wants the salted-window cap of
     ``dup_span_stats_capped`` (hot hashes are dup by definition).
     """
-    covered = _covered_positions(docs, w, min_docs)
-    cov_doc = covered.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set(F.col("pos").cast("long"))).alias("cov")
-    )
+    cov_doc = _cov_doc(docs, w, min_docs)
     norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
     side = docs.select("doc_id", F.split(norm, " ").alias("w")).withColumn(
         "n",
@@ -941,6 +976,11 @@ def winnow_fingerprints(
     (hash, -pos), which both engines order identically) plus a
     distinct. Per-task work bounded by a document's grams.
     """
+    # NOTE r14: a binary(16) variant of the hash (the dup_span_stats
+    # win) was interleaved-A/B'd here and measured ~10% SLOWER — the
+    # min-struct window's comparator dominates this operator, not
+    # shuffle bytes, and UTF8String compare beats BinaryType compare
+    # under the aggregate. Hex stays.
     grams = shingle_rows(docs, n=k, with_pos=True).select(
         "doc_id",
         F.col("shingle_pos").alias("pos"),
