@@ -207,19 +207,28 @@ def dsir_resample(
             ),
         )
     )
-    per_bin = scored.groupBy("__bin").agg(F.sum("n_tokens").alias("__btok"))
-    off_w = W.orderBy("__bin").rowsBetween(W.unboundedPreceding, W.currentRow)
-    offsets = per_bin.select(
-        "__bin", (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset")
-    )
+    # per-bin totals derive from the in-bin running sum's OUTPUT (max
+    # of a running total over non-negative n_tokens is the bin total):
+    # both consumers share the identical Exchange(__bin) child, so the
+    # upstream — the doc spine joined to the full dsir_weights gram
+    # machinery — evaluates ONCE instead of once per branch (the
+    # shards._placed reuse trick; interleaved A/B at sf0.1: ~7%
+    # faster, rows identical; the win grows with the upstream, which
+    # here is the heaviest in the module)
     in_w = (
         W.partitionBy("__bin")
         .orderBy(F.desc("dsir_logweight"), F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    win = scored.withColumn("__cum", F.sum("n_tokens").over(in_w))
+    per_bin = win.groupBy("__bin").agg(F.max("__cum").alias("__btok"))
+    off_w = W.orderBy("__bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = per_bin.select(
+        "__bin", (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset")
+    )
     return (
-        scored.join(F.broadcast(offsets), "__bin")
-        .withColumn("__prefix", F.col("__offset") + F.sum("n_tokens").over(in_w))
+        win.join(F.broadcast(offsets), "__bin")
+        .withColumn("__prefix", F.col("__offset") + F.col("__cum"))
         .filter(F.col("__prefix") <= budget_tokens)
         .select("doc_id", "n_tokens", "dsir_logweight")
     )

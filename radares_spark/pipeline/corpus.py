@@ -264,24 +264,31 @@ def sample_to_token_budget(docs: DataFrame, budget_tokens: int) -> DataFrame:
         % N_BUDGET_BUCKETS,
     ).withColumn("__tok", toks.cast("long"))
 
-    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("__tok").alias("__btok"))
+    # per-bucket totals derive from the in-bucket running sum's OUTPUT
+    # (max of a running total over non-negative __tok is the bucket
+    # total), so both consumers share the identical Exchange(__bucket)
+    # child and the normalize+md5 projection over the corpus runs ONCE
+    # — the r14 application of _placed's reuse trick (a direct groupBy
+    # on ``bucketed`` puts its partial aggregate below its own
+    # exchange, defeating reuse; measured ~8% at sf0.1, rows identical)
+    in_w = (
+        W.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    win = bucketed.withColumn("__cum", F.sum("__tok").over(in_w))
+    per_bucket = win.groupBy("__bucket").agg(F.max("__cum").alias("__btok"))
     off_w = (
         W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     offsets = per_bucket.select(
         "__bucket", (F.sum("__btok").over(off_w) - F.col("__btok")).alias("__offset")
     )
-
-    in_w = (
-        W.partitionBy("__bucket")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     return (
-        bucketed.join(F.broadcast(offsets), "__bucket")
-        .withColumn("__prefix", F.col("__offset") + F.sum("__tok").over(in_w))
+        win.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__prefix", F.col("__offset") + F.col("__cum"))
         .filter(F.col("__prefix") <= budget_tokens)
-        .drop("__bucket", "__tok", "__offset", "__prefix")
+        .drop("__bucket", "__tok", "__offset", "__prefix", "__cum")
     )
 
 
@@ -1039,6 +1046,13 @@ def weighted_sample(
             F.least(F.lit(WS_BIN_CLAMP), F.floor(F.col("__e") * WS_BIN_SCALE)),
         )
     )
+    # NOTE r14: deriving per-bin counts from the ranked window's output
+    # (the _placed / sample_to_token_budget exchange-reuse trick) was
+    # interleaved-A/B'd here and measured ~8-10% SLOWER at sf0.1: this
+    # operator's two branches are latency-bound and run in parallel,
+    # while the shared-exchange form serializes them through the window
+    # and re-sorts above the exchange once per consumer. The two-branch
+    # form stays.
     per_bin = scored.groupBy("__bin").agg(F.count(F.lit(1)).alias("__n"))
     off_w = W.orderBy("__bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     offsets = per_bin.select(
