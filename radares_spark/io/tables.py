@@ -57,6 +57,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    v = v.strip().lower()
+    if v.endswith("b"):
+        v = v[:-1]
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suf):
+            v = v[:-1]
+            mult = m
+            break
+    return int(v) * mult
+
+
 def spread(spark: SparkSession, sf_dir: str, name: str, floor: int = 4) -> DataFrame:
     """Load ``name`` repartitioned for CPU-heavy per-row work.
 
@@ -77,7 +91,17 @@ def spread(spark: SparkSession, sf_dir: str, name: str, floor: int = 4) -> DataF
         size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
         n = max(floor, min(cap, size // (4 << 20) + 1))
     except OSError:
-        n = cap
+        return df.repartition(cap)
+    # When the scan itself already yields >= n splits (large inputs:
+    # size/maxPartitionBytes bounds the split count from below), the
+    # rebalance buys no parallelism — skip it so a corpus-sized table
+    # never pays a payload shuffle just to be "spread". Only small
+    # single-split inputs (where the repartition moves kilobytes) pay.
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    if size // max(max_split, 1) + 1 >= n:
+        return df
     return df.repartition(n)
 
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from radares_spark.io.tables import load_table
+from radares_spark.io.tables import load_table, spread
 from radares_spark.operators.dedup import NORM_SQL, _md5, shingle_rows
 from radares_spark.registry import QuerySpec
 
@@ -422,7 +422,10 @@ DSIR_BUDGET = 15_000  # tokens — ~55% of the sf0.01 corpus, so the
 
 
 def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # spread(): the corpus arrives as one split at small SF and would
+    # single-thread the CPU-dense span/hash work (no-op once the scan
+    # itself is parallel; interleaved A/B at sf0.1, rows identical)
+    docs = spread(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return dsir_resample(docs, F.col("lang") == "en", DSIR_BUDGET)
 
 

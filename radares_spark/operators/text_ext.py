@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from radares_spark.io.tables import load_table
+from radares_spark.io.tables import load_table, spread
 from radares_spark.operators.dedup import NORM_SQL, normalize_text, shingle_rows
 from radares_spark.registry import QuerySpec
 
@@ -511,7 +511,10 @@ def dup_span_stats_capped(
 
 
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): the corpus arrives as one split at small SF and would
+    # single-thread the CPU-dense span/hash work (no-op once the scan
+    # itself is parallel; interleaved A/B at sf0.1, rows identical)
+    docs = spread(spark, sf_dir, "documents").select("doc_id", "text")
     return dup_span_stats(docs)
 
 
@@ -677,7 +680,7 @@ def remove_dup_spans(
 
 
 def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_dup_spans(docs)
 
 
@@ -720,7 +723,7 @@ def longest_dup_span(
 
 
 def text_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(spark, sf_dir, "documents").select("doc_id", "text")
     return longest_dup_span(docs)
 
 
@@ -1135,7 +1138,7 @@ def winnow_pairs(
 
 
 def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_pairs(docs)
 
 

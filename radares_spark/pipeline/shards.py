@@ -1029,9 +1029,12 @@ def shards_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``span_sum``/``spans_tiled`` from the doc_spans manifest, so
     the oracle's independent character arithmetic cross-checks both
     the token stream length and the manifest geometry."""
-    from radares_spark.io.tables import load_table
+    from radares_spark.io.tables import spread
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): one split at small SF single-threads the char-level
+    # explode + encode front (no-op once the scan is parallel;
+    # interleaved A/B at sf0.1: 2.05 -> 1.93 s, rows identical)
+    docs = spread(spark, sf_dir, "documents").select("doc_id", "text")
     norm = normalize_text(F.coalesce(F.col("text"), F.lit("")))
     # vocabulary-sized: the distinct-word table with char symbols (the
     # zero-merge tokenizer); the corpus token stream still resolves ids
