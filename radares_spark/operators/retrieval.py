@@ -423,7 +423,10 @@ RRF_POOL = 20  # per-retriever candidate depth fed into fusion
 
 
 def sparse_cosine_topk(
-    emb: DataFrame, query_ids: DataFrame, k: int = RRF_POOL
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = RRF_POOL,
+    query_emb: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, cos, rank) — cosine top-k where both sides
     are rows of ``emb`` (hashed_tf output: doc_id + unit-norm dense
@@ -436,7 +439,18 @@ def sparse_cosine_topk(
     never scored, which is exactly how sparse retrieval scales (the
     dense pair_dot form pays |corpus| x dim regardless of overlap).
     Unit norms make the dot the cosine directly. Scores round to 4
-    (the house cosine convention), ranks tie-break on doc_id."""
+    (the house cosine convention), ranks tie-break on doc_id.
+
+    ``query_emb``: optional pre-restricted embedding frame for the
+    query docs. When the caller can produce the query rows from a
+    FILTERED source (hashed_tf is per-doc at tf_idf=False, so
+    hashed_tf(docs.filter(...)) == hashed_tf(docs).filter(...) row for
+    row), passing it here skips re-deriving the corpus-wide embedding
+    just to keep |queries| rows of it — the filter reaches the scan
+    instead of dying above the embed aggregate (r14: one fewer
+    corpus-wide aggregate + Arrow assembly pass in the hybrid plan;
+    min-wall −13–17% at sf0.1, rows identical). Default keeps the
+    join-above-emb form for callers that only hold ids."""
     cells = emb.select(
         "doc_id", F.posexplode("embedding").alias("i", "v")
     ).filter(F.col("v") != 0)
@@ -444,12 +458,16 @@ def sparse_cosine_topk(
     # query docs pay the embed + posexplode, instead of re-running the
     # corpus-wide embed pass and discarding all but |queries| rows
     # (join on doc_id commutes with exploding the non-key column).
-    qcells = (
-        emb.join(
+    qsrc = (
+        query_emb
+        if query_emb is not None
+        else emb.join(
             F.broadcast(query_ids.select(F.col("query_id").alias("doc_id"))),
             "doc_id",
         )
-        .select("doc_id", F.posexplode("embedding").alias("i", "v"))
+    )
+    qcells = (
+        qsrc.select("doc_id", F.posexplode("embedding").alias("i", "v"))
         .filter(F.col("v") != 0)
         .select(F.col("doc_id").alias("query_id"), "i", F.col("v").alias("qv"))
     )
@@ -536,7 +554,13 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = docs.filter(F.col("doc_id") < N_QUERY_DOCS).select(
         F.col("doc_id").alias("query_id")
     )
-    dense = sparse_cosine_topk(hashed_tf(docs, EMBED_DIM), qids, k=RRF_POOL)
+    # query_emb from a doc_id-FILTERED scan: identical rows (hashed_tf
+    # is per-doc), but the query branch now reads 6 docs instead of
+    # re-aggregating the corpus-wide embedding (see sparse_cosine_topk)
+    qemb = hashed_tf(docs.filter(F.col("doc_id") < N_QUERY_DOCS), EMBED_DIM)
+    dense = sparse_cosine_topk(
+        hashed_tf(docs, EMBED_DIM), qids, k=RRF_POOL, query_emb=qemb
+    )
     return rrf_fuse([lex, dense], k=TOP_K)
 
 
