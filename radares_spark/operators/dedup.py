@@ -43,17 +43,24 @@ N_BANDS = N_PERM // BAND_R
 
 
 def normalize_text(col: Column) -> Column:
-    """strip non-ASCII -> lower -> strip non-alnum -> collapse spaces
-    -> trim. Non-ASCII is stripped BEFORE lowercasing: the final
-    alphabet is [a-z0-9 ] either way, but unicode case expansion is
-    engine-specific — Turkish İ (U+0130) lowercases to 'i' + a
-    COMBINING dot in the JVM and to plain 'i' in DuckDB, so a doc
-    containing it would tokenize differently across the mirrors
-    (found by conformance fuzz). Pre-stripping makes lower() operate
-    on pure ASCII, where every engine agrees by construction."""
-    x = F.regexp_replace(col, "[^\\x00-\\x7F]", " ")
+    """strip non-[A-Za-z0-9 ] -> lower -> collapse spaces -> trim.
+
+    One character-class pass replaces the former two (strip non-ASCII,
+    then strip non-[a-z0-9 ] after lowering): every codepoint outside
+    [A-Za-z0-9 ] becomes a space in both chains — non-ASCII died at
+    the first pass either way, ASCII punctuation dies before instead
+    of after lower, and lower() cannot map anything INTO [a-z0-9 ]
+    that was not already [A-Za-z0-9] — so the output string is
+    identical character for character (asserted corpus-wide at sf0.1),
+    for one fewer corpus-sized regexp pass on every tokenize front
+    (r14: −27% on the chain itself, −13–18% end-to-end on
+    normalize-bound queries). The conformance-fuzz guarantee is
+    preserved: non-ASCII is still stripped BEFORE lowercasing, so
+    engine-specific unicode case expansion (Turkish İ, U+0130,
+    lowercases to 'i' + a COMBINING dot in the JVM but plain 'i' in
+    DuckDB) can never reach lower()."""
+    x = F.regexp_replace(col, "[^A-Za-z0-9 ]", " ")
     x = F.lower(x)
-    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
     x = F.regexp_replace(x, " +", " ")
     return F.trim(x)
 
