@@ -595,6 +595,27 @@ def sf_scaling_main() -> None:
         "bound": SCALE_BOUND,
         "queries": {},
     }
+    # the two FROZEN calibration anchors ride along (r14 verdict #9):
+    # cross-core / cross-session ratios are only readable against the
+    # machine health of the session that produced them, and the c8/c32
+    # scaling runs landed on different health windows in r14 — with the
+    # anchors in every artifact the comparison is self-adjudicating
+    try:
+        cal_df = _calibration_plan(spark, sf_dir)
+        _noop_time(cal_df)
+        out["calibration_s"] = round(
+            statistics.median(_noop_time(cal_df) for _ in range(CALIBRATION_REPS)), 4
+        )
+    except Exception:  # noqa: BLE001 — isolation
+        out["calibration_s"] = None
+    try:
+        cpu_df = _calibration_cpu_plan(spark)
+        _noop_time(cpu_df)
+        out["calibration_cpu_s"] = round(
+            statistics.median(_noop_time(cpu_df) for _ in range(CALIBRATION_REPS)), 4
+        )
+    except Exception:  # noqa: BLE001
+        out["calibration_cpu_s"] = None
     try:
         n_big = _build_scaled_documents(
             spark, sf_dir, big_dir, SCALE_REPLICATION
@@ -886,109 +907,97 @@ def main() -> None:
 
     total = round(sum(warm[n] for n in HEADLINE if n in warm), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Key ORDER is deliberate (r6 verdict #4): the driver's capture
-    # truncated the JSON *head* in r5 AND r6, losing the scalar summary
-    # both times. Bulky per-query maps come FIRST; every scalar the
-    # judge needs (value, calibration_s, ...) comes LAST so a
-    # tail-capture always retains them.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_warm",
-                "comparable_queries": HEADLINE,
-                "queries": warm,
-                # r5 verdict #7: per-query drift-normalized numbers, so
-                # a single-query regression localizes from the JSON
-                # alone (divide-by-calibration was previously only
-                # precomputed for the frozen-14 total)
-                "queries_per_calibration": {
-                    n: round(t / calibration_s, 2) for n, t in warm.items()
-                }
-                if calibration_s
-                else None,
-                # r11 verdict #4: each query normalized by the anchor
-                # matching its cost profile (the anchors drift APART
-                # under co-tenancy; one shared divisor over- or
-                # under-corrects) — read THESE across sessions
-                "query_anchor": {n: _anchor_for(n) for n in warm},
-                "queries_per_anchor": {
-                    n: round(
-                        t
-                        / (
-                            calibration_cpu_s
-                            if _anchor_for(n) == "cpu"
-                            else calibration_s
-                        ),
-                        2,
-                    )
-                    for n, t in warm.items()
-                }
-                if calibration_s and calibration_cpu_s
-                else None,
-                "cold_s": cold,
-                "streaming": streaming,
-                # batch ops timings (not streams): the delta-direct
-                # nightly refresh, the r10 structural-I/O proof
-                "nightly_refresh": nightly_refresh,
-                # --- scalar summary: keep LAST, see key-order note ---
-                # compact frozen-14 warm map (r7 verdict #8): the bulky
-                # per-query maps above are the first casualty of the
-                # driver's head-truncation, so the 14 floats that drive
-                # round-over-round comparison ride in the tail too
-                "warm_headline": {
-                    n: warm[n] for n in HEADLINE if n in warm
-                },
-                # same survival trick for the EXTRA tier (r8 verdict
-                # #5): the LLM-pipeline queries' warm medians — where
-                # each round's new work lands — previously survived
-                # only as cold_s once the head truncated
-                "warm_extra": {n: warm[n] for n in EXTRA if n in warm},
-                "unit": "sec",
-                "warm_reps": WARM_REPS,
-                # WARM medians for these plans measure a checkpoint
-                # re-read, not the pipeline — quote cold_s for them
-                # (construction, i.e. the pinned stages' real work, is
-                # inside the cold timer)
-                "pinned": pinned,
-                "errors": errors,
-                "calibration_s": calibration_s,
-                "calibration_cpu_s": calibration_cpu_s,
-                "value_per_calibration": round(total / calibration_s, 2)
-                if calibration_s
-                else None,
-                # second normalization lens: most headline queries are
-                # CPU-bound, and the two anchors can drift APART (r7
-                # observed scan +6% / CPU +48% vs the r5 judge session
-                # with byte-identical plans) — when they disagree, the
-                # truth for a given query sits between the two ratios
-                "value_per_cpu_calibration": round(total / calibration_cpu_s, 2)
-                if calibration_cpu_s
-                else None,
-                # headline total of per-own-anchor ratios — the single
-                # machine-drift-free scalar (each query divided by the
-                # anchor that tracks ITS bottleneck)
-                "value_per_anchor": round(
-                    sum(
-                        warm[n]
-                        / (
-                            calibration_cpu_s
-                            if _anchor_for(n) == "cpu"
-                            else calibration_s
-                        )
-                        for n in HEADLINE
-                        if n in warm
-                    ),
-                    2,
+    # The stdout line carries the CONTRACT FIELDS ONLY (r14 verdict
+    # #2): the driver retains just the last ~2000 bytes of stdout, and
+    # the r13 line (9+ KB of per-query diagnostic maps) outgrew that
+    # capture — the stored tail began mid-object, PERF lost the whole
+    # round-over-round table. The full line here is ~1.8 KB, so the
+    # tail-capture always holds ONE complete parseable object. Every
+    # bulky diagnostic (cold walls, anchors per query, streaming,
+    # nightly-refresh fit points) moves to the ``bench_details.json``
+    # sidecar next to this file, echoed to stderr as a labeled line.
+    contract = {
+        "metric": "headline_queries_total_wall_warm",
+        "queries": warm,
+        "unit": "sec",
+        "warm_reps": WARM_REPS,
+        # WARM medians for these plans measure a checkpoint re-read,
+        # not the pipeline — quote cold_s (sidecar) for them
+        "pinned": pinned,
+        "errors": errors,
+        "calibration_s": calibration_s,
+        "calibration_cpu_s": calibration_cpu_s,
+        "value_per_calibration": round(total / calibration_s, 2)
+        if calibration_s
+        else None,
+        "value_per_cpu_calibration": round(total / calibration_cpu_s, 2)
+        if calibration_cpu_s
+        else None,
+        # headline total of per-own-anchor ratios — the single
+        # machine-drift-free scalar (each query divided by the
+        # anchor that tracks ITS bottleneck)
+        "value_per_anchor": round(
+            sum(
+                warm[n]
+                / (
+                    calibration_cpu_s
+                    if _anchor_for(n) == "cpu"
+                    else calibration_s
                 )
-                if calibration_s and calibration_cpu_s
-                else None,
-                "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
-                "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "value": total,
-            }
+                for n in HEADLINE
+                if n in warm
+            ),
+            2,
         )
-    )
+        if calibration_s and calibration_cpu_s
+        else None,
+        "extra_total": round(sum(warm[n] for n in EXTRA if n in warm), 3),
+        "cold_total": round(sum(cold[n] for n in HEADLINE if n in cold), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value": total,
+    }
+    details = {
+        **contract,
+        "comparable_queries": HEADLINE,
+        # r5 verdict #7: per-query drift-normalized numbers, so a
+        # single-query regression localizes from the JSON alone
+        "queries_per_calibration": {
+            n: round(t / calibration_s, 2) for n, t in warm.items()
+        }
+        if calibration_s
+        else None,
+        # r11 verdict #4: each query normalized by the anchor matching
+        # its cost profile (the anchors drift APART under co-tenancy;
+        # one shared divisor over- or under-corrects) — read THESE
+        # across sessions
+        "query_anchor": {n: _anchor_for(n) for n in warm},
+        "queries_per_anchor": {
+            n: round(
+                t
+                / (
+                    calibration_cpu_s
+                    if _anchor_for(n) == "cpu"
+                    else calibration_s
+                ),
+                2,
+            )
+            for n, t in warm.items()
+        }
+        if calibration_s and calibration_cpu_s
+        else None,
+        "cold_s": cold,
+        "streaming": streaming,
+        # batch ops timings (not streams): the delta-direct nightly
+        # refresh, the r10 structural-I/O proof
+        "nightly_refresh": nightly_refresh,
+    }
+    details_path = Path(__file__).resolve().parent / "bench_details.json"
+    try:
+        details_path.write_text(json.dumps(details) + "\n")
+    except OSError:
+        pass  # a read-only checkout still gets the stderr copy below
+    print("BENCH_DETAILS: " + json.dumps(details), file=sys.stderr)
+    print(json.dumps(contract))
     spark.stop()
 
 
