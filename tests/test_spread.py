@@ -22,11 +22,16 @@ def test_size_bytes_parses_spark_forms():
 
 def test_small_input_is_rebalanced(spark):
     # documents at sf0.001 is a single tiny file -> one scan split;
-    # spread() must fan it to the floor for CPU-dense per-row work.
+    # spread() must fan it to the CORE-AWARE floor for CPU-dense
+    # per-row work: defaultParallelism/4 clamped to [4, 8] (r15 —
+    # 4 on narrow sessions, 8 from 32 cores up).
     base = load_table(spark, SF_SMOKE, "documents")
     assert base.rdd.getNumPartitions() == 1
     df = spread(spark, SF_SMOKE, "documents")
-    assert df.rdd.getNumPartitions() == 4
+    want = min(8, max(4, spark.sparkContext.defaultParallelism // 4))
+    assert df.rdd.getNumPartitions() == want
+    # an explicit floor still pins the fan-out exactly
+    assert spread(spark, SF_SMOKE, "documents", floor=4).rdd.getNumPartitions() == 4
 
 
 def test_already_parallel_scan_skips_the_rebalance(spark):
