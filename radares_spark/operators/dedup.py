@@ -65,7 +65,14 @@ def normalize_text(col: Column) -> Column:
     return F.trim(x)
 
 
-# DuckDB mirror of normalize_text (regexp_replace needs the 'g' flag).
+# DuckDB-side equivalent of normalize_text — DELIBERATELY the old
+# 3-regexp chain, NOT a transliteration of the Spark 2-pass form: the
+# r14 collapse proved the two chains string-identical over [^A-Za-z0-9 ]
+# stripping (corpus-wide equality at sf0.1 + the full oracle sweep), and
+# keeping the oracle side independent means a future Spark-side alphabet
+# change must RE-PROVE equivalence against this unchanged mirror instead
+# of silently desyncing both sides at once (r14 ADVICE).
+# (regexp_replace needs the 'g' flag on DuckDB.)
 NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower("
     "regexp_replace({c}, '[^\\x00-\\x7F]', ' ', 'g')"

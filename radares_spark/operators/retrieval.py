@@ -450,7 +450,15 @@ def sparse_cosine_topk(
     instead of dying above the embed aggregate (r14: one fewer
     corpus-wide aggregate + Arrow assembly pass in the hybrid plan;
     min-wall −13–17% at sf0.1, rows identical). Default keeps the
-    join-above-emb form for callers that only hold ids."""
+    join-above-emb form for callers that only hold ids.
+
+    CONTRACT (r14 ADVICE): when ``query_emb`` is given, ``query_ids``
+    is NOT consulted — the caller asserts query_emb holds exactly the
+    query docs' rows of ``emb``. Passing an inconsistent pair, or a
+    query_emb derived under ``tf_idf=True`` (where the filter-pushdown
+    equivalence above breaks: IDF weights depend on the WHOLE corpus),
+    silently returns wrong rows. tests/test_retrieval.py pins the
+    consistent-pair equivalence."""
     cells = emb.select(
         "doc_id", F.posexplode("embedding").alias("i", "v")
     ).filter(F.col("v") != 0)

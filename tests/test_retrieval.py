@@ -287,6 +287,29 @@ def test_sparse_cosine_self_retrieval_and_symmetry(spark):
     assert by_pair[(0, 2)] == by_pair[(2, 0)]  # symmetry
 
 
+def test_sparse_cosine_query_emb_consistent_pair_is_identical(spark):
+    """The query_emb fast path's CONTRACT (r14 ADVICE): for a
+    CONSISTENT (query_ids, query_emb) pair — query_emb built from the
+    doc_id-filtered source under tf_idf=False — the rows must equal
+    the default join-above-emb path exactly. (An inconsistent pair or
+    a tf_idf=True query_emb is documented caller error; this pins the
+    equivalence the fast path's pushdown relies on.)"""
+    from radares_spark.operators.embed import hashed_tf
+    from radares_spark.operators.retrieval import sparse_cosine_topk
+
+    docs = _mk_docs(spark, _CORPUS)
+    emb = hashed_tf(docs, 16)
+    qids = spark.createDataFrame([(0,), (2,)], "query_id long")
+    base = sparse_cosine_topk(emb, qids, k=4)
+    fast = sparse_cosine_topk(
+        emb,
+        qids,
+        k=4,
+        query_emb=hashed_tf(docs.filter(F.col("doc_id").isin(0, 2)), 16),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect()))
+
+
 def test_rrf_fuse_hand_math(spark):
     """Doc in both lists scores 1/(60+r1) + 1/(60+r2); a doc in one
     list scores its single term; ordering follows the fused score."""
