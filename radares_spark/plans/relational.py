@@ -268,11 +268,34 @@ def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"), "n"
         )
 
+    def rows(pairs) -> Column:
+        # one (check_name, n) row per pair out of a SINGLE one-row
+        # aggregate. The r14 form derived each tagged row with its own
+        # ``select`` off a shared frame — but every union branch
+        # re-expands its source subtree in the plan, so the "shared"
+        # aggregate still appeared (and at 100 TB scans) once PER
+        # CHECK; only AQE runtime stage reuse deduped it. Emitting the
+        # rows through one explode keeps ONE copy of the upstream in
+        # the plan (r15: orders scans 8 -> 3, Exchanges 24 -> 16,
+        # rows identical).
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(col).cast("long").alias("n"),
+                    )
+                    for name, col in pairs
+                ]
+            )
+        ).alias("kv")
+
     # ONE window + per-customer aggregate pass over the fact table
-    # feeds four audits (count threshold, gap detection, anti- and
-    # semi-join sides). At 100 TB this is the difference between one
-    # fact shuffle and four fact scans; the aggregated frame is tiny
-    # (one row per customer) so the dim joins broadcast it.
+    # feeds four audits (count threshold, gap detection, and both
+    # sides of the customer-activity join). At 100 TB this is the
+    # difference between one fact shuffle and four fact scans; the
+    # aggregated frame is tiny (one row per customer) so the customer
+    # join broadcasts it.
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     per_cust = (
         orders.withColumn(
@@ -285,63 +308,44 @@ def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
         )
     )
-    big = tag("big_customers", per_cust.filter(F.col("n_orders") >= 20))
-    gappy = tag("gap_gt_60d", per_cust.filter(F.col("max_gap") > 60))
-    no_orders = tag(
-        "cust_no_orders",
-        cust.join(
-            F.broadcast(per_cust.select("o_custkey")),
-            cust.c_custkey == F.col("o_custkey"),
-            "left_anti",
-        ),
-    )
-    active = tag(
-        "cust_open_orders",
-        cust.join(
-            F.broadcast(per_cust.filter(F.col("n_open") > 0).select("o_custkey")),
-            cust.c_custkey == F.col("o_custkey"),
-            "left_semi",
-        ),
+    big_gappy = (
+        per_cust.agg(
+            F.count(F.when(F.col("n_orders") >= 20, 1)).alias("n_big"),
+            F.count(F.when(F.col("max_gap") > 60, 1)).alias("n_gappy"),
+        )
+        .select(rows([("big_customers", "n_big"), ("gap_gt_60d", "n_gappy")]))
+        .select("kv.check_name", "kv.n")
     )
 
-    # one conditional global aggregate covers both scan-level checks
+    # anti-join (no per_cust match) and semi-join-with-open-orders in
+    # ONE left join + two conditional counts: per_cust has one row per
+    # o_custkey, so the left join cannot fan out and NULL o_custkey
+    # marks exactly the anti side (r15: one customer scan + one
+    # broadcast instead of two of each)
+    cflag = (
+        cust.join(
+            F.broadcast(per_cust.select("o_custkey", "n_open")),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_none"),
+            F.count(F.when(F.col("n_open") > 0, 1)).alias("n_act"),
+        )
+        .select(rows([("cust_no_orders", "n_none"), ("cust_open_orders", "n_act")]))
+        .select("kv.check_name", "kv.n")
+    )
+
+    # one conditional global aggregate covers all four scan-level
+    # checks, including the deterministic 10% content-hash sample
+    # (count + cents total): count(when(cond, 1)) == count over the
+    # filtered frame, and the conditional sum adds the same values in
+    # the same scan order as the filtered sum did. The double round
+    # (2 decimals, then x100 to an integer) is exact on both engines —
+    # the scaled value is mathematically integral.
     in_window = F.col("o_orderdate").between(
         F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
     )
-    both = orders.agg(
-        F.sum(
-            F.when(
-                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & in_window, 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("urgent"),
-        F.countDistinct(
-            F.when(
-                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"),
-                F.date_trunc("month", "o_orderdate"),
-            )
-        ).alias("months"),
-    )
-    urgent = both.select(F.lit("urgent_96_97").alias("check_name"), F.col("urgent").alias("n"))
-    months = both.select(
-        F.lit("order_months_2000").alias("check_name"), F.col("months").alias("n")
-    )
-
-    supp_nations = supp.agg(F.countDistinct("s_nationkey").alias("n")).select(
-        F.lit("supp_nations").alias("check_name"), "n"
-    )
-
-    # set-ops audits (§2.8): EXCEPT / INTERSECT over the nation keys
-    cn = cust.select(F.col("c_nationkey").alias("k")).distinct()
-    sn = supp.select(F.col("s_nationkey").alias("k")).distinct()
-    nations_only = tag("nations_cust_only", cn.exceptAll(sn).distinct())
-    nations_both = tag("nations_both", cn.intersect(sn))
-
-    # deterministic 10% content-hash sample: one filtered aggregate
-    # feeds both the count and the (cents-integer) total check. The
-    # double round (2 decimals, then x100 to an integer) is exact on
-    # both engines — the scaled value is mathematically integral.
     bucket = (
         F.conv(
             F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 8),
@@ -350,29 +354,57 @@ def relational_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
-    samp = orders.filter(bucket < 10).agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.round(F.sum("o_totalprice"), 2) * 100).cast("long").alias("cents"),
-    )
-    sample_n = samp.select(
-        F.lit("sample_10pct_n").alias("check_name"), F.col("n_sampled").alias("n")
-    )
-    sample_cents = samp.select(
-        F.lit("sample_10pct_total_cents").alias("check_name"), F.col("cents").alias("n")
+    scan_checks = (
+        orders.agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & in_window, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("urgent"),
+            F.countDistinct(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"),
+                    F.date_trunc("month", "o_orderdate"),
+                )
+            ).alias("months"),
+            F.count(F.when(bucket < 10, 1)).alias("n_sampled"),
+            F.round(F.round(F.sum(F.when(bucket < 10, F.col("o_totalprice"))), 2) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            rows(
+                [
+                    ("urgent_96_97", "urgent"),
+                    ("order_months_2000", "months"),
+                    ("sample_10pct_n", "n_sampled"),
+                    ("sample_10pct_total_cents", "cents"),
+                ]
+            )
+        )
+        .select("kv.check_name", "kv.n")
     )
 
+    # set-ops audits (§2.8): EXCEPT / INTERSECT over the nation keys;
+    # the distinct-count check counts the SAME distinct frame the set
+    # ops consume (count(k) skips NULLs exactly like countDistinct)
+    cn = cust.select(F.col("c_nationkey").alias("k")).distinct()
+    sn = supp.select(F.col("s_nationkey").alias("k")).distinct()
+    supp_nations = sn.agg(F.count("k").alias("n")).select(
+        F.lit("supp_nations").alias("check_name"), "n"
+    )
+    nations_only = tag("nations_cust_only", cn.exceptAll(sn).distinct())
+    nations_both = tag("nations_both", cn.intersect(sn))
+
     parts = [
-        urgent,
-        no_orders,
-        active,
-        big,
+        scan_checks,
+        cflag,
+        big_gappy,
         supp_nations,
-        gappy,
-        months,
         nations_only,
         nations_both,
-        sample_n,
-        sample_cents,
     ]
     out = parts[0]
     for p in parts[1:]:
