@@ -40,6 +40,14 @@ def pair_dot(a, b):
     bracketing of both the unrolled :func:`dot` expression and DuckDB's
     ``list_reduce`` — numpy's pairwise ``np.dot`` summation would
     diverge in the last ulp and break oracle hash parity.
+
+    NOTE (r15 A/B, plans/r15/ab_pairdot.py): two kernel variants
+    measured and rejected — a cumsum(axis=1) form (bit-identical) was
+    flat across two sessions (the dedup_semantic wall is the Arrow
+    pair-stream transfer, not this loop), and float32 accumulation
+    (~2% over cumsum) breaks this module's bit-identity contract,
+    which similarity.py's UNROUNDED IVF cell-routing argmax depends
+    on. Larger Arrow batches (40k/100k records) also measured slower.
     """
     import numpy as np
     import pandas as pd

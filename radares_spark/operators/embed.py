@@ -223,6 +223,13 @@ def _dense_unit_udf(dim: int):
     # of two — the filter-over-UDF duplication): every doc otherwise
     # pays the dim-wide scatter + Arrow transfer twice. Values are
     # unchanged (the function is pure); measured 2.2x at dim=4096.
+    #
+    # NOTE (r15 A/B, plans/r15/ab_embed4k.py): a float32 return type
+    # (halving the Python->JVM Arrow bytes at dim=4096) measured
+    # row-DIFFERENT (9888 rows at sf0.1 — float32 quantizes the
+    # full-precision doubles) and was rejected by the equality gate;
+    # Arrow batch-size sweeps (10k/2k/500 records) showed the default
+    # best. The de-cloned float64 kernel is the measured floor.
     return dense.asNondeterministic()
 
 

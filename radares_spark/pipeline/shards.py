@@ -180,6 +180,13 @@ def encode_ids(
             ).alias("wids")
         )
     )
+    # NOTE (r15 A/B, plans/r15/ab_encode.py): two regroup restructures
+    # measured and rejected — (a) repartition(doc_id)+sortWithin+
+    # order-preserving collect_list is NOT row-identical (hash agg does
+    # not guarantee intra-group arrival order; diff=64 rows at sf0.1),
+    # (b) a mapInPandas assembly with cross-batch carry is identical
+    # but ~27% slower. This collect_list+array_sort+flatten form is
+    # the measured floor for the shape.
     agg = (
         toks.join(wids, "word", "left")
         .groupBy("doc_id")
