@@ -40,6 +40,7 @@ def _docs(spark, lo, hi):
     )
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_stream_admission_matches_batch_and_accumulates(spark, dirs):
     # land file 1 (docs 0..100), run one AvailableNow pass
     _docs(spark, 0, 100).coalesce(1).write.mode("append").parquet(dirs["landing"])
@@ -106,6 +107,7 @@ def test_stream_admission_matches_batch_and_accumulates(spark, dirs):
     )
 
 
+@pytest.mark.slow  # chained on the module `dirs` state built by the first (slow) test
 def test_replay_after_crash_is_idempotent(spark, dirs):
     """ADVICE r4: crash between the sink's writes and the checkpoint
     commit = output partitions exist but the commit marker is missing.
@@ -142,6 +144,7 @@ def test_replay_after_crash_is_idempotent(spark, dirs):
     assert snapshot(dirs["ledger"]) == ledger_before
 
 
+@pytest.mark.slow  # chained on the module `dirs` state built by the first (slow) test
 def test_compact_then_admit_is_idempotent(spark, dirs, tmp_path):
     """r5 ledger lifecycle: compaction folds the epoch partitions into
     one deduplicated epoch=-1 partition without changing ledger content;
@@ -206,6 +209,7 @@ def test_compact_then_admit_is_idempotent(spark, dirs, tmp_path):
     assert content(dirs["ledger"]) == mid
 
 
+@pytest.mark.slow  # chained on the module `dirs` state built by the first (slow) test
 def test_partial_compaction_is_superset_safe(spark, dirs):
     """Review fix: a crash between the epoch=-1 fold and the old-epoch
     deletion leaves DUPLICATE rows (old epochs + compacted partition),

@@ -73,6 +73,7 @@ def trained(spark, planted):
     )
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_distributed_gd_matches_numpy_replica(spark, planted, trained):
     weights, bias = trained
     feat_rows = [

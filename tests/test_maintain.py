@@ -11,6 +11,11 @@ import os
 import shutil
 
 import pytest
+
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
 from radares_spark.cli import (
     cmd_corpus_maintain,
     cmd_corpus_nightly,

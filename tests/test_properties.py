@@ -14,6 +14,11 @@ from radares_spark.schemas import DIRECTION_MAP
 
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 # printable-ish text without '/' so the suffix position is unambiguous
 street = st.text(
     alphabet=st.characters(blacklist_characters="/\x00", min_codepoint=32, max_codepoint=0x2FF),
@@ -132,6 +137,7 @@ def test_token_budget_matches_python_reference(sql, docs, budget):
 
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=25))
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_components_match_union_find(sql, edges):
     edges = [(a, b) for a, b in edges if a != b]
     if not edges:
@@ -162,6 +168,7 @@ def test_components_match_union_find(sql, edges):
     st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=0, max_size=40),
     st.sampled_from([60, 600, 3600]),
 )
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_salted_asof_equals_plain(sql, lefts, rights, bucket_s):
     """Time-salted as-of == plain grouped-map as-of on arbitrary event
     sets, for any bucket width (boundary carries restore exactness)."""

@@ -41,6 +41,11 @@ from radares_spark.pipeline.refresh import (
 from radares_spark.pipeline.state_ledger import LedgerState
 from tests.test_refresh import _df, mk_text, near_variant
 
+# Whole-module slow tier: every test here is a multi-second e2e /
+# sweep (r15 durations log); deselected by default so the driver's
+# verify window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 
 def _rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())

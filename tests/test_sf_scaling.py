@@ -8,6 +8,8 @@ fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -17,6 +19,7 @@ from bench import SCALE_QUERIES, _build_scaled_documents
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_scaled_documents_invariants(spark, tmp_path):
     out = str(tmp_path / "big")
     n_big = _build_scaled_documents(spark, SF_DIR, out, 4)

@@ -22,7 +22,12 @@ from radares_spark.pipeline.shards import (
 from radares_spark.streaming.shards_stream import run_shards_stream
 from tests.test_shards import CTX, NIGHTS, TRAIN, _night_df
 
-pytestmark = pytest.mark.usefixtures("spark")
+pytestmark = [
+    pytest.mark.usefixtures("spark"),
+    # Whole-module slow tier: streaming e2e appends (r15 durations log);
+    # run with -m slow (see COVERAGE.md)
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

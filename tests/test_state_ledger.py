@@ -28,6 +28,11 @@ import os
 
 import pytest
 
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from radares_spark.pipeline.refresh import (
@@ -159,6 +164,7 @@ def _all_views(spark, state):
     }
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_ledger_refresh_matches_dir_layout(spark, tmp_path):
     led = str(tmp_path / "led")
     d0, d1, d2 = (str(tmp_path / f"d{i}") for i in range(3))
@@ -199,6 +205,7 @@ def test_ledger_refresh_matches_dir_layout(spark, tmp_path):
         assert fast == gen
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_compaction_preserves_view_bounds_retention(spark, tmp_path):
     led = str(tmp_path / "led")
     L = [LedgerState(led, e) for e in range(3)]

@@ -3,6 +3,13 @@ windows vs batch equivalence, applyInPandasWithState sessionizer."""
 
 from __future__ import annotations
 
+import pytest
+
+# Whole-module slow tier (r15): multi-second Spark e2e tests dominate
+# this module's wall; deselected by default so the driver's verify
+# window fits — run with -m slow (see COVERAGE.md).
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -100,6 +107,7 @@ def test_tumbling_window_stream_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode windowed agg with a 1h watermark: a row arriving
     after its window's watermark has passed is DROPPED — the finalized
@@ -149,6 +157,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got[t] == (2, 2.0)
 
 
+@pytest.mark.slow  # >=10 s in the r15 full-suite durations log
 def test_streaming_exact_dedup(spark, tmp_path):
     """Streaming dedup keyed on the normalized-text hash: duplicate
     texts arriving in later micro-batches are dropped by keyed state
