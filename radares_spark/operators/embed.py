@@ -149,88 +149,108 @@ def hashed_tf(
     # previous nrm==0 branch returned the all-zero vector, which the
     # docstring forbids and embedding_store_health flags — reachable
     # via all-ubiquitous-token docs under tf_idf (every IDF weight 0)
-    # or full sign cancellation under plain TF). The UDF returns NULL
-    # for them; the filter drops the rows.
-    return (
-        split.select("doc_id", _dense_unit_udf(dim)("ii", "xx").alias("embedding"))
-        .filter(F.col("embedding").isNotNull())
+    # or full sign cancellation under plain TF).
+    return split.mapInArrow(
+        _dense_unit_assemble(dim), "doc_id long, embedding array<double>"
     )
 
 
-def _dense_unit_udf(dim: int):
-    """Arrow-batched (indices, values) -> L2-normalized dense
-    array<double> of length ``dim``; NULL when the norm is zero.
-    The norm accumulates left-to-right over ascending indices in
-    float64 — exactly the old dense F.aggregate fold's bracketing
-    and DuckDB's list_reduce, so oracle hashes are unchanged."""
+def _dense_unit_assemble(dim: int):
+    """mapInArrow kernel: (doc_id, indices, values) record batches ->
+    (doc_id, L2-normalized dense array<double> of length ``dim``)
+    batches; zero-norm rows are dropped inside the kernel (no output
+    row). The norm accumulates left-to-right over ascending indices in
+    float64 — exactly the old dense F.aggregate fold's bracketing and
+    DuckDB's list_reduce, so oracle hashes are unchanged.
+
+    Why mapInArrow and not a pandas UDF (r15, guide §4.2 wide-row
+    caveat): a scalar UDF's OUTPUT batch mirrors its input batch's row
+    count, and the dense payload is ``dim x 8`` bytes per row — at
+    dim 4096 a default 10k-row batch is ~330 MB of float64, and the
+    per-task row count GROWS WITH DATA, which turned the linear
+    scatter into the one super-linear stage of the 10x sf-scaling
+    spot-check (wall ratio 14-26x vs the 12x bound; min-wall on the
+    10x corpus 10.3 s at 10k-row batches vs 5.6 s at 256). Yielding
+    fixed-BYTE output chunks (~8 MiB) bounds Python-side peak memory
+    and Arrow transfer granularity BY CONSTRUCTION at any scale and
+    any session batch config. The kernel also builds the Arrow list
+    column straight from the flat scatter buffer — no per-row numpy
+    object arrays, no pandas boxing. One output row per kept input
+    row, same values bit-for-bit (same scatter, same sequential
+    cumsum norm fold — np.sum/add.reduceat are pairwise and do NOT
+    match; asserted row-identical vs the r14 kernel at sf0.1).
+
+    NOTE (r15 A/B, plans/r15/ab_embed4k.py): a float32 payload
+    (halving the Arrow bytes) measured row-DIFFERENT (9888 rows at
+    sf0.1 — float32 quantizes the full-precision doubles) and was
+    rejected by the equality gate; that applies to this kernel
+    unchanged."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    # no type-hint signature: locally-imported pd makes the string
-    # annotations unresolvable for Spark's hint inference — same
-    # explicit-returnType style as functions/vectors.pair_dot
-    @F.pandas_udf("array<double>")
-    def dense(ii, xx):
-        # One flattened scatter for the whole batch (r8: the r7 form
-        # looped rows in Python). (row, index) pairs are unique —
-        # groupBy(doc_id, i) upstream — so plain fancy assignment
-        # scatters everything at once. The norm must stay the
-        # SEQUENTIAL ascending-index fold (np.sum/reduceat use
-        # pairwise summation — measurably different low bits, and the
-        # oracle's list_reduce is sequential), so it folds across the
-        # dense matrix's columns in index order: interleaved zeros add
-        # exactly nothing to a float sum, making the column fold
-        # bit-identical to the per-row fold over present cells only.
-        n = len(ii)
-        out = np.empty(n, dtype=object)
-        if n:
-            lens = np.fromiter((len(a) for a in ii), dtype=np.int64, count=n)
-            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-            mat = np.zeros((n, dim), dtype=np.float64)
-            if rows.size:
-                flat_i = np.concatenate(
-                    [np.asarray(a, dtype=np.int64) for a in ii]
-                )
-                flat_x = np.concatenate(
-                    [np.asarray(a, dtype=np.float64) for a in xx]
-                )
-                mat[rows, flat_i] = flat_x
-            # Sequential ascending-index norm fold WITHOUT the dim-wide
-            # column loop: per row, np.cumsum over the PRESENT cells'
-            # squares — cumsum is sequential by definition, and the
-            # interleaved zeros of the dense fold add exactly nothing,
-            # so the last prefix equals the column fold bit-for-bit
-            # (asserted against the r8 loop on random data; np.sum and
-            # add.reduceat are pairwise and do NOT match). The column
-            # loop was 4096 numpy passes per batch — measured 2.6 s vs
-            # 0.05 s for 20k rows at dim=4096.
-            acc = np.zeros(n, dtype=np.float64)
-            if rows.size:
-                sq = flat_x * flat_x
-                ends = np.cumsum(lens)
-                starts = ends - lens
-                for r in range(n):
-                    if lens[r]:
-                        acc[r] = np.cumsum(sq[starts[r] : ends[r]])[-1]
-            ok = acc > 0
-            mat[ok] /= np.sqrt(acc[ok])[:, None]
-            for r in np.flatnonzero(ok):
-                out[r] = mat[r]
-        return pd.Series(out)
+    # rows per yielded output batch: bound the dense payload to ~8 MiB
+    out_rows = max(32, (8 << 20) // (dim * 8))
 
-    # Nondeterministic marking stops the optimizer from cloning the
-    # UDF below the isNotNull filter (one ArrowEvalPython node instead
-    # of two — the filter-over-UDF duplication): every doc otherwise
-    # pays the dim-wide scatter + Arrow transfer twice. Values are
-    # unchanged (the function is pure); measured 2.2x at dim=4096.
-    #
-    # NOTE (r15 A/B, plans/r15/ab_embed4k.py): a float32 return type
-    # (halving the Python->JVM Arrow bytes at dim=4096) measured
-    # row-DIFFERENT (9888 rows at sf0.1 — float32 quantizes the
-    # full-precision doubles) and was rejected by the equality gate;
-    # Arrow batch-size sweeps (10k/2k/500 records) showed the default
-    # best. The de-cloned float64 kernel is the measured floor.
-    return dense.asNondeterministic()
+    def assemble(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            ii_arr = batch.column("ii")
+            xx_arr = batch.column("xx")
+            # ListArray internals: one contiguous values buffer + an
+            # offsets array (guide §4.2) — a chunk's cells are a
+            # CONTIGUOUS slice of the flat buffers
+            ii_off = ii_arr.offsets.to_numpy(zero_copy_only=False)
+            xx_off = xx_arr.offsets.to_numpy(zero_copy_only=False)
+            ii_vals = ii_arr.values.to_numpy(zero_copy_only=False)
+            xx_vals = xx_arr.values.to_numpy(zero_copy_only=False)
+            lens = ii_off[1:] - ii_off[:-1]
+            for a in range(0, n, out_rows):
+                b = min(a + out_rows, n)
+                m = b - a
+                clens = lens[a:b]
+                flat_i = ii_vals[ii_off[a] : ii_off[b]].astype(np.int64, copy=False)
+                flat_x = xx_vals[xx_off[a] : xx_off[b]].astype(np.float64, copy=False)
+                rows = np.repeat(np.arange(m, dtype=np.int64), clens)
+                # (row, index) pairs are unique — groupBy(doc_id, i)
+                # upstream — so plain fancy assignment scatters all at
+                # once; indices arrive ascending via array_sort
+                mat = np.zeros((m, dim), dtype=np.float64)
+                if rows.size:
+                    mat[rows, flat_i] = flat_x
+                # sequential ascending-index norm fold: per row,
+                # np.cumsum over the PRESENT cells' squares — cumsum is
+                # sequential by definition, and the dense fold's
+                # interleaved zeros add exactly nothing, so the last
+                # prefix equals the column fold bit-for-bit
+                acc = np.zeros(m, dtype=np.float64)
+                if rows.size:
+                    sq = flat_x * flat_x
+                    cends = np.cumsum(clens)
+                    cstarts = cends - clens
+                    for r in range(m):
+                        if clens[r]:
+                            acc[r] = np.cumsum(sq[cstarts[r] : cends[r]])[-1]
+                ok = acc > 0
+                k = int(ok.sum())
+                if not k:
+                    continue
+                mat = mat[ok]
+                mat /= np.sqrt(acc[ok])[:, None]
+                emb = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (k + 1) * dim, dim, dtype=np.int32)
+                    ),
+                    pa.array(mat.ravel(), type=pa.float64()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(did[a:b][ok], type=pa.int64()), emb],
+                    names=["doc_id", "embedding"],
+                )
+
+    return assemble
 
 
 def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
