@@ -1,5 +1,11 @@
 """A/B: text_hash_embed_4k Arrow payload (r15 item 6, guide §4.3).
 
+FROZEN MEASUREMENT RECORD against the r14 pandas-UDF kernel
+(`_dense_unit_udf`), which change 7 later replaced with the
+mapInArrow assembly (`_dense_unit_assemble`) — this script no longer
+runs against HEAD; its numbers are the documented f32/batch-size
+rejections.
+
 Variants:
   f32    — the dense-assembly UDF declared array<float>, cast back to
            array<double> outside: halves the Python->JVM Arrow bytes
